@@ -1,0 +1,78 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The reference hand-tunes its cluster (VRAM-derived chunk sizes, RMM
+pools, spill thresholds — reference config/auto_tune.py:101-134,
+core/dask_cluster.py:22-137). On Spark the equivalents are declarative
+confs: AQE (runtime coalescing + skew-join splitting), Arrow transfer
+for pandas UDFs, and shuffle-partition sizing. Everything else
+(partition sizing, broadcast choice, spill) is left to Catalyst/AQE by
+design — see SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the sandbox (local[32], 128 GiB). On a real cluster these
+# are spark-submit --conf overrides; nothing in the engine depends on
+# their exact values (partition-invariance is test-enforced).
+DEFAULT_CONFS: dict[str, str] = {
+    # Arrow everywhere: pandas UDFs / toPandas ride columnar batches.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # AQE: runtime partition coalescing + skew-join splitting. The
+    # skew-join splitter is one half of the engine's skew story (the
+    # other half is explicit salting in operators.pip_join).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Small-dim broadcast; PIP polygon tables are usually < this.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Deterministic timestamps across JVM/duckdb comparisons.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet writer defaults matching the reference's ZSTD choice
+    # (reference core/dask_processor.py:201-228 uses ZSTD COGs).
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(
+    app_name: str = "fujishadergpu_spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``) so the same entry point serves tests, bench runs at
+    two parallelism levels, and spark-submit (where ``master`` is
+    supplied externally and must be passed as None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver testdata parquet tables and register temp views.
+
+    Returns the DataFrames in the order requested.
+    """
+    out = []
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out.append(df)
+    return out

@@ -178,32 +178,32 @@ def cell_children(cell: Column) -> Column:
     return F.array(*kids)
 
 
-def cell_center(cell: Column) -> tuple[Column, Column]:
-    """(lat, lon) doubles of the cell center."""
-    n = F.shiftleft(F.lit(1).cast(LongType()), cell_res(cell).cast("int")).cast("double")
+def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
+    """(lat, lon) doubles of the cell center (res is plan-time)."""
+    n = float(1 << res)
     lon = (cell_x(cell).cast("double") + 0.5) / n * 360.0 - 180.0
     lat = (cell_y(cell).cast("double") + 0.5) / n * 180.0 - 90.0
     return lat, lon
 
 
-def grid_disk(cell: Column, k: int) -> Column:
+def grid_disk(cell: Column, k: int, res: int) -> Column:
     """Array column of all cells within Chebyshev ring k (halo ring).
 
-    Built as a static unrolled array (k is a plan-time constant, like
-    the reference's per-algorithm halo depth,
-    reference core/tile_processor.py:207-383); lon wraps, lat
-    out-of-range entries are dropped by the filter().
+    k and res are plan-time constants (like the reference's
+    per-algorithm halo depth, reference core/tile_processor.py:207-383)
+    so the array unrolls statically and stays inside codegen; lon
+    wraps, lat out-of-range entries are dropped by the filter().
     """
-    res = cell_res(cell)
-    n = F.shiftleft(F.lit(1).cast(LongType()), res.cast("int"))
+    n = 1 << res
     x = cell_x(cell)
     y = cell_y(cell)
+    base = F.lit(res << RES_SHIFT).cast(LongType())
     members = []
     for dx in range(-k, k + 1):
         for dy in range(-k, k + 1):
-            nx = F.pmod(x + dx, n)
+            nx = F.pmod(x + dx, F.lit(n))
             ny = y + dy
-            cid = F.shiftleft(res, RES_SHIFT) + F.shiftleft(nx, X_SHIFT) + ny
+            cid = base + F.shiftleft(nx, X_SHIFT) + ny
             members.append(F.when((ny >= 0) & (ny < n), cid))
     return F.filter(F.array(*members), lambda c: c.isNotNull())
 

@@ -1,0 +1,150 @@
+"""kNN via ring expansion over cell neighbors.
+
+Mirrors the reference's small/large-radius split (reference
+algorithms/common/spatial_mode.py:21-101 expands radii
+[2,8,32,128,...] until coverage; large radii fall back to a coarse
+overview, reference algorithms/_nan_utils.py:836-871): each query
+point probes candidate points in its grid_disk(k) cell neighborhood,
+k doubling per round, until the k-th neighbor distance is provably
+inside the covered ring — then a bounded brute-force fallback mops up
+the (rare) still-unfinished queries, the analog of the coarse-overview
+escape hatch.
+
+Correctness guarantee (SURVEY.md §7.3 hard part 2): with cell sizes
+(dlon, dlat) = (360, 180)/2^res degrees, any point outside
+grid_disk(k) of the query's cell is at planar distance
+> (k-1)*min(dlon, dlat) = (k-1)*dlat. So once a query holds K
+candidates whose K-th distance <= (k-1)*dlat, no point outside the
+disk can displace them and the query is finished.
+
+Distance is planar squared-euclidean in degrees — a deterministic
+polynomial of the inputs, so Spark and the DuckDB oracle produce
+bit-identical orderings (haversine's libm sin/cos may differ by ulps
+across engines). ``haversine_m`` below is the metric used by
+non-oracle paths that need metres.
+
+The per-round join broadcasts the (small) exploded query side, so the
+big points table is never shuffled — scan + broadcast-hash-join per
+round, a handful of rounds. For query sets too big to broadcast the
+same code runs as a shuffle join on cell_id (Catalyst's choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cells
+
+
+def sq_dist_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Planar squared distance in degrees² (deterministic; oracle-safe)."""
+    return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle metres (WGS84 mean radius); for metric consumers."""
+    r = 6371008.8
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = p2 - p1
+    dl = F.radians(lon2) - F.radians(lon1)
+    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
+def knn(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    point_id: str = "id",
+    query_id: str = "qid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k0: int = 1,
+    max_rounds: int = 5,
+    exclude_self: bool = False,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k nearest points per query → (query_id, neighbor_id, rank,
+    dist_sq_deg). Ties broken by neighbor id (deterministic).
+
+    ``exclude_self`` drops candidates whose point_id equals the
+    query_id (self-kNN over one table).
+    """
+    dlat_deg = 180.0 / float(1 << res)
+
+    pts = points.select(
+        F.col(point_id).alias("_nid"),
+        F.col(lat_col).alias("_nlat"),
+        F.col(lon_col).alias("_nlon"),
+        cells.cell_of(F.col(lat_col), F.col(lon_col), res).alias("_ncell"),
+    )
+    pending = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(lat_col).alias("_qlat"),
+        F.col(lon_col).alias("_qlon"),
+        cells.cell_of(F.col(lat_col), F.col(lon_col), res).alias("_qcell"),
+    )
+
+    finished_parts: list[DataFrame] = []
+    ring = k0
+    w = Window.partitionBy("_qid").orderBy("_dist", "_nid")
+
+    for _ in range(max_rounds):
+        probe = pending.withColumn("_jcell", F.explode(cells.grid_disk(F.col("_qcell"), ring, res)))
+        if broadcast_queries:
+            probe = F.broadcast(probe)
+        cand = probe.join(pts, probe["_jcell"] == pts["_ncell"], "inner")
+        if exclude_self:
+            cand = cand.filter(F.col("_nid") != F.col("_qid"))
+        cand = cand.withColumn(
+            "_dist", sq_dist_deg(F.col("_qlat"), F.col("_qlon"), F.col("_nlat"), F.col("_nlon"))
+        )
+        topk = (
+            cand.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .select("_qid", "_qlat", "_qlon", "_qcell", "_nid", "_dist", "_rank")
+        )
+        # a query is done when it has k hits and the kth is inside the
+        # guaranteed-covered radius (k-1)*dlat
+        bound = ((ring - 1) * dlat_deg) ** 2
+        per_q = topk.groupBy("_qid").agg(
+            F.count("*").alias("_c"), F.max("_dist").alias("_kth")
+        )
+        done_q = per_q.filter((F.col("_c") == k) & (F.col("_kth") <= F.lit(bound))).select("_qid")
+        finished_parts.append(topk.join(done_q, "_qid", "left_semi"))
+        # localCheckpoint truncates the per-round plan lineage so round
+        # r+1 does not recompute rounds 1..r (the query-state DF is
+        # small by construction; candidates/points are never persisted)
+        pending = pending.join(done_q, "_qid", "left_anti").localCheckpoint()
+        # cheap emptiness probe per round (scalar, not data collect)
+        if pending.isEmpty():
+            pending = None
+            break
+        ring *= 2
+    if pending is not None and not pending.isEmpty():
+        # coarse fallback: bounded brute force for the stragglers
+        # (reference's overview fallback for radii beyond MAX_DEPTH)
+        cand = F.broadcast(pending).crossJoin(pts)
+        if exclude_self:
+            cand = cand.filter(F.col("_nid") != F.col("_qid"))
+        cand = cand.withColumn(
+            "_dist", sq_dist_deg(F.col("_qlat"), F.col("_qlon"), F.col("_nlat"), F.col("_nlon"))
+        )
+        finished_parts.append(
+            cand.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .select("_qid", "_qlat", "_qlon", "_qcell", "_nid", "_dist", "_rank")
+        )
+
+    out = finished_parts[0]
+    for part in finished_parts[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("_qid").alias(query_id),
+        F.col("_nid").alias("neighbor_id"),
+        F.col("_rank").alias("rank"),
+        F.col("_dist").alias("dist_sq_deg"),
+    )

@@ -1,0 +1,182 @@
+"""Cell-bucketed point-in-polygon join with explicit skew handling.
+
+The central spatial join (BASELINE.json north_rule): points and
+polygons are both bucketed onto the quadtree cell grid
+(functions.cells); the equi-join on cell_id replaces an O(N*M)
+geometric join, and a vectorized ray-cast pandas UDF refines
+candidates to exact containment.
+
+Physical shape (SURVEY.md §7.2 M2):
+
+- **Build side** (polygons, small): each polygon is exploded to its
+  covering cells — pure column expressions (bbox via transform/
+  array_min over the ring, cover via sequence() x sequence()
+  explode). A huge polygon covering many cells is *build-side
+  explode* skew: it turns into many build rows, which Spark
+  distributes naturally.
+- **Probe side** (points, huge): one cell per point. A hot cell
+  holding many points is *probe-side* skew: handled by (a) AQE
+  skew-join splitting (on by default, session.py) and (b) optional
+  explicit salting — probe rows get ``salt = pmod(xxhash64(key), S)``
+  and build rows are replicated S ways, so one hot cell fans out to S
+  shuffle partitions. The two skews are different and get different
+  treatments (SURVEY.md §7.3 hard part 5).
+- **Join strategy**: Catalyst broadcasts the exploded build side when
+  small (the common case — this mirrors the reference scattering its
+  coarse fields to workers, reference core/dask_processor.py:1011-1025);
+  ``broadcast_build=False`` forces the sort-merge path for the
+  polygons-too-big case.
+- **Refinement**: even-odd ray casting, boundary-inclusive, as an
+  Arrow pandas UDF vectorized per polygon group within each batch —
+  no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..functions import cells
+
+
+# ------------------------- build-side covering ------------------------
+
+def polygon_cover(polygons: DataFrame, res: int, ring_col: str = "ring") -> DataFrame:
+    """Explode polygons to covering cells at ``res`` (bbox cover).
+
+    Adds ``cell_id`` plus flattened ``ring_lon``/``ring_lat`` arrays
+    (Arrow-friendlier than array<struct> for the refinement UDF).
+    All JVM-side: bbox from transform/array_min, cover cells from
+    sequence() explodes.
+    """
+    n = 1 << res
+    ring = F.col(ring_col)
+    lons = F.transform(ring, lambda p: p["lon"])
+    lats = F.transform(ring, lambda p: p["lat"])
+
+    def cx(lon):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor((lon + 180.0) / 360.0 * float(n)).cast("long")))
+
+    def cy(lat):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor((lat + 90.0) / 180.0 * float(n)).cast("long")))
+
+    out = (
+        polygons.withColumns(
+            {
+                "ring_lon": lons,
+                "ring_lat": lats,
+                "_x0": cx(F.array_min(lons)),
+                "_x1": cx(F.array_max(lons)),
+                "_y0": cy(F.array_min(lats)),
+                "_y1": cy(F.array_max(lats)),
+            }
+        )
+        .withColumn("_cx", F.explode(F.sequence(F.col("_x0"), F.col("_x1"))))
+        .withColumn("_cy", F.explode(F.sequence(F.col("_y0"), F.col("_y1"))))
+        .withColumn(
+            "cell_id",
+            F.lit(res << cells.RES_SHIFT).cast("long")
+            + F.shiftleft(F.col("_cx"), cells.X_SHIFT)
+            + F.col("_cy"),
+        )
+        .drop("_x0", "_x1", "_y0", "_y1", "_cx", "_cy", ring_col)
+    )
+    return out
+
+
+# ------------------------- exact refinement --------------------------
+
+def _raycast_group(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast of points (px=lon, py=lat) against one ring,
+    vectorized over points; boundary-inclusive (a point exactly on an
+    edge or vertex is inside — matches SQL BETWEEN semantics on
+    rectangles, which the DuckDB oracle uses)."""
+    inside = np.zeros(px.shape[0], dtype=bool)
+    onedge = np.zeros(px.shape[0], dtype=bool)
+    nv = rx.shape[0]
+    j = nv - 1
+    for i in range(nv):  # loop over ring vertices (4-8 typically), vectorized over points
+        xi, yi, xj, yj = rx[i], ry[i], rx[j], ry[j]
+        cond = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(cond, (xj - xi) * (py - yi) / (yj - yi) + xi, 0.0)
+        inside ^= cond & (px < t)
+        cross = (xj - xi) * (py - yi) - (yj - yi) * (px - xi)
+        within = (
+            (px >= np.minimum(xi, xj)) & (px <= np.maximum(xi, xj))
+            & (py >= np.minimum(yi, yj)) & (py <= np.maximum(yi, yj))
+        )
+        onedge |= (cross == 0.0) & within
+        j = i
+    return inside | onedge
+
+
+@pandas_udf(BooleanType())
+def pip_contains_udf(
+    polygon_id: pd.Series, lat: pd.Series, lon: pd.Series,
+    ring_lon: pd.Series, ring_lat: pd.Series,
+) -> pd.Series:
+    """Arrow batch: group rows by polygon_id (one ring per polygon),
+    ray-cast each group vectorized over its points."""
+    out = np.zeros(len(lat), dtype=bool)
+    px = lon.to_numpy(dtype=np.float64)
+    py = lat.to_numpy(dtype=np.float64)
+    for _, idx in pd.Series(range(len(polygon_id))).groupby(polygon_id.to_numpy()).groups.items():
+        ii = np.asarray(idx)
+        rx = np.asarray(ring_lon.iloc[ii[0]], dtype=np.float64)
+        ry = np.asarray(ring_lat.iloc[ii[0]], dtype=np.float64)
+        out[ii] = _raycast_group(px[ii], py[ii], rx, ry)
+    return pd.Series(out)
+
+
+# ----------------------------- the join ------------------------------
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    polygon_id_col: str = "polygon_id",
+    broadcast_build: bool | None = None,
+    salt: int | None = None,
+    point_salt_col: str | None = None,
+) -> DataFrame:
+    """points ⋈ polygons on covering-cell equality + exact refinement.
+
+    Returns points columns + ``polygon_id`` (inner join; points in no
+    polygon drop out, points in several match several).
+
+    ``salt=S`` replicates each build row S ways and buckets probe rows
+    by ``pmod(xxhash64(point_salt_col), S)`` so a hot cell spreads
+    over S shuffle partitions (use with broadcast_build=False; under
+    broadcast there is no shuffle to skew).
+    """
+    build = polygon_cover(polygons, res)
+    probe = points.withColumn("cell_id", cells.cell_of(F.col(lat_col), F.col(lon_col), res))
+
+    join_keys = ["cell_id"]
+    if salt:
+        skey = F.col(point_salt_col) if point_salt_col else F.col(lat_col)
+        probe = probe.withColumn("_salt", F.pmod(F.xxhash64(skey), F.lit(salt)).cast("int"))
+        build = build.withColumn("_salt", F.explode(F.lit(list(range(salt)))))
+        join_keys = ["cell_id", "_salt"]
+
+    if broadcast_build is True:
+        build = F.broadcast(build)
+    elif broadcast_build is False:
+        build = build.hint("merge")
+
+    cand = probe.join(build, on=join_keys, how="inner")
+    refined = cand.filter(
+        pip_contains_udf(
+            F.col(polygon_id_col), F.col(lat_col), F.col(lon_col),
+            F.col("ring_lon"), F.col("ring_lat"),
+        )
+    )
+    drop = ["cell_id", "ring_lon", "ring_lat"] + (["_salt"] if salt else [])
+    return refined.drop(*drop)

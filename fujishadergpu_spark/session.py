@@ -36,6 +36,9 @@ DEFAULT_CONFS: dict[str, str] = {
     # Parquet writer defaults matching the reference's ZSTD choice
     # (reference core/dask_processor.py:201-228 uses ZSTD COGs).
     "spark.sql.parquet.compression.codec": "zstd",
+    # keep stdout clean for bench/test harnesses
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
 }
 
 

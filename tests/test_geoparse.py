@@ -1,0 +1,58 @@
+"""Geoparse + datagen invariants: url/text coordinate agreement and
+byte-identical html->text extraction (BASELINE.json per-row invariant)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.functions import geoparse
+
+
+def test_url_and_text_sources_agree(pages_df):
+    g = geoparse.geoparse(pages_df)
+    tlat, tlon = geoparse.lat_lon_from_text(F.col("text"))
+    bad = g.withColumns({"tlat": tlat, "tlon": tlon}).filter(
+        "lat IS NULL OR lat != tlat OR lon != tlon"
+    )
+    assert bad.count() == 0
+
+
+def test_extracted_text_byte_identical(pages_df):
+    e = geoparse.extract_text(pages_df)
+    assert e.filter("extracted_text IS NULL OR extracted_text != text").count() == 0
+    # sha256 of the extraction is stable across partitioning
+    rows1 = {
+        r["url"]: hashlib.sha256(r["extracted_text"].encode()).hexdigest()
+        for r in e.select("url", "extracted_text").collect()
+    }
+    rows2 = {
+        r["url"]: hashlib.sha256(r["extracted_text"].encode()).hexdigest()
+        for r in geoparse.extract_text(pages_df.repartition(17)).select("url", "extracted_text").collect()
+    }
+    assert rows1 == rows2
+
+
+def test_entity_unescape_order():
+    import pandas as pd
+
+    from fujishadergpu_spark.functions.geoparse import _extract_series
+
+    html = pd.Series([b"<html><body><p>a &amp;lt; b &amp; c &lt;d&gt;</p></body></html>"])
+    assert _extract_series(html).iloc[0] == "a &lt; b & c <d>"
+
+
+def test_mlat_fallback(spark):
+    df = spark.createDataFrame(
+        [("https://x.example/p?mlat=1234500&mlon=-5678900&id=1", "no coords here")],
+        "url string, text string",
+    )
+    row = geoparse.geoparse(df).select("lat", "lon").first()
+    assert row["lat"] == 12.345 and row["lon"] == -56.789
+
+
+def test_datagen_deterministic(spark):
+    from fujishadergpu_spark.sources.pages import pages
+
+    a = pages(spark, 500, partitions=2).orderBy("url").collect()
+    b = pages(spark, 500, partitions=7).orderBy("url").collect()
+    assert a == b

@@ -1,0 +1,73 @@
+"""PIP join vs brute-force oracle, incl. analytic edge polygons and
+the salted-path-identical invariant (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.operators.pip_join import pip_join
+from fujishadergpu_spark.sources.polygons import polygon_rows, polygons
+from tests.conftest import raycast_oracle
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(points_df):
+    pdf = points_df.toPandas()
+    px, py, ids = pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), pdf["id"].to_numpy()
+    exp = set()
+    for pid, name, kind, ring in polygon_rows():
+        for i in ids[raycast_oracle(px, py, ring)]:
+            exp.add((int(i), pid))
+    return exp
+
+
+def test_pip_matches_oracle(spark, points_df, oracle_pairs):
+    got = set(map(tuple, pip_join(points_df, polygons(spark), res=6).select("id", "polygon_id").collect()))
+    assert got == oracle_pairs
+
+
+def test_pip_res_invariant(spark, points_df, oracle_pairs):
+    """Bucketing resolution is a physical knob — result must not change."""
+    got = set(map(tuple, pip_join(points_df, polygons(spark), res=4).select("id", "polygon_id").collect()))
+    assert got == oracle_pairs
+
+
+def test_pip_salted_identical(spark, points_df, oracle_pairs):
+    got = set(
+        map(
+            tuple,
+            pip_join(
+                points_df, polygons(spark), res=6,
+                broadcast_build=False, salt=8, point_salt_col="id",
+            ).select("id", "polygon_id").collect(),
+        )
+    )
+    assert got == oracle_pairs
+
+
+def test_pip_analytic_edges(spark):
+    """Point-on-vertex / on-edge / concave notch / sliver (FIXTURES.md §2c)."""
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),    # exactly on grid + edge_vertex corner -> inside
+            (2, 1.0, 0.5),    # on vertical edge of edge_vertex (lat=1? no: lat,lon)
+            (3, 6.0, 8.0),    # inside concave body
+            (4, 8.0, 6.0),    # inside the notch -> NOT in concave polygon
+            (5, -9.9995, 0.0),  # inside the sliver band
+            (6, 15.0, -25.0),   # inside edge_bigband
+        ],
+        "id long, lat double, lon double",
+    )
+    pol = polygons(spark).filter(F.col("kind") == "sliver")
+    got = set(map(tuple, pip_join(pts, pol, res=5).select("id", "name").collect()))
+    assert (1, "edge_vertex") in got
+    assert (3, "edge_concave") in got
+    assert (4, "edge_concave") not in got
+    assert (5, "edge_sliver") in got
+    assert (6, "edge_bigband") in got
+
+
+def test_pip_plan_is_broadcast(spark, points_df):
+    """Small build side must broadcast (no shuffle of the point table)."""
+    plan = pip_join(points_df, polygons(spark), res=6)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,93 @@
+"""Tile pipeline tests: XYZ assignment golden math, rasterization
+determinism, the seam-free tiled-vs-whole kernel invariant (the
+reference's single most important test pattern,
+reference tests/test_visual_saliency_tile_stability.py:6-29), and the
+LOD pyramid mass-conservation invariant."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.functions.tiles import TILE_PX, np_tile_pixel, tile_pixel
+from fujishadergpu_spark.operators.tile_kernels import (
+    build_pyramid,
+    np_hillshade,
+    rasterize_tiles,
+    tile_kernel,
+)
+
+Z = 3  # 8x8 tiles -> 2048px world; test data spans tiles 3..4 only
+
+
+def test_tile_pixel_analytic(spark):
+    """Known slippy-map anchor points."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (85.05112877, -179.9999), (-85.05112877, 179.9999)],
+        "lat double, lon double",
+    )
+    x, y, px, py = tile_pixel(F.col("lat"), F.col("lon"), 1)
+    rows = df.select(x.alias("x"), y.alias("y")).collect()
+    assert (rows[0]["x"], rows[0]["y"]) == (1, 1)  # (0,0) falls in SE quadrant
+    assert (rows[1]["x"], rows[1]["y"]) == (0, 0)
+    assert (rows[2]["x"], rows[2]["y"]) == (1, 1)
+
+
+def test_tile_pixel_column_matches_numpy(spark, points_df):
+    pdf = points_df.toPandas()
+    x, y, px, py = tile_pixel(F.col("lat"), F.col("lon"), 8)
+    got = points_df.select(x.alias("x"), y.alias("y"), px.alias("px"), py.alias("py")).toPandas()
+    ex, ey, epx, epy = np_tile_pixel(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), 8)
+    assert (got["x"].to_numpy() == ex).all() and (got["y"].to_numpy() == ey).all()
+    assert (got["px"].to_numpy() == epx).all() and (got["py"].to_numpy() == epy).all()
+
+
+def _global_grid(pdf, z):
+    n = (1 << z) * TILE_PX
+    gx, gy, px, py = np_tile_pixel(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), z)
+    idx = (gy * TILE_PX + py) * n + (gx * TILE_PX + px)
+    return np.bincount(idx, minlength=n * n).astype(np.float64).reshape(n, n)
+
+
+def test_rasterize_deterministic_and_correct(spark, points_df):
+    pdf = points_df.toPandas()
+    world = _global_grid(pdf, Z)
+    tiles = rasterize_tiles(points_df, Z).collect()
+    assert sum(np.asarray(t["grid"]).sum() for t in tiles) == len(pdf)
+    for t in tiles:
+        g = np.asarray(t["grid"]).reshape(TILE_PX, TILE_PX)
+        sl = world[
+            t["y"] * TILE_PX : (t["y"] + 1) * TILE_PX, t["x"] * TILE_PX : (t["x"] + 1) * TILE_PX
+        ]
+        assert (g == sl).all()
+    # partition invariance: identical grids from a different layout
+    tiles2 = {(t["x"], t["y"]): t["grid"] for t in rasterize_tiles(points_df.repartition(13), Z).collect()}
+    for t in tiles:
+        assert list(t["grid"]) == list(tiles2[(t["x"], t["y"])])
+
+
+def test_kernel_seam_free(spark, points_df):
+    """Tiled hillshade (halo=1) == whole-world hillshade on every core:
+    the reference's tile-stability invariant, bit-exact."""
+    pdf = points_df.toPandas()
+    world = np_hillshade(np.log1p(_global_grid(pdf, Z)))
+    tiles = tile_kernel(points_df, Z, kernel="hillshade", log_scale=True).collect()
+    assert len(tiles) > 1  # multiple tiles => seams exist to verify
+    for t in tiles:
+        g = np.asarray(t["result"]).reshape(TILE_PX, TILE_PX)
+        sl = world[
+            t["y"] * TILE_PX : (t["y"] + 1) * TILE_PX, t["x"] * TILE_PX : (t["x"] + 1) * TILE_PX
+        ]
+        assert np.array_equal(g, sl), f"seam mismatch in tile {(t['x'], t['y'])}"
+
+
+def test_pyramid_mass_conservation(spark, points_df):
+    base = rasterize_tiles(points_df, Z)
+    pyr = build_pyramid(base, Z, 0, agg="sum")
+    sums = (
+        pyr.select("z", F.aggregate("grid", F.lit(0.0), lambda a, b: a + b).alias("s"))
+        .groupBy("z").agg(F.sum("s").alias("total")).collect()
+    )
+    n = points_df.count()
+    for r in sums:
+        assert abs(r["total"] - n) < 1e-6, f"mass lost at z={r['z']}"

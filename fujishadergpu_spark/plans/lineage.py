@@ -1,0 +1,131 @@
+"""Per-partition lineage + metrics with idempotent resume.
+
+The lakehouse re-expression of the reference's checkpoint/resume
+machinery: the reference keeps per-tile scratch GeoTIFFs and rebuilds
+the final COG from them with --cog-only (reference
+core/tile_processor.py:1748-1819, TileResult records
+utils/types.py:8-14). Here every stage writes its output partitioned
+by a logical key and appends one lineage row per completed key::
+
+    run_id, stage, partition_key, row_count, bytes, status, ts
+
+Resume = anti-join the pending keys against completed lineage rows,
+process only the remainder, and overwrite-by-partition (Spark dynamic
+partitionOverwriteMode) so replays are idempotent — a crashed run
+leaves either a complete partition + lineage row, or neither visible
+to the next run's anti-join. On an Iceberg catalog the same code
+writes via ``writeTo(...).overwritePartitions()``; the parquet path
+keeps the sandbox dependency-free while preserving the commit
+semantics this layer needs.
+
+Metrics are computed by reading back the just-written partitions
+(validating the write, the reference's COG-validation gate analog,
+reference io/cog_validator.py:16-127).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, partition_key string, "
+    "row_count long, bytes long, status string, ts double"
+)
+
+
+class LineageLog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def completed_keys(self, stage: str) -> DataFrame:
+        return (
+            self.read()
+            .filter((F.col("stage") == stage) & (F.col("status") == "ok"))
+            .select("partition_key")
+            .distinct()
+        )
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def run_stage_idempotent(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    out_path: str,
+    lineage: LineageLog,
+    stage: str,
+    run_id: str | None = None,
+) -> dict:
+    """Write ``df`` partitioned by ``key_col``, skipping keys already
+    completed per the lineage log; returns a summary dict.
+
+    The write uses dynamic partition overwrite so re-processing a key
+    (e.g. after a mid-write crash that never logged the key) replaces
+    the partial partition instead of duplicating rows.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = lineage.completed_keys(stage)
+    pending = df.withColumn("_pk", F.col(key_col).cast("string")).join(
+        done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
+    )
+    n_pending_keys = pending.select("_pk").distinct().count()
+    if n_pending_keys == 0:
+        return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
+
+    (
+        pending.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_pk")
+        .parquet(out_path)
+    )
+
+    # validate-by-readback + metrics (only the keys written this run)
+    written = spark.read.parquet(out_path).join(
+        pending.select("_pk").distinct(), "_pk", "left_semi"
+    )
+    now = time.time()
+    metrics = (
+        written.groupBy("_pk")
+        .agg(F.count("*").alias("row_count"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("_pk").alias("partition_key"),
+            "row_count",
+            F.lit(-1).cast("long").alias("bytes"),
+            F.lit("ok").alias("status"),
+            F.lit(now).alias("ts"),
+        )
+    ).cache()
+    n_keys = metrics.count()
+    # best-effort per-partition byte sizes (local/posix paths)
+    rows = metrics.collect()
+    out = []
+    for r in rows:
+        d = os.path.join(out_path, f"_pk={r['partition_key']}")
+        b = _dir_bytes(d) if os.path.isdir(d) else -1
+        out.append((r["run_id"], r["stage"], r["partition_key"], r["row_count"], b, "ok", r["ts"]))
+    lineage.append(spark.createDataFrame(out, LINEAGE_SCHEMA))
+    metrics.unpersist()
+    return {"run_id": run_id, "stage": stage, "keys_processed": n_keys, "skipped": False}

@@ -1,0 +1,61 @@
+"""Lineage + idempotent-resume tests (FIXTURES.md §5: kill mid-run,
+rerun, outputs equal golden, each partition processed exactly once)."""
+
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.plans.lineage import LineageLog, run_stage_idempotent
+
+
+def _mkdf(spark):
+    return spark.range(1000).select(
+        "id", F.pmod("id", F.lit(10)).alias("bucket"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_stage_then_resume_noop(spark, tmp_path):
+    df = _mkdf(spark)
+    lin = LineageLog(spark, str(tmp_path / "lineage"))
+    out = str(tmp_path / "out")
+    s1 = run_stage_idempotent(spark, df, "bucket", out, lin, "stage1", run_id="r1")
+    assert s1["keys_processed"] == 10
+    assert spark.read.parquet(out).count() == 1000
+    # second run: everything already done
+    s2 = run_stage_idempotent(spark, df, "bucket", out, lin, "stage1", run_id="r2")
+    assert s2["skipped"] and s2["keys_processed"] == 0
+    # lineage holds exactly one ok row per key
+    counts = lin.read().groupBy("partition_key").count().collect()
+    assert len(counts) == 10 and all(r["count"] == 1 for r in counts)
+
+
+def test_crash_resume_completes(spark, tmp_path):
+    """Simulated crash: first run only saw half the keys (fault
+    injection by filtering); resume processes exactly the rest."""
+    df = _mkdf(spark)
+    lin = LineageLog(spark, str(tmp_path / "lineage"))
+    out = str(tmp_path / "out")
+    run_stage_idempotent(spark, df.filter("bucket < 5"), "bucket", out, lin, "s", run_id="r1")
+    s2 = run_stage_idempotent(spark, df, "bucket", out, lin, "s", run_id="r2")
+    assert s2["keys_processed"] == 5
+    final = spark.read.parquet(out)
+    assert final.count() == 1000
+    # partition-column type inference may read _pk back as int
+    assert {str(r["_pk"]) for r in final.select("_pk").distinct().collect()} == {str(i) for i in range(10)}
+    # exactly-once per partition in the lineage log
+    per_key = lin.read().filter("status='ok'").groupBy("partition_key").count().collect()
+    assert all(r["count"] == 1 for r in per_key)
+
+
+def test_partial_partition_overwritten(spark, tmp_path):
+    """A key written but never logged (crash between write and log)
+    is re-processed and the partition replaced, not duplicated."""
+    df = _mkdf(spark)
+    lin = LineageLog(spark, str(tmp_path / "lineage"))
+    out = str(tmp_path / "out")
+    # simulate the torn state: partition files exist, lineage empty
+    (
+        df.filter("bucket = 3").withColumn("_pk", F.col("bucket").cast("string"))
+        .write.mode("overwrite").partitionBy("_pk").parquet(out)
+    )
+    run_stage_idempotent(spark, df, "bucket", out, lin, "s", run_id="r1")
+    final = spark.read.parquet(out)
+    assert final.count() == 1000  # bucket 3 not duplicated

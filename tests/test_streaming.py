@@ -1,0 +1,50 @@
+"""Streaming-vs-batch twin parity over the driver events table."""
+
+import pytest
+
+from fujishadergpu_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _rows(df, keycols):
+    return sorted(tuple(r[c] for c in keycols) for r in df.collect())
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_batch, tmp_path):
+    src = str(tmp_path / "events_src")
+    events_batch.repartition(6).write.parquet(src)  # several files => several triggers
+    stream = ev.read_events_stream(spark, src, files_per_trigger=2)
+    ev.run_stream_to_memory(ev.windowed_counts(stream), "win_counts")
+    got = _rows(spark.sql("SELECT * FROM win_counts"), ["window_start", "event_type", "n_events"])
+    exp = _rows(ev.windowed_counts(events_batch), ["window_start", "event_type", "n_events"])
+    assert got == exp
+
+
+def test_session_stats_stream_matches_batch(spark, events_batch, tmp_path):
+    src = str(tmp_path / "events_src2")
+    events_batch.repartition(4).write.parquet(src)
+    stream = ev.read_events_stream(spark, src, files_per_trigger=2)
+    ev.run_stream_to_memory(ev.session_stats(stream), "sess_stats")
+    got = _rows(spark.sql("SELECT * FROM sess_stats"), ["session_start", "user_id", "n_events"])
+    exp = _rows(ev.session_stats(events_batch), ["session_start", "user_id", "n_events"])
+    assert got == exp
+
+
+def test_multimodal_plumbing(spark):
+    from fujishadergpu_spark.sources.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 200
+    assert all(len(r["features"]) == 32 for r in rows)
+    # deterministic across partitioning
+    a = {r["media_id"]: list(r["features"]) for r in rows}
+    b = {r["media_id"]: list(r["features"]) for r in extract_features(media.repartition(9)).collect()}
+    assert a == b

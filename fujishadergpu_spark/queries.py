@@ -1,0 +1,680 @@
+"""Driver-contract query registry: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus (where SQL-expressible) an
+ANSI-SQL oracle string for the DuckDB side-by-side check.
+
+Cross-engine determinism rules used throughout (so value hashes match
+bit-for-bit between Spark and DuckDB):
+
+- money/volume aggregates sum exact DECIMALs, then cast to double
+  (float summation order is engine-dependent; decimal sums are not);
+- geo points derive from integer arithmetic on keys (micro-degrees),
+  so both engines construct identical doubles;
+- distances/ratios are plain IEEE polynomials written with the same
+  operation order in both dialects;
+- rank/row_number ties always broken by a unique key; ranks cast to
+  BIGINT (DuckDB's row_number type);
+- trig-based tile math (ln/tan/cos) uses the same formula text on
+  both sides; a ulp-level libm divergence could flip a floor() only
+  within ~1e-12 of a tile edge (measure-zero for this data).
+
+The synthetic point set is geoparsed from generated URLs on the Spark
+side (exercising the real geoparse path) while the oracle computes
+the same coordinates arithmetically — so the geoparse operator itself
+is under oracle test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import cells, geoparse, textfn
+from .functions.cells import cell_of_sql
+from .functions.tiles import tile_pixel, tile_xy_sql
+from .operators import ann, dedup
+from .operators.knn import knn
+from .operators.pip_join import pip_join
+from .operators.tile_kernels import tile_kernel
+from .sources.multimodal import extract_features, synthetic_media
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------
+# synthetic geo points: deterministic micro-degree coords from custkey,
+# embedded in URLs, geoparsed back (Spark) / computed directly (oracle)
+# ----------------------------------------------------------------------
+
+def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    mlat = (F.col("c_custkey") * 7919) % 17000000 - 8500000
+    mlon = (F.col("c_custkey") * 104729) % 36000000 - 18000000
+    urls = c.select(
+        F.col("c_custkey").alias("id"),
+        F.format_string(
+            "https://geo.example/p/%d?mlat=%d&mlon=%d", F.col("c_custkey"), mlat, mlon
+        ).alias("url"),
+        F.lit("").alias("text"),
+    )
+    return geoparse.geoparse(urls).select("id", "lat", "lon")
+
+
+PTS_SQL = """
+pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * 7919) % 17000000 - 8500000) / 100000.0 AS lat,
+         ((c_custkey * 104729) % 36000000 - 18000000) / 100000.0 AS lon
+  FROM customer
+)
+""".strip()
+
+
+def _zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    lat0 = ((F.col("n_nationkey") * 13) % 140 - 80).cast("double")
+    lon0 = ((F.col("n_nationkey") * 37) % 320 - 170).cast("double")
+    lat1, lon1 = lat0 + 12.0, lon0 + 25.0
+
+    def pt(lo, la):
+        return F.struct(lo.alias("lon"), la.alias("lat"))
+
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("zone_id"),
+        F.array(pt(lon0, lat0), pt(lon1, lat0), pt(lon1, lat1), pt(lon0, lat1)).alias("ring"),
+    )
+
+
+ZONES_SQL = """
+zones AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+         CAST((n_nationkey * 13) % 140 - 80 AS DOUBLE) AS lat0,
+         CAST((n_nationkey * 37) % 320 - 170 AS DOUBLE) AS lon0
+  FROM nation
+)
+""".strip()
+
+
+# ----------------------------------------------------------------------
+# relational queries (Catalyst surface over the TPC-H-ish tables)
+# ----------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = (dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = (dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("o_orderkey")
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY o_orderkey
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = (dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .join(c, n["n_nationkey"] == c["c_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q6_revenue_delta(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,8)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def top_customers_per_nation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .join(n, F.col("c_nationkey") == n["n_nationkey"])
+        .select("n_name", "c_custkey", "c_acctbal", "rnk")
+        .orderBy("n_name", "rnk")
+    )
+
+
+TOPCUST_SQL = """
+SELECT n_name, c_custkey, c_acctbal,
+       CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+QUALIFY rnk <= 3
+ORDER BY n_name, rnk
+"""
+
+
+def order_priority_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERPRIO_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------------
+# geo queries
+# ----------------------------------------------------------------------
+
+def geo_cells_r7(spark, sf_dir):
+    p = geo_points(spark, sf_dir)
+    return (
+        p.withColumn("cell_id", cells.cell_of(F.col("lat"), F.col("lon"), 7))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_points"), F.min("id").alias("min_id"))
+        .orderBy("cell_id")
+    )
+
+
+GEO_CELLS_SQL = f"""
+WITH {PTS_SQL}
+SELECT {cell_of_sql('lat', 'lon', 7)} AS cell_id,
+       COUNT(*) AS n_points, MIN(id) AS min_id
+FROM pts GROUP BY 1 ORDER BY 1
+"""
+
+
+def geo_cells_parent_r5(spark, sf_dir):
+    """res-7 cells rolled up two levels via cell_parent — must equal
+    direct res-5 bucketing (the LOD-pyramid consistency law)."""
+    p = geo_points(spark, sf_dir)
+    c7 = p.withColumn("cell7", cells.cell_of(F.col("lat"), F.col("lon"), 7))
+    return (
+        c7.withColumn("cell_id", cells.cell_parent(cells.cell_parent(F.col("cell7"))))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("cell_id")
+    )
+
+
+GEO_CELLS_PARENT_SQL = f"""
+WITH {PTS_SQL}
+SELECT {cell_of_sql('lat', 'lon', 5)} AS cell_id, COUNT(*) AS n_points
+FROM pts GROUP BY 1 ORDER BY 1
+"""
+
+
+def geo_tiles_z8(spark, sf_dir):
+    p = geo_points(spark, sf_dir)
+    x, y, _, _ = tile_pixel(F.col("lat"), F.col("lon"), 8)
+    return (
+        p.withColumns({"x": x, "y": y})
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_points"), F.min("id").alias("min_id"))
+        .orderBy("x", "y")
+    )
+
+
+_tx8, _ty8 = tile_xy_sql("lat", "lon", 8)
+GEO_TILES_SQL = f"""
+WITH {PTS_SQL}
+SELECT {_tx8} AS x, {_ty8} AS y, COUNT(*) AS n_points, MIN(id) AS min_id
+FROM pts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def geo_tilepixel_z12(spark, sf_dir):
+    p = geo_points(spark, sf_dir)
+    x, y, px, py = tile_pixel(F.col("lat"), F.col("lon"), 12)
+    return p.select("id", x.alias("x"), y.alias("y"), px.alias("px"), py.alias("py")).orderBy("id")
+
+
+_n12 = float((1 << 12) * 256)
+_latc12 = "greatest(-85.05112878, least(85.05112878, lat))"
+_xn12 = "((lon + 180.0) / 360.0)"
+_yn12 = f"((1.0 - ln(tan(radians({_latc12})) + 1.0 / cos(radians({_latc12}))) / pi()) / 2.0)"
+_gx12 = f"least({int(_n12) - 1}, greatest(0, CAST(floor({_xn12} * {_n12}) AS BIGINT)))"
+_gy12 = f"least({int(_n12) - 1}, greatest(0, CAST(floor({_yn12} * {_n12}) AS BIGINT)))"
+GEO_TILEPIXEL_SQL = f"""
+WITH {PTS_SQL}
+SELECT id, ({_gx12}) // 256 AS x, ({_gy12}) // 256 AS y,
+       ({_gx12}) % 256 AS px, ({_gy12}) % 256 AS py
+FROM pts ORDER BY id
+"""
+
+
+def geo_pip_zones(spark, sf_dir):
+    p = geo_points(spark, sf_dir)
+    z = _zones(spark, sf_dir)
+    return (
+        pip_join(p, z, res=5, polygon_id_col="zone_id")
+        .select("id", "zone_id")
+        .orderBy("id", "zone_id")
+    )
+
+
+GEO_PIP_SQL = f"""
+WITH {PTS_SQL}, {ZONES_SQL}
+SELECT p.id, z.zone_id
+FROM pts p JOIN zones z
+  ON p.lat >= z.lat0 AND p.lat <= z.lat0 + 12.0
+ AND p.lon >= z.lon0 AND p.lon <= z.lon0 + 25.0
+ORDER BY p.id, z.zone_id
+"""
+
+
+def geo_knn_k5(spark, sf_dir):
+    p = geo_points(spark, sf_dir)
+    q = p.filter(F.col("id") % 20 == 0)
+    return (
+        knn(p, q, k=5, res=6, point_id="id", query_id="id", exclude_self=True)
+        .select(
+            F.col("id").alias("query_id"),
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+GEO_KNN_SQL = f"""
+WITH {PTS_SQL},
+q AS (SELECT * FROM pts WHERE id % 20 = 0)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.id AS query_id, p.id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.id
+           ORDER BY (q.lat-p.lat)*(q.lat-p.lat)+(q.lon-p.lon)*(q.lon-p.lon), p.id
+         ) AS BIGINT) AS rank
+  FROM q JOIN pts p ON p.id != q.id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ----------------------------------------------------------------------
+# documents / embeddings queries
+# ----------------------------------------------------------------------
+
+def doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textfn.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+DOC_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_quality(spark, sf_dir):
+    d = textfn.quality_features(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_chars_f").alias("nchars"),
+        "n_tokens",
+        "alpha_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nchars,
+         CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces
+  FROM documents
+)
+SELECT doc_id, nchars, n_tokens,
+  CASE WHEN nchars > 0 THEN CAST(alpha AS DOUBLE) / nchars ELSE 0.0 END AS alpha_ratio,
+  (CASE WHEN nchars > 0 THEN CAST(alpha AS DOUBLE) / nchars ELSE 0.0 END) * 0.5
+   + (CASE WHEN nchars - spaces >= 3.0 * n_tokens AND nchars - spaces <= 10.0 * n_tokens AND n_tokens > 0 THEN 0.3 ELSE 0.0 END)
+   + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.2 ELSE 0.0 END) AS quality_score
+FROM f ORDER BY doc_id
+"""
+
+
+def doc_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id").orderBy("canonical_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents)
+GROUP BY norm ORDER BY canonical_id
+"""
+
+
+def ann_topk_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        ann.brute_force_topk(e, q, k=5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# oracle: same fold order (left-to-right over the array) as
+# F.aggregate/zip_with, written with explicit list ops
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_inner_product(q.qe, e.embedding)
+           / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(e.embedding, e.embedding))) AS cos
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ----------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check)
+# ----------------------------------------------------------------------
+
+def dedup_minhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", threshold=0.5).orderBy("id_a", "id_b")
+
+
+def dedup_simhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+def doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textfn.lang_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+
+
+def doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textfn.fingerprint_udf("text").alias("fingerprint")).orderBy("doc_id")
+
+
+def embedding_near_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(e, "vec_id", dim=64, threshold=0.9).select(
+        "id_a", "id_b"
+    ).orderBy("id_a", "id_b")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.ivf_topk(e, q, k=5, m=8, nprobe=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def tile_hillshade_z6(spark, sf_dir):
+    """Grouped-map window kernel over halo-exchanged 256² tiles —
+    summarized per tile (mean shade + lit-pixel count) for a stable
+    comparable output."""
+    p = geo_points(spark, sf_dir)
+    t = tile_kernel(p, 6, kernel="hillshade", log_scale=True)
+    return t.select(
+        "z", "x", "y",
+        F.aggregate("result", F.lit(0.0), lambda a, b: a + b).alias("shade_sum"),
+        F.size(F.filter("result", lambda v: v > 0.75)).cast("long").alias("lit_pixels"),
+    ).orderBy("x", "y")
+
+
+def media_features(spark, sf_dir):
+    media = synthetic_media(spark, 500)
+    f = extract_features(media)
+    return f.select(
+        "media_id", "kind", F.size("features").cast("long").alias("dim")
+    ).orderBy("media_id")
+
+
+def knn_ring_trace(spark, sf_dir):
+    """Ring-expansion diagnostics: counts per final rank distance —
+    keeps the iterative operator under driver smoke coverage."""
+    p = geo_points(spark, sf_dir)
+    q = p.filter(F.col("id") % 100 == 0)
+    r = knn(p, q, k=3, res=7, point_id="id", query_id="id", exclude_self=True)
+    return r.groupBy("rank").agg(F.count("*").alias("n")).orderBy("rank")
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_revenue_delta": q6_revenue_delta,
+    "top_customers_per_nation": top_customers_per_nation,
+    "order_priority_count": order_priority_count,
+    "events_hourly": events_hourly,
+    # geospatial
+    "geo_cells_r7": geo_cells_r7,
+    "geo_cells_parent_r5": geo_cells_parent_r5,
+    "geo_tiles_z8": geo_tiles_z8,
+    "geo_tilepixel_z12": geo_tilepixel_z12,
+    "geo_pip_zones": geo_pip_zones,
+    "geo_knn_k5": geo_knn_k5,
+    # documents / embeddings
+    "doc_token_counts": doc_token_counts,
+    "doc_quality": doc_quality,
+    "doc_stats_by_lang": doc_stats_by_lang,
+    "dedup_exact_docs": dedup_exact_docs,
+    "ann_topk_cosine": ann_topk_cosine,
+    # rows-only (non-SQL-expressible)
+    "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
+    "tile_hillshade_z6": tile_hillshade_z6,
+    "media_features": media_features,
+    "knn_ring_trace": knn_ring_trace,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_revenue_delta": Q6_SQL,
+    "top_customers_per_nation": TOPCUST_SQL,
+    "order_priority_count": ORDERPRIO_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "geo_cells_r7": GEO_CELLS_SQL,
+    "geo_cells_parent_r5": GEO_CELLS_PARENT_SQL,
+    "geo_tiles_z8": GEO_TILES_SQL,
+    "geo_tilepixel_z12": GEO_TILEPIXEL_SQL,
+    "geo_pip_zones": GEO_PIP_SQL,
+    "geo_knn_k5": GEO_KNN_SQL,
+    "doc_token_counts": DOC_TOKENS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_stats_by_lang": DOC_STATS_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "ann_topk_cosine": ANN_SQL,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """End-to-end pipeline: geoparse -> cells -> PIP zones -> XYZ tile
+    rollup, one DataFrame (the driver smoke check)."""
+    p = geo_points(spark, sf_dir)
+    z = _zones(spark, sf_dir)
+    joined = pip_join(p, z, res=5, polygon_id_col="zone_id")
+    x, y, _, _ = tile_pixel(F.col("lat"), F.col("lon"), 6)
+    return (
+        joined.withColumns({"tile_x": x, "tile_y": y})
+        .groupBy("zone_id", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"), F.min("id").alias("min_id"))
+        .orderBy("zone_id", "tile_x", "tile_y")
+    )

@@ -1,0 +1,117 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the synthetic
+pages pipeline (geoparse -> cells -> PIP -> tile kernel) for
+pages/sec + tiles/sec throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...,
+   "tiles_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fujishadergpu_spark import queries as Q  # noqa: E402
+from fujishadergpu_spark.functions import geoparse  # noqa: E402
+from fujishadergpu_spark.operators.pip_join import pip_join  # noqa: E402
+from fujishadergpu_spark.operators.tile_kernels import tile_kernel  # noqa: E402
+from fujishadergpu_spark.session import get_spark  # noqa: E402
+from fujishadergpu_spark.sources.pages import pages  # noqa: E402
+from fujishadergpu_spark.sources.polygons import polygons  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "events_hourly",
+    "geo_cells_r7",
+    "geo_tiles_z8",
+    "geo_pip_zones",
+    "geo_knn_k5",
+    "tile_hillshade_z6",
+    "doc_token_counts",
+    "dedup_exact_docs",
+    "ann_topk_cosine",
+]
+
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+TILE_Z = 7
+
+
+def materialize(df) -> int:
+    """Full materialization without sink cost (noop datasource)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def pages_pipeline(spark, n_pages: int, workdir: str) -> tuple[float, float, int, int]:
+    """End-to-end pages throughput: synth -> parquet -> geoparse ->
+    PIP join -> per-tile hillshade kernel. Returns (pages_sec,
+    tiles_sec, n_pages, n_tiles); the parquet write is excluded from
+    the timed section (it is ingest, shared by any engine)."""
+    src = os.path.join(workdir, f"pages_{n_pages}.parquet")
+    if not os.path.exists(src):
+        pages(spark, n_pages).write.mode("overwrite").parquet(src)
+    pg = spark.read.parquet(src)
+    pol = polygons(spark)
+
+    t0 = time.time()
+    pts = geoparse.geoparse(pg).select(
+        F.xxhash64("url").alias("id"), "lat", "lon"
+    )
+    joined = pip_join(pts, pol, res=6)
+    n_joined = joined.count()
+    t_pip = time.time() - t0
+
+    t1 = time.time()
+    tiles = tile_kernel(pts, TILE_Z, kernel="hillshade", log_scale=True)
+    n_tiles = tiles.count()
+    t_tiles = time.time() - t1
+
+    return n_pages / t_pip, n_tiles / t_tiles, n_joined, n_tiles
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="fujishadergpu-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fujishader_bench")
+    os.makedirs(workdir, exist_ok=True)
+    pages_sec, tiles_sec, n_joined, n_tiles = pages_pipeline(spark, N_PAGES, workdir)
+
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "headline-suite seconds (sf0.1) + pages pipeline throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "pages_per_sec": round(pages_sec, 1),
+        "tiles_per_sec": round(tiles_sec, 1),
+        "bench_pages": N_PAGES,
+        "bench_tiles": n_tiles,
+        "pip_join_rows": n_joined,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

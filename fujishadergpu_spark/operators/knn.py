@@ -62,7 +62,7 @@ def knn(
     query_id: str = "qid",
     lat_col: str = "lat",
     lon_col: str = "lon",
-    k0: int = 1,
+    k0: int = 2,
     max_rounds: int = 5,
     exclude_self: bool = False,
     broadcast_queries: bool = True,
@@ -89,11 +89,28 @@ def knn(
     )
 
     finished_parts: list[DataFrame] = []
-    ring = k0
+    # keep 2*ring+1 <= n_cells so wrapped lon columns never collide
+    # (a collision would duplicate candidates and corrupt row_number)
+    ring = min(k0, max(1, (1 << res) // 2 - 1))
     w = Window.partitionBy("_qid").orderBy("_dist", "_nid")
+    n_cells = 1 << res
+    base = F.lit(res << cells.RES_SHIFT).cast("long")
 
     for _ in range(max_rounds):
-        probe = pending.withColumn("_jcell", F.explode(cells.grid_disk(F.col("_qcell"), ring, res)))
+        # disk via sequence() explodes: constant-size expression for
+        # any ring (a literal-unrolled grid_disk would blow up codegen
+        # at large rings); lon wraps via pmod, lat rows clamp away
+        qx, qy = cells.cell_x(F.col("_qcell")), cells.cell_y(F.col("_qcell"))
+        probe = (
+            pending.withColumn("_jx", F.explode(F.sequence(qx - ring, qx + ring)))
+            .withColumn("_jy", F.explode(F.sequence(qy - ring, qy + ring)))
+            .filter((F.col("_jy") >= 0) & (F.col("_jy") < n_cells))
+            .withColumn(
+                "_jcell",
+                base + F.shiftleft(F.pmod("_jx", F.lit(n_cells)), cells.X_SHIFT) + F.col("_jy"),
+            )
+            .drop("_jx", "_jy")
+        )
         if broadcast_queries:
             probe = F.broadcast(probe)
         cand = probe.join(pts, probe["_jcell"] == pts["_ncell"], "inner")
@@ -106,6 +123,11 @@ def knn(
             cand.withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") <= k)
             .select("_qid", "_qlat", "_qlon", "_qcell", "_nid", "_dist", "_rank")
+            # materialize once: the per-round result is tiny (<= |q|*k
+            # rows) and is consumed twice (done-check + final union) —
+            # without this the final action would recompute every
+            # round's join
+            .localCheckpoint()
         )
         # a query is done when it has k hits and the kth is inside the
         # guaranteed-covered radius (k-1)*dlat
@@ -124,6 +146,8 @@ def knn(
             pending = None
             break
         ring *= 2
+        if ring >= n_cells // 2:
+            break  # disk would cover the whole grid: brute-force the rest
     if pending is not None and not pending.isEmpty():
         # coarse fallback: bounded brute force for the stragglers
         # (reference's overview fallback for radii beyond MAX_DEPTH)

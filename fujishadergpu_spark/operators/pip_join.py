@@ -120,17 +120,46 @@ def pip_contains_udf(
     polygon_id: pd.Series, lat: pd.Series, lon: pd.Series,
     ring_lon: pd.Series, ring_lat: pd.Series,
 ) -> pd.Series:
-    """Arrow batch: group rows by polygon_id (one ring per polygon),
-    ray-cast each group vectorized over its points."""
-    out = np.zeros(len(lat), dtype=bool)
+    """Arrow batch ray cast, fully vectorized over the whole batch:
+    rings are padded to the batch max vertex count (pad = repeat of
+    vertex 0, a degenerate edge that can never flip parity or add an
+    on-edge hit beyond the true vertex), then the vertex loop runs
+    (max_nv) vectorized passes over all rows at once — no per-polygon
+    grouping, no per-row Python."""
+    n = len(lat)
+    if n == 0:
+        return pd.Series(np.zeros(0, dtype=bool))
     px = lon.to_numpy(dtype=np.float64)
     py = lat.to_numpy(dtype=np.float64)
-    for _, idx in pd.Series(range(len(polygon_id))).groupby(polygon_id.to_numpy()).groups.items():
-        ii = np.asarray(idx)
-        rx = np.asarray(ring_lon.iloc[ii[0]], dtype=np.float64)
-        ry = np.asarray(ring_lat.iloc[ii[0]], dtype=np.float64)
-        out[ii] = _raycast_group(px[ii], py[ii], rx, ry)
-    return pd.Series(out)
+    rings_x = ring_lon.to_numpy()
+    rings_y = ring_lat.to_numpy()
+    nv = np.fromiter((len(r) for r in rings_x), dtype=np.int64, count=n)
+    max_nv = int(nv.max())
+    rx = np.empty((n, max_nv), dtype=np.float64)
+    ry = np.empty((n, max_nv), dtype=np.float64)
+    for i in range(n):  # row fill only; the geometry below is columnar
+        k = nv[i]
+        rx[i, :k] = rings_x[i]
+        ry[i, :k] = rings_y[i]
+        rx[i, k:] = rings_x[i][0]
+        ry[i, k:] = rings_y[i][0]
+    inside = np.zeros(n, dtype=bool)
+    onedge = np.zeros(n, dtype=bool)
+    xj, yj = rx[:, max_nv - 1], ry[:, max_nv - 1]
+    for i in range(max_nv):
+        xi, yi = rx[:, i], ry[:, i]
+        cond = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(cond, (xj - xi) * (py - yi) / (yj - yi) + xi, 0.0)
+        inside ^= cond & (px < t)
+        cross = (xj - xi) * (py - yi) - (yj - yi) * (px - xi)
+        within = (
+            (px >= np.minimum(xi, xj)) & (px <= np.maximum(xi, xj))
+            & (py >= np.minimum(yi, yj)) & (py <= np.maximum(yi, yj))
+        )
+        onedge |= (cross == 0.0) & within
+        xj, yj = xi, yi
+    return pd.Series(inside | onedge)
 
 
 # ----------------------------- the join ------------------------------

@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 from ..functions.tiles import TILE_PX, merc_xy_norm
 
 
+def _kernel_parallelism(df: DataFrame) -> int:
+    """Partition count for CPU-bound grouped-map stages.
+
+    AQE's byte-based coalescing would pack a small-but-CPU-heavy
+    kernel stage into one partition (bytes are tiny, work is not); an
+    explicit user repartition is exempt from coalescing, so kernel
+    stages pin partitions to a multiple of the cluster parallelism —
+    the analog of the reference's worker-throttling-by-compute (not
+    by bytes) sizing (reference config/auto_tune.py:159-192).
+    """
+    return df.sparkSession.sparkContext.defaultParallelism * 4
+
+
 # ------------------------- halo explosion ---------------------------
 
 def explode_to_tiles(
@@ -156,8 +169,12 @@ def rasterize_tiles(
         )
 
     schema = "z int, x long, y long, grid array<double>"
-    out = pts.select(*cols).groupBy("tile_x", "tile_y").applyInPandas(fn, schema)
-    return out
+    return (
+        pts.select(*cols)
+        .repartition(_kernel_parallelism(pts), "tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(fn, schema)
+    )
 
 
 # --------------------------- window kernels --------------------------
@@ -229,7 +246,58 @@ def tile_kernel(
         )
 
     schema = "z int, x long, y long, result array<double>"
-    return pts.select(*cols).groupBy("tile_x", "tile_y").applyInPandas(fn, schema)
+    return (
+        pts.select(*cols)
+        .repartition(_kernel_parallelism(pts), "tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(fn, schema)
+    )
+
+
+def tile_kernel_stats(
+    points: DataFrame,
+    z: int,
+    kernel: str = "hillshade",
+    halo: int | None = None,
+    weight_col: str | None = None,
+    log_scale: bool = True,
+    lit_threshold: float = 0.75,
+    **kernel_params,
+) -> DataFrame:
+    """Like tile_kernel but reduces each tile to scalar stats inside
+    the UDF (sum / mean / lit-pixel count / max), avoiding the 65k-
+    element array transfer + interpreted fold when only summaries are
+    consumed — the reference's quantize-on-GPU-before-transfer
+    discipline (reference core/tile_processor.py:983-996)."""
+    fn_kernel, min_halo = KERNELS[kernel]
+    h = min_halo if halo is None else halo
+    pts = explode_to_tiles(points, z, h)
+    cols = ["tile_x", "tile_y", "gx", "gy"] + ([weight_col] if weight_col else [])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = _accumulate_grid(pdf, z, h, weight_col)
+        if log_scale:
+            grid = np.log1p(grid)
+        out = fn_kernel(grid, **kernel_params)
+        core = out[h : h + TILE_PX, h : h + TILE_PX] if h else out
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "x": [int(pdf["tile_x"].iloc[0])],
+                "y": [int(pdf["tile_y"].iloc[0])],
+                "shade_sum": [float(core.sum())],
+                "shade_max": [float(core.max())],
+                "lit_pixels": [int((core > lit_threshold).sum())],
+            }
+        )
+
+    schema = "z int, x long, y long, shade_sum double, shade_max double, lit_pixels long"
+    return (
+        pts.select(*cols)
+        .repartition(_kernel_parallelism(pts), "tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(fn, schema)
+    )
 
 
 # ----------------------------- LOD pyramid ---------------------------

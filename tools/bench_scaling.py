@@ -39,14 +39,14 @@ pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
 # min-of-reps: the host is shared (nonzero steal time), so min is the
 # interference-free sample
 n_joined = pip_join(pts, polygons(spark)).count()
-n_tiles = tile_kernel_stats(pts, 7, kernel="hillshade", log_scale=True).count()
+n_tiles = tile_kernel_stats(pts, 9, kernel="hillshade", log_scale=True).count()
 
 t_pip = min(
     (lambda t0: (pip_join(pts, polygons(spark)).count(), time.time() - t0)[1])(time.time())
     for _ in range(reps)
 )
 t_tiles = min(
-    (lambda t0: (tile_kernel_stats(pts, 7, kernel="hillshade", log_scale=True).count(), time.time() - t0)[1])(time.time())
+    (lambda t0: (tile_kernel_stats(pts, 9, kernel="hillshade", log_scale=True).count(), time.time() - t0)[1])(time.time())
     for _ in range(reps)
 )
 
@@ -115,7 +115,7 @@ per the driver instruction the evidence is the identical job run at
 two parallelism levels — `local[8]` vs `local[32]` — on the same
 input ({r8['n_pages']:,} synthetic pages, deterministic generator,
 identical bytes; pipeline = geoparse -> cell index -> cell-bucketed
-PIP join -> per-tile hillshade kernel at z=7).
+PIP join -> per-tile hillshade kernel at z=9).
 
 | config | PIP join (pages/sec) | tile kernel (tiles/sec) | t_pip (s) | t_tiles (s) |
 | --- | --- | --- | --- | --- |

@@ -1,0 +1,53 @@
+"""End-to-end pipeline (cli.run_pipeline): produces all three stage
+outputs, resumes as a no-op, and survives a partial first run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.cli import run_pipeline
+from fujishadergpu_spark.sources.pages import pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "pages.parquet")
+    pages(spark, 2000).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_pipeline_end_to_end_and_resume(spark, pages_path, tmp_path):
+    out = str(tmp_path / "out")
+    s1 = run_pipeline(spark, pages_path, out, zoom=5, run_id="r1")
+    assert all(not s["skipped"] for s in s1.values())
+    n_pts = spark.read.parquet(f"{out}/points").count()
+    assert n_pts == 2000
+    assert spark.read.parquet(f"{out}/pip").count() > 0
+    n_tiles = spark.read.parquet(f"{out}/tiles").count()
+    assert n_tiles > 1
+    # resume: everything done -> all stages skip
+    s2 = run_pipeline(spark, pages_path, out, zoom=5, run_id="r2")
+    assert all(s["skipped"] for s in s2.values())
+    # outputs unchanged
+    assert spark.read.parquet(f"{out}/points").count() == n_pts
+    assert spark.read.parquet(f"{out}/tiles").count() == n_tiles
+
+
+def test_pipeline_shuffle_partition_invariance(spark, pages_path, tmp_path):
+    """Identical pip rows under different shuffle layouts (the
+    partition-invariance law, FIXTURES.md §5)."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        run_pipeline(spark, pages_path, out_a, zoom=5, run_id="ra")
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        run_pipeline(spark, pages_path, out_b, zoom=5, run_id="rb")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pa = {tuple(r) for r in spark.read.parquet(f"{out_a}/pip").select("id", "polygon_id").collect()}
+    pb = {tuple(r) for r in spark.read.parquet(f"{out_b}/pip").select("id", "polygon_id").collect()}
+    assert pa == pb
+    ta = {tuple(r) for r in spark.read.parquet(f"{out_a}/tiles").select("x", "y", "lit_pixels", "shade_sum").collect()}
+    tb = {tuple(r) for r in spark.read.parquet(f"{out_b}/tiles").select("x", "y", "lit_pixels", "shade_sum").collect()}
+    assert ta == tb

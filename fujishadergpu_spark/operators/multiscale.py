@@ -1,0 +1,223 @@
+"""Multiscale unsharp mask with the large-radius-from-overview
+rewrite — the reference's signature optimization re-expressed in
+Spark (SURVEY.md §4.1 row 1).
+
+The reference computes ``Σᵢ wᵢ·(z − mean_rᵢ(z))`` over box means
+(reference algorithms/_impl_topousm_fast.py:49-100) and rewrites any
+radius whose halo would exceed the tile budget to run on one global
+decimated overview, bilinearly sampled back per block — seam-free and
+halo-free (reference _impl_topousm_fast.py:103-186,
+algorithms/_nan_utils.py:328-524).
+
+Here the same split:
+
+- **small radii** (r <= overview_threshold): summed-area-table box
+  means computed in the per-tile grouped-map UDF on a halo-expanded
+  grid (halo = max small radius, so every core pixel sees its full
+  window — no seams by construction);
+- **large radii**: a coarse LOD level (2^s-decimated tiles built by
+  independent rasterization at z−s — which equals an exact 2^s-block
+  mean of the fine density, so no cross-level drift) is box-mean
+  smoothed per coarse tile, then **broadcast-joined** back to the fine
+  tiles on the ancestor key and bilinearly upsampled inside the UDF.
+  Catalyst broadcasts the coarse level because it is 4^s× smaller —
+  exactly the pre-aggregate + broadcast-join shape SURVEY.md maps the
+  reference rewrite onto.
+
+The field is the raw per-pixel point count (linear), so the coarse
+level is bit-exactly the block mean of the fine level; display
+transforms happen after the USM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tiles import TILE_PX
+from .tile_kernels import rasterize_tiles
+
+
+def np_box_mean(g: np.ndarray, r: int) -> np.ndarray:
+    """(2r+1)² box mean, constant-area (interior) normalization.
+
+    Valid for pixels whose window lies inside g — callers guarantee a
+    halo >= r around every pixel they keep.
+    """
+    h, w = g.shape
+    s = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(g, axis=0, out=s[1:, 1:])
+    np.cumsum(s[1:, 1:], axis=1, out=s[1:, 1:])
+    y0 = np.clip(np.arange(h) - r, 0, h)
+    y1 = np.clip(np.arange(h) + r + 1, 0, h)
+    x0 = np.clip(np.arange(w) - r, 0, w)
+    x1 = np.clip(np.arange(w) + r + 1, 0, w)
+    total = s[y1[:, None], x1[None, :]] - s[y0[:, None], x1[None, :]] \
+        - s[y1[:, None], x0[None, :]] + s[y0[:, None], x0[None, :]]
+    return total / float((2 * r + 1) ** 2)
+
+
+def np_bilinear_sample(coarse: np.ndarray, cy: np.ndarray, cx: np.ndarray) -> np.ndarray:
+    """Bilinear sample of `coarse` at fractional (cy, cx) grids."""
+    y0 = np.floor(cy).astype(np.int64)
+    x0 = np.floor(cx).astype(np.int64)
+    fy = cy - y0
+    fx = cx - x0
+    y0 = np.clip(y0, 0, coarse.shape[0] - 2)
+    x0 = np.clip(x0, 0, coarse.shape[1] - 2)
+    tl = coarse[y0, x0]
+    tr = coarse[y0, x0 + 1]
+    bl = coarse[y0 + 1, x0]
+    br = coarse[y0 + 1, x0 + 1]
+    return (tl * (1 - fy) * (1 - fx) + tr * (1 - fy) * fx
+            + bl * fy * (1 - fx) + br * fy * fx)
+
+
+def _plan_scales(radii: list[int], threshold: int) -> tuple[list[int], dict[int, int]]:
+    """Split radii into (small, {radius: s}) where s is the overview
+    decimation exponent chosen so the effective coarse radius lands in
+    (threshold/2, threshold] — the reference's radius→factor heuristic
+    (reference algorithms/_nan_utils.py:555-601), deterministic and
+    shape-independent."""
+    small, large = [], {}
+    for r in sorted(radii):
+        if r <= threshold:
+            small.append(r)
+        else:
+            s = 0
+            while (r >> (s + 1)) > threshold // 2 and (1 << (s + 1)) <= TILE_PX:
+                s += 1
+            large[r] = s
+    return small, large
+
+
+def multiscale_usm(
+    points: DataFrame,
+    z: int,
+    radii: tuple[int, ...] = (2, 8, 32, 128),
+    weights: tuple[float, ...] | None = None,
+    overview_threshold: int = 16,
+    output: str = "stats",
+) -> DataFrame:
+    """Σ wᵢ (density − box_meanᵢ(density)) per tile at zoom z.
+
+    output='stats' → (z, x, y, usm_sum, usm_min, usm_max);
+    output='grid'  → (z, x, y, usm: array<double> 256²).
+    """
+    if weights is None:
+        weights = tuple(1.0 / len(radii) for _ in radii)
+    w_by_r = dict(zip(radii, weights))
+    small, large = _plan_scales(list(radii), overview_threshold)
+    halo = max(small) if small else 0
+
+    fine = rasterize_tiles(points, z, halo=halo)  # (z,x,y,grid (256+2h)²)
+
+    # one smoothed coarse level per distinct decimation exponent
+    joined = fine
+    coarse_cols: dict[int, str] = {}
+    for s in sorted({s for s in large.values()}):
+        r_cs = [r >> s for r, rs in large.items() if rs == s]
+        h_c = max(r_cs) + 1
+        coarse = rasterize_tiles(points, z - s, halo=h_c)
+
+        def mk_smooth(r_cs=tuple(r_cs), h_c=h_c, s=s):
+            def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = {"x": pdf["x"], "y": pdf["y"]}
+                for r_c in r_cs:
+                    rows = []
+                    for g in pdf["grid"]:
+                        gg = np.asarray(g, dtype=np.float64).reshape(
+                            TILE_PX + 2 * h_c, TILE_PX + 2 * h_c
+                        )
+                        # coarse counts are block SUMS of the fine
+                        # grid; the field is the block MEAN
+                        gg = gg * 0.25 ** s  # asarray over Arrow is read-only
+                        sm = np_box_mean(gg, r_c)
+                        rows.append(sm[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1].ravel())
+                    out[f"sm_{r_c}"] = rows
+                return pd.DataFrame(out)
+            return fn
+
+        sm_schema = "x long, y long, " + ", ".join(f"sm_{rc} array<double>" for rc in r_cs)
+        smooth_fn = mk_smooth()
+        smoothed = coarse.select("x", "y", "grid").repartition(
+            max(2, points.sparkSession.sparkContext.defaultParallelism), "x", "y"
+        ).groupBy("x", "y").applyInPandas(smooth_fn, sm_schema)
+        ren = smoothed.select(
+            F.col("x").alias(f"_cx{s}"), F.col("y").alias(f"_cy{s}"),
+            *[F.col(f"sm_{rc}").alias(f"sm{s}_{rc}") for rc in r_cs],
+        )
+        joined = joined.join(
+            F.broadcast(ren),
+            (F.shiftright(joined["x"], s) == ren[f"_cx{s}"])
+            & (F.shiftright(joined["y"], s) == ren[f"_cy{s}"]),
+            "left",
+        ).drop(f"_cx{s}", f"_cy{s}")
+        for r, rs in large.items():
+            if rs == s:
+                coarse_cols[r] = f"sm{s}_{r >> s}"
+
+    large_items = sorted(large.items())
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = {k: [] for k in ("z", "x", "y")}
+        payload = []
+        # precomputed fine-pixel center coordinates per s
+        for _, row in pdf.iterrows():
+            g = np.asarray(row["grid"], dtype=np.float64).reshape(
+                TILE_PX + 2 * halo, TILE_PX + 2 * halo
+            )
+            core = g[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else g
+            usm = np.zeros((TILE_PX, TILE_PX), dtype=np.float64)
+            for r in small:
+                sm = np_box_mean(g, r)
+                smc = sm[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else sm
+                usm += w_by_r[r] * (core - smc)
+            for r, s in large_items:
+                cg = row[coarse_cols[r]]
+                if cg is None:
+                    continue
+                cgrid = np.asarray(cg, dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
+                # fine pixel centers in coarse local coords (+1: crop ring)
+                p = np.arange(TILE_PX)
+                gx = int(row["x"]) * TILE_PX + p
+                gy = int(row["y"]) * TILE_PX + p
+                cx = (gx + 0.5) / (1 << s) - 0.5 - (int(row["x"]) >> s) * TILE_PX + 1.0
+                cy = (gy + 0.5) / (1 << s) - 0.5 - (int(row["y"]) >> s) * TILE_PX + 1.0
+                up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
+                usm += w_by_r[r] * (core - up)
+            out_rows["z"].append(z)
+            out_rows["x"].append(int(row["x"]))
+            out_rows["y"].append(int(row["y"]))
+            payload.append(usm)
+        if output == "grid":
+            return pd.DataFrame({**out_rows, "usm": [u.ravel() for u in payload]})
+        return pd.DataFrame(
+            {
+                **out_rows,
+                "usm_sum": [float(u.sum()) for u in payload],
+                "usm_min": [float(u.min()) for u in payload],
+                "usm_max": [float(u.max()) for u in payload],
+            }
+        )
+
+    schema = (
+        "z int, x long, y long, usm array<double>"
+        if output == "grid"
+        else "z int, x long, y long, usm_sum double, usm_min double, usm_max double"
+    )
+    return joined.mapInPandas(lambda it: (finish(pdf) for pdf in it), schema)
+
+
+def global_abs_p99(tiles_grid_df: DataFrame, value_col: str = "usm", sample_mod: int = 4) -> float:
+    """Sampled global |p99| — the stats pre-pass -> broadcast pattern
+    (reference algorithms/_norm_stats.py:176-350): sample a stable
+    subset of tiles, explode values, one approx-percentile aggregate."""
+    sampled = tiles_grid_df.filter(F.pmod(F.xxhash64("x", "y"), F.lit(sample_mod)) == 0)
+    return (
+        sampled.select(F.explode(value_col).alias("v"))
+        .agg(F.percentile_approx(F.abs(F.col("v")), 0.99, 10000).alias("p"))
+        .first()["p"]
+    )

@@ -583,6 +583,28 @@ def tile_hillshade_z6(spark, sf_dir):
     return tile_kernel_stats(p, 6, kernel="hillshade", log_scale=True).orderBy("x", "y")
 
 
+def multiscale_usm_z5(spark, sf_dir):
+    """Multiscale unsharp mask (radii 2/8/64) with the large-radius
+    overview rewrite — per-tile stats (the reference's flagship
+    topousm_fast algorithm re-expressed; rows-only check)."""
+    from .operators.multiscale import multiscale_usm
+
+    p = geo_points(spark, sf_dir)
+    return multiscale_usm(p, 5, radii=(2, 8, 64)).orderBy("x", "y")
+
+
+def quantize_acctbal(spark, sf_dir):
+    """Linear uint8 quantization (DN 0 = NULL/NoData) of a value
+    column — the reference's output-encoding policy, oracle-checked."""
+    from .functions.encoding import quantize
+
+    c = _t(spark, sf_dir, "customer")
+    v = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey", quantize(v, 0.0, 10000.0, "uint8").alias("dn")
+    ).orderBy("c_custkey")
+
+
 def media_features(spark, sf_dir):
     media = synthetic_media(spark, 500)
     f = extract_features(media)
@@ -626,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats_by_lang": doc_stats_by_lang,
     "dedup_exact_docs": dedup_exact_docs,
     "ann_topk_cosine": ann_topk_cosine,
+    "quantize_acctbal": quantize_acctbal,
     # rows-only (non-SQL-expressible)
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
@@ -634,9 +657,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "tile_hillshade_z6": tile_hillshade_z6,
+    "multiscale_usm_z5": multiscale_usm_z5,
     "media_features": media_features,
     "knn_ring_trace": knn_ring_trace,
 }
+
+QUANTIZE_SQL = """
+SELECT c_custkey,
+  CASE WHEN (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL THEN 0
+  ELSE CAST(least(255.0, greatest(1.0,
+    round(((CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) - 0.0) / 10000.0 * 254.0 + 1.0))) AS INTEGER)
+  END AS dn
+FROM customer ORDER BY c_custkey
+"""
+
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
@@ -657,6 +691,7 @@ ORACLES: dict[str, str] = {
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "ann_topk_cosine": ANN_SQL,
+    "quantize_acctbal": QUANTIZE_SQL,
 }
 
 

@@ -1,0 +1,87 @@
+"""Multiscale USM: tiled + overview-rewrite output must match a
+whole-world single-array NumPy oracle (the reference's seam/parity
+law applied to its signature optimization)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.functions.tiles import TILE_PX, np_tile_pixel
+from fujishadergpu_spark.operators.multiscale import (
+    global_abs_p99,
+    multiscale_usm,
+    np_bilinear_sample,
+    np_box_mean,
+)
+
+Z = 3
+RADII = (2, 8, 64)  # 64 > threshold 16 -> overview path with s=3
+
+
+def test_np_box_mean_analytic():
+    g = np.zeros((21, 21))
+    g[10, 10] = 9.0
+    m = np_box_mean(g, 1)
+    assert m[10, 10] == pytest.approx(1.0)
+    assert m[9, 9] == pytest.approx(1.0)
+    assert m[8, 10] == pytest.approx(0.0)
+
+
+def _world_oracle(pdf, z, radii, threshold=16):
+    n = (1 << z) * TILE_PX
+    gx, gy, px, py = np_tile_pixel(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), z)
+    idx = (gy * TILE_PX + py) * n + (gx * TILE_PX + px)
+    world = np.bincount(idx, minlength=n * n).astype(np.float64).reshape(n, n)
+    usm = np.zeros_like(world)
+    w = 1.0 / len(radii)
+    for r in radii:
+        if r <= threshold:
+            usm += w * (world - np_box_mean(world, r))
+        else:
+            s = 0
+            while (r >> (s + 1)) > threshold // 2 and (1 << (s + 1)) <= TILE_PX:
+                s += 1
+            nc = n >> s
+            coarse = world.reshape(nc, 1 << s, nc, 1 << s).mean(axis=(1, 3))
+            smooth = np_box_mean(coarse, r >> s)
+            p = np.arange(n)
+            c = (p + 0.5) / (1 << s) - 0.5
+            up = np_bilinear_sample(smooth, c[:, None], c[None, :])
+            usm += w * (world - up)
+    return usm
+
+
+def test_multiscale_usm_matches_world_oracle(spark, points_df):
+    pdf = points_df.toPandas()
+    world_usm = _world_oracle(pdf, Z, RADII)
+    tiles = multiscale_usm(points_df, Z, radii=RADII, output="grid").collect()
+    assert len(tiles) > 1
+    checked_interior = 0
+    n = (1 << Z) * TILE_PX
+    for t in tiles:
+        got = np.asarray(t["usm"]).reshape(TILE_PX, TILE_PX)
+        sl = world_usm[
+            t["y"] * TILE_PX : (t["y"] + 1) * TILE_PX, t["x"] * TILE_PX : (t["x"] + 1) * TILE_PX
+        ]
+        # interior tiles (small-radius windows fully inside the world)
+        if (
+            t["x"] * TILE_PX >= 64 and t["y"] * TILE_PX >= 64
+            and (t["x"] + 1) * TILE_PX <= n - 64 and (t["y"] + 1) * TILE_PX <= n - 64
+        ):
+            np.testing.assert_allclose(got, sl, rtol=1e-9, atol=1e-12)
+            checked_interior += 1
+    assert checked_interior >= 1
+
+
+def test_multiscale_partition_invariance(spark, points_df):
+    a = {(r["x"], r["y"]): (r["usm_sum"], r["usm_min"], r["usm_max"])
+         for r in multiscale_usm(points_df, Z, radii=RADII).collect()}
+    b = {(r["x"], r["y"]): (r["usm_sum"], r["usm_min"], r["usm_max"])
+         for r in multiscale_usm(points_df.repartition(17), Z, radii=RADII).collect()}
+    assert a == b
+
+
+def test_global_p99_runs(spark, points_df):
+    g = multiscale_usm(points_df, Z, radii=(2, 8), output="grid")
+    p = global_abs_p99(g, "usm", sample_mod=1)
+    assert p is not None and p >= 0.0

@@ -262,6 +262,25 @@ def make_pip_closure_udf(ring_rows: list[tuple[int, np.ndarray, np.ndarray]]):
 
 # ----------------------------- the join ------------------------------
 
+class PipIndex:
+    """Prebuilt polygon index: resolution + collected rings. Build it
+    once per polygon table and pass to repeated pip_join calls — the
+    index build costs two tiny driver jobs (auto_res median + ring
+    collect) that should not be paid per query."""
+
+    def __init__(self, polygons: DataFrame, res: int | None = None, polygon_id_col: str = "polygon_id"):
+        self.res = auto_res(polygons) if res is None else res
+        self.ring_rows = [
+            (
+                r[0],
+                np.array([p["lon"] for p in r[1]], dtype=np.float64),
+                np.array([p["lat"] for p in r[1]], dtype=np.float64),
+            )
+            for r in polygons.select(polygon_id_col, "ring").collect()
+        ]
+        self.contains_udf = make_pip_closure_udf(self.ring_rows)
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -273,6 +292,7 @@ def pip_join(
     salt: int | None = None,
     point_salt_col: str | None = None,
     rings_in_closure: bool = True,
+    index: PipIndex | None = None,
 ) -> DataFrame:
     """points ⋈ polygons on covering-cell equality + exact refinement.
 
@@ -291,19 +311,13 @@ def pip_join(
     Set False to stream ring arrays through the join instead
     (arbitrarily large polygon tables).
     """
-    if res is None:
+    if index is not None:
+        res = index.res
+    elif res is None:
         res = auto_res(polygons)
     build = polygon_cover(polygons, res)
     if rings_in_closure:
-        ring_rows = [
-            (
-                r[0],
-                np.array([p["lon"] for p in r[1]], dtype=np.float64),
-                np.array([p["lat"] for p in r[1]], dtype=np.float64),
-            )
-            for r in polygons.select(polygon_id_col, "ring").collect()
-        ]
-        contains_udf = make_pip_closure_udf(ring_rows)
+        contains_udf = (index or PipIndex(polygons, res, polygon_id_col)).contains_udf
         build = build.drop("ring_lon", "ring_lat")
     probe = points.withColumn("cell_id", cells.cell_of(F.col(lat_col), F.col(lon_col), res))
 

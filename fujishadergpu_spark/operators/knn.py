@@ -53,6 +53,43 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     return F.lit(2.0 * r) * F.asin(F.sqrt(a))
 
 
+def ring_candidates(
+    pending: DataFrame,
+    pts: DataFrame,
+    ring: int,
+    res: int,
+    broadcast_queries: bool,
+    exclude_self: bool,
+) -> DataFrame:
+    """One round's candidate join: explode the query side to its
+    grid_disk(ring) cells via sequence() (constant-size expression for
+    any ring — a literal-unrolled disk would blow up codegen), then
+    equi-join the points table on cell id. Lon wraps via pmod, lat
+    rows clamp away. The exploded query side broadcasts, so the big
+    points table is scanned, never shuffled."""
+    n_cells = 1 << res
+    base = F.lit(res << cells.RES_SHIFT).cast("long")
+    qx, qy = cells.cell_x(F.col("_qcell")), cells.cell_y(F.col("_qcell"))
+    probe = (
+        pending.withColumn("_jx", F.explode(F.sequence(qx - ring, qx + ring)))
+        .withColumn("_jy", F.explode(F.sequence(qy - ring, qy + ring)))
+        .filter((F.col("_jy") >= 0) & (F.col("_jy") < n_cells))
+        .withColumn(
+            "_jcell",
+            base + F.shiftleft(F.pmod("_jx", F.lit(n_cells)), cells.X_SHIFT) + F.col("_jy"),
+        )
+        .drop("_jx", "_jy")
+    )
+    if broadcast_queries:
+        probe = F.broadcast(probe)
+    cand = probe.join(pts, probe["_jcell"] == pts["_ncell"], "inner")
+    if exclude_self:
+        cand = cand.filter(F.col("_nid") != F.col("_qid"))
+    return cand.withColumn(
+        "_dist", sq_dist_deg(F.col("_qlat"), F.col("_qlon"), F.col("_nlat"), F.col("_nlon"))
+    )
+
+
 def knn(
     points: DataFrame,
     queries: DataFrame,
@@ -97,28 +134,7 @@ def knn(
     base = F.lit(res << cells.RES_SHIFT).cast("long")
 
     for _ in range(max_rounds):
-        # disk via sequence() explodes: constant-size expression for
-        # any ring (a literal-unrolled grid_disk would blow up codegen
-        # at large rings); lon wraps via pmod, lat rows clamp away
-        qx, qy = cells.cell_x(F.col("_qcell")), cells.cell_y(F.col("_qcell"))
-        probe = (
-            pending.withColumn("_jx", F.explode(F.sequence(qx - ring, qx + ring)))
-            .withColumn("_jy", F.explode(F.sequence(qy - ring, qy + ring)))
-            .filter((F.col("_jy") >= 0) & (F.col("_jy") < n_cells))
-            .withColumn(
-                "_jcell",
-                base + F.shiftleft(F.pmod("_jx", F.lit(n_cells)), cells.X_SHIFT) + F.col("_jy"),
-            )
-            .drop("_jx", "_jy")
-        )
-        if broadcast_queries:
-            probe = F.broadcast(probe)
-        cand = probe.join(pts, probe["_jcell"] == pts["_ncell"], "inner")
-        if exclude_self:
-            cand = cand.filter(F.col("_nid") != F.col("_qid"))
-        cand = cand.withColumn(
-            "_dist", sq_dist_deg(F.col("_qlat"), F.col("_qlon"), F.col("_nlat"), F.col("_nlon"))
-        )
+        cand = ring_candidates(pending, pts, ring, res, broadcast_queries, exclude_self)
         topk = (
             cand.withColumn("_rank", F.row_number().over(w))
             .filter(F.col("_rank") <= k)

@@ -622,9 +622,85 @@ def knn_ring_trace(spark, sf_dir):
     return r.groupBy("rank").agg(F.count("*").alias("n")).orderBy("rank")
 
 
+def events_sessions(spark, sf_dir):
+    """Gap-based session windows (30 min) — Spark session_window vs a
+    gaps-and-islands SQL oracle (sessions merge while the gap is
+    strictly below the threshold)."""
+    from .streaming.events import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, gap="30 minutes")
+    return s.select(
+        "user_id",
+        "session_start",
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti-join coverage: customers that never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def brand_stats(spark, sf_dir):
+    """Grouped stats over part (decimal-exact averages)."""
+    pt = _t(spark, sf_dir, "part")
+    return (
+        pt.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational
@@ -635,6 +711,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers_per_nation": top_customers_per_nation,
     "order_priority_count": order_priority_count,
     "events_hourly": events_hourly,
+    "events_sessions": events_sessions,
+    "customers_without_orders": customers_without_orders,
+    "brand_stats": brand_stats,
     # geospatial
     "geo_cells_r7": geo_cells_r7,
     "geo_cells_parent_r5": geo_cells_parent_r5,
@@ -680,6 +759,9 @@ ORACLES: dict[str, str] = {
     "top_customers_per_nation": TOPCUST_SQL,
     "order_priority_count": ORDERPRIO_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
+    "customers_without_orders": CUST_NO_ORDERS_SQL,
+    "brand_stats": BRAND_SQL,
     "geo_cells_r7": GEO_CELLS_SQL,
     "geo_cells_parent_r5": GEO_CELLS_PARENT_SQL,
     "geo_tiles_z8": GEO_TILES_SQL,

@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions — the 100-TB posture is enforced
+here, not just measured: filters must reach the parquet scan, small
+sides must broadcast, the tile path must shuffle exactly once (the
+halo exchange), and the kNN probe must never shuffle the points table.
+(Mirrors the reference's policy/audit test series, SURVEY.md §5.6.)"""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    plan = q._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: scan schema is just the two referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"l_orderkey", "l_quantity"}
+
+
+def test_pip_join_broadcasts_build_side(spark, points_df):
+    from fujishadergpu_spark.operators.pip_join import pip_join
+    from fujishadergpu_spark.sources.polygons import polygons
+
+    plan = _plan(pip_join(points_df, polygons(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tile_kernel_single_shuffle(spark, points_df):
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats
+
+    plan = _plan(tile_kernel_stats(points_df, 5))
+    # exactly one exchange: the halo-exchange repartition feeding the
+    # grouped-map kernel (no second shuffle for the groupBy — Catalyst
+    # reuses the explicit hash partitioning)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_knn_probe_broadcasts_queries(spark, points_df):
+    """The per-round candidate join must broadcast the (small) exploded
+    query side so the points table is scanned, never shuffled."""
+    from fujishadergpu_spark.functions import cells
+    from fujishadergpu_spark.operators.knn import ring_candidates
+
+    pts = points_df.select(
+        F.col("id").alias("_nid"), F.col("lat").alias("_nlat"), F.col("lon").alias("_nlon"),
+        cells.cell_of(F.col("lat"), F.col("lon"), 5).alias("_ncell"),
+    )
+    q = points_df.filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("_qid"), F.col("lat").alias("_qlat"), F.col("lon").alias("_qlon"),
+        cells.cell_of(F.col("lat"), F.col("lon"), 5).alias("_qcell"),
+    )
+    plan = _plan(ring_candidates(q, pts, 2, 5, True, True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # points never shuffled
+
+
+def test_events_window_partial_aggregation(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = _plan(q)
+    # map-side combine before the exchange (partial_count)
+    assert "partial_count" in plan or "partial count" in plan.lower()

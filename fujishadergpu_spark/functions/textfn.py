@@ -95,32 +95,49 @@ _FP_P = np.uint64(1099511628211)  # FNV-ish multiplier
 _FP_OFF = np.uint64(14695981039346656037)
 
 
+_FP_LONG_CUTOFF = 4096
+
+
 def _fingerprint_series(texts: pd.Series) -> pd.Series:
-    """64-bit FNV-1a content fingerprint, vectorized over the Arrow
-    batch via fixed-width byte matrix ops (pure function of the text —
-    the content-hash determinism device, cf. the reference's
-    elevation-hash noise, reference algorithms/_impl_lic.py:38-46)."""
+    """64-bit content fingerprint, pure function of the text bytes
+    (the content-hash determinism device, cf. the reference's
+    elevation-hash noise, reference algorithms/_impl_lic.py:38-46).
+
+    Texts up to 4096 bytes: FNV-1a vectorized across the batch via a
+    fixed-width byte matrix (column j hashes byte j of every row at
+    once — FNV is sequential per string but parallel across strings).
+    Longer texts: blake2b-derived 64-bit (hashlib, C speed) — the
+    byte matrix would be O(batch x maxlen) and a single megabyte
+    document must not inflate the whole batch. Both are deterministic
+    functions of the bytes; the cutoff is part of the function
+    definition.
+    """
     arr = texts.fillna("").to_numpy(dtype=object)
     enc = [s.encode("utf-8") for s in arr]
-    maxlen = max((len(b) for b in enc), default=0)
-    if maxlen == 0:
-        # empty text hashes to the FNV offset basis (h untouched)
-        return pd.Series(np.full(len(arr), _FP_OFF, dtype=np.uint64).view(np.int64))
-    mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
-    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
-    buf = np.zeros(maxlen, dtype=np.uint8)
-    for i, b in enumerate(enc):  # row fill only; hashing below is columnar
-        if b:
+    out = np.full(len(arr), _FP_OFF, dtype=np.uint64)
+
+    long_idx = [i for i, b in enumerate(enc) if len(b) > _FP_LONG_CUTOFF]
+    if long_idx:
+        import hashlib
+
+        for i in long_idx:
+            out[i] = np.frombuffer(hashlib.blake2b(enc[i], digest_size=8).digest(), dtype=np.uint64)[0]
+
+    short_idx = np.array([i for i, b in enumerate(enc) if 0 < len(b) <= _FP_LONG_CUTOFF], dtype=np.int64)
+    if len(short_idx):
+        senc = [enc[i] for i in short_idx]
+        maxlen = max(len(b) for b in senc)
+        mat = np.zeros((len(senc), maxlen), dtype=np.uint64)
+        lens = np.fromiter((len(b) for b in senc), dtype=np.int64, count=len(senc))
+        for i, b in enumerate(senc):  # row fill only; hashing below is columnar
             mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    h = np.full(len(enc), _FP_OFF, dtype=np.uint64)
-    col_idx = np.arange(maxlen)
-    with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            active = lens > j
-            hj = (h[active] ^ mat[active, j]) * _FP_P
-            h[active] = hj
-    del buf, col_idx
-    return pd.Series(h.view(np.int64))
+        h = np.full(len(senc), _FP_OFF, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = lens > j
+                h[active] = (h[active] ^ mat[active, j]) * _FP_P
+        out[short_idx] = h
+    return pd.Series(out.view(np.int64))
 
 
 @pandas_udf(LongType())

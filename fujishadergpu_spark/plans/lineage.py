@@ -44,6 +44,10 @@ class LineageLog:
         self.path = path
 
     def read(self) -> DataFrame:
+        # existence pre-check keeps the expected first-run miss quiet
+        # (a caught AnalysisException still logs a noisy stack trace)
+        if self.path.startswith("/") and not os.path.exists(self.path):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         try:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
         except Exception:

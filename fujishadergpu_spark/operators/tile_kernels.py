@@ -218,9 +218,44 @@ def np_slope(grid: np.ndarray) -> np.ndarray:
     return np.degrees(np.arctan(np.hypot(gx, gy)))
 
 
+def np_curvature(grid: np.ndarray, mode: str = "planform") -> np.ndarray:
+    """Second-order surface curvature (reference
+    algorithms/_impl_curvature.py:19-57 semantics: mean / planform /
+    profile from the Hessian + gradient, fresh NumPy implementation).
+
+    planform curvature is zero along straight contours (a parabolic
+    cylinder has zero planform curvature — the reference's analytic
+    fixture, tests/test_curvature_analytic.py).
+    """
+    gy, gx = np.gradient(grid)
+    gyy, gyx = np.gradient(gy)
+    gxy, gxx = np.gradient(gx)
+    p = gx * gx + gy * gy
+    eps = 1e-12
+    if mode == "mean":
+        num = (1 + gy * gy) * gxx - 2 * gx * gy * gxy + (1 + gx * gx) * gyy
+        den = 2.0 * np.power(1 + p, 1.5)
+        return num / np.maximum(den, eps)
+    if mode == "planform":
+        num = gy * gy * gxx - 2 * gx * gy * gxy + gx * gx * gyy
+        return np.where(p > eps, num / np.maximum(np.power(p, 1.5), eps), 0.0)
+    if mode == "profile":
+        num = gx * gx * gxx + 2 * gx * gy * gxy + gy * gy * gyy
+        return np.where(p > eps, num / np.maximum(p * np.power(1 + p, 1.5), eps), 0.0)
+    raise ValueError(f"unknown curvature mode {mode}")
+
+
+def np_aspect(grid: np.ndarray) -> np.ndarray:
+    """Downslope direction in degrees [0, 360) (0 = north)."""
+    gy, gx = np.gradient(grid)
+    return np.degrees(np.arctan2(-gx, gy)) % 360.0
+
+
 KERNELS = {
     "hillshade": (np_hillshade, 1),  # name -> (fn, min halo depth)
     "slope": (np_slope, 1),
+    "curvature": (np_curvature, 2),  # 2nd-order stencil -> depth 2
+    "aspect": (np_aspect, 1),
 }
 
 

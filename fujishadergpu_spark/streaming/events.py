@@ -66,6 +66,26 @@ def session_stats(events: DataFrame, gap: str = "30 minutes", watermark: str = "
     )
 
 
+def streaming_cell_counts(pages_stream: DataFrame, res: int = 7, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the geo path: incoming pages are geoparsed
+    and counted per (cell, hour window) with watermark-bounded state —
+    incremental maintenance of the geo_cells aggregate over a
+    continuously arriving crawl."""
+    from pyspark.sql import functions as F
+
+    from ..functions import cells, geoparse
+
+    pts = geoparse.geoparse(pages_stream).withColumn(
+        "cell_id", cells.cell_of(F.col("lat"), F.col("lon"), res)
+    )
+    ev = pts.withWatermark("warc_ts", watermark) if pages_stream.isStreaming else pts
+    return (
+        ev.groupBy(F.window("warc_ts", "1 hour").alias("w"), F.col("cell_id"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_pages")
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """availableNow drain into a memory sink (test/verification path)."""
     q = (

@@ -48,3 +48,19 @@ def test_multimodal_plumbing(spark):
     a = {r["media_id"]: list(r["features"]) for r in rows}
     b = {r["media_id"]: list(r["features"]) for r in extract_features(media.repartition(9)).collect()}
     assert a == b
+
+
+def test_streaming_cell_counts_matches_batch(spark, tmp_path):
+    from fujishadergpu_spark.sources.pages import pages as gen_pages
+    from fujishadergpu_spark.streaming.events import streaming_cell_counts
+
+    src = str(tmp_path / "pages_stream")
+    gen_pages(spark, 2000).repartition(5).write.parquet(src)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    ev.run_stream_to_memory(streaming_cell_counts(stream), "cell_counts")
+    got = _rows(spark.sql("SELECT * FROM cell_counts"), ["window_start", "cell_id", "n_pages"])
+    exp = _rows(streaming_cell_counts(spark.read.parquet(src)), ["window_start", "cell_id", "n_pages"])
+    assert got == exp and len(got) > 100

@@ -251,12 +251,33 @@ def np_aspect(grid: np.ndarray) -> np.ndarray:
     return np.degrees(np.arctan2(-gx, gy)) % 360.0
 
 
+from .np_kernels import EXT_KERNELS  # noqa: E402  (registry merge below)
+
 KERNELS = {
-    "hillshade": (np_hillshade, 1),  # name -> (fn, min halo depth)
+    "hillshade": (np_hillshade, 1),  # name -> (fn, halo depth | halo(params))
     "slope": (np_slope, 1),
     "curvature": (np_curvature, 2),  # 2nd-order stencil -> depth 2
     "aspect": (np_aspect, 1),
+    # the full reference algorithm inventory (np_kernels.py): blur,
+    # multiscale_terrain, openness, ambient_occlusion, specular,
+    # atmospheric_scattering, npr_edges, structure_tensor, frangi, lic,
+    # phase_congruency, tv_decomposition, scale_drift,
+    # scale_space_surprise, multi_light_uncertainty, visual_saliency,
+    # fractal_anomaly (reference algorithms/dask_registry.py:27-49)
+    **EXT_KERNELS,
 }
+
+
+def kernel_halo(kernel: str, params: dict | None = None) -> int:
+    """Resolve a kernel's required halo depth for the given params —
+    the analog of the reference's per-algorithm map_overlap depth rules
+    (reference core/tile_processor.py:207-383). Halos are capped just
+    under TILE_PX (the explode_to_tiles 8-neighbour bound); kernels
+    whose support exceeds that run coarsened via the multiscale
+    overview path instead (reference Constants.MAX_DEPTH analogue)."""
+    _, spec = KERNELS[kernel]
+    h = spec(params or {}) if callable(spec) else int(spec)
+    return min(int(h), TILE_PX - 1)
 
 
 def tile_kernel(
@@ -276,8 +297,8 @@ def tile_kernel(
     output == whole-raster output on the core, the reference's
     tile-stability pattern tests/test_visual_saliency_tile_stability.py).
     """
-    fn_kernel, min_halo = KERNELS[kernel]
-    h = min_halo if halo is None else halo
+    fn_kernel, _ = KERNELS[kernel]
+    h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -314,8 +335,8 @@ def tile_kernel_stats(
     element array transfer + interpreted fold when only summaries are
     consumed — the reference's quantize-on-GPU-before-transfer
     discipline (reference core/tile_processor.py:983-996)."""
-    fn_kernel, min_halo = KERNELS[kernel]
-    h = min_halo if halo is None else halo
+    fn_kernel, _ = KERNELS[kernel]
+    h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -22,13 +22,31 @@ def test_query_signatures():
 
 
 def test_every_kernel_runs_on_synthetic_grid():
+    from fujishadergpu_spark.operators.tile_kernels import kernel_halo
+
     rng = np.random.RandomState(42)
     g = rng.rand(40, 40)
-    for name, (fn, depth) in KERNELS.items():
+    for name, (fn, _) in KERNELS.items():
         out = fn(g)
         assert out.shape == g.shape, name
         assert np.isfinite(out).all(), name
-        assert depth >= 1, name
+        assert kernel_halo(name) >= 1, name
+
+
+def test_full_reference_inventory_registered():
+    """All 21 algorithms of the reference registry
+    (reference algorithms/dask_registry.py:27-49) have a kernel here
+    (topousm_fast lives in operators/multiscale.multiscale_usm)."""
+    reference_registry = {
+        "topousm_fast", "hillshade", "slope", "curvature", "blur",
+        "specular", "atmospheric_scattering", "multiscale_terrain",
+        "visual_saliency", "npr_edges", "ambient_occlusion", "openness",
+        "fractal_anomaly", "scale_space_surprise",
+        "multi_light_uncertainty", "structure_tensor", "frangi", "lic",
+        "phase_congruency", "tv_decomposition", "scale_drift",
+    }
+    missing = reference_registry - set(KERNELS) - {"topousm_fast"}
+    assert not missing, f"unported reference algorithms: {missing}"
 
 
 def test_oracles_are_single_statements():

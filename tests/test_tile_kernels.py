@@ -81,6 +81,39 @@ def test_kernel_seam_free(spark, points_df):
         assert np.array_equal(g, sl), f"seam mismatch in tile {(t['x'], t['y'])}"
 
 
+def test_new_kernels_seam_free_via_spark(spark, points_df):
+    """Three representative ported kernels (ray-march, iterative
+    primal-dual, gradient-local) through the real grouped-map tile
+    path: tiled == whole-world NumPy, bit-exact — proving the registry
+    halo resolution and the halo-exchange shuffle for the extended
+    inventory (the per-kernel NumPy seam matrix lives in
+    test_np_kernels.py)."""
+    from fujishadergpu_spark.operators.np_kernels import (
+        np_atmospheric_scattering,
+        np_openness,
+        np_tv_decomposition,
+    )
+
+    pdf = points_df.toPandas()
+    logw = np.log1p(_global_grid(pdf, Z))
+    cases = [
+        ("openness", {"max_distance": 8}, np_openness),
+        ("atmospheric_scattering", {}, np_atmospheric_scattering),
+        ("tv_decomposition", {"iterations": 12, "tv_scale": 8.0, "global_stats": (0.0, 1.0)}, np_tv_decomposition),
+    ]
+    for name, params, np_fn in cases:
+        world = np_fn(logw, **params)
+        tiles = tile_kernel(points_df, Z, kernel=name, log_scale=True, **params).collect()
+        assert len(tiles) > 1, name
+        for t in tiles:
+            g = np.asarray(t["result"]).reshape(TILE_PX, TILE_PX)
+            sl = world[
+                t["y"] * TILE_PX : (t["y"] + 1) * TILE_PX,
+                t["x"] * TILE_PX : (t["x"] + 1) * TILE_PX,
+            ]
+            assert np.array_equal(g, sl), f"{name}: seam in tile {(t['x'], t['y'])}"
+
+
 def test_pyramid_mass_conservation(spark, points_df):
     base = rasterize_tiles(points_df, Z)
     pyr = build_pyramid(base, Z, 0, agg="sum")

@@ -100,12 +100,21 @@ def multiscale_usm(
     weights: tuple[float, ...] | None = None,
     overview_threshold: int = 16,
     output: str = "stats",
+    agg: str = "mean",
 ) -> DataFrame:
-    """Σ wᵢ (density − box_meanᵢ(density)) per tile at zoom z.
+    """Per-tile multi-scale response combine at zoom z.
+
+    agg='mean' (default): Σ wᵢ (density − box_meanᵢ(density)) — the
+    reference's weighted mean; 'min'/'max'/'sum' combine the
+    per-radius responses elementwise instead (reference
+    algorithms/_nan_utils.py:182-213 combine modes; frangi's canonical
+    form is --agg max).
 
     output='stats' → (z, x, y, usm_sum, usm_min, usm_max);
     output='grid'  → (z, x, y, usm: array<double> 256²).
     """
+    if agg not in ("mean", "min", "max", "sum"):
+        raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum)")  # fail at plan time, not in executors
     if weights is None:
         weights = tuple(1.0 / len(radii) for _ in radii)
     w_by_r = dict(zip(radii, weights))
@@ -170,11 +179,11 @@ def multiscale_usm(
                 TILE_PX + 2 * halo, TILE_PX + 2 * halo
             )
             core = g[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else g
-            usm = np.zeros((TILE_PX, TILE_PX), dtype=np.float64)
+            responses = []
             for r in small:
                 sm = np_box_mean(g, r)
                 smc = sm[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else sm
-                usm += w_by_r[r] * (core - smc)
+                responses.append((r, core - smc))
             for r, s in large_items:
                 cg = row[coarse_cols[r]]
                 if cg is None:
@@ -187,7 +196,23 @@ def multiscale_usm(
                 cx = (gx + 0.5) / (1 << s) - 0.5 - (int(row["x"]) >> s) * TILE_PX + 1.0
                 cy = (gy + 0.5) / (1 << s) - 0.5 - (int(row["y"]) >> s) * TILE_PX + 1.0
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
-                usm += w_by_r[r] * (core - up)
+                responses.append((r, core - up))
+            # combine modes (reference _nan_utils.py:182-213): weighted
+            # mean (default) or elementwise min/max/sum over scales
+            usm = np.zeros((TILE_PX, TILE_PX), dtype=np.float64)
+            if agg == "mean":
+                for r, resp in responses:
+                    usm += w_by_r[r] * resp
+            elif agg == "sum":
+                for _, resp in responses:
+                    usm += resp
+            elif agg in ("min", "max"):
+                op = np.minimum if agg == "min" else np.maximum
+                usm = responses[0][1]
+                for _, resp in responses[1:]:
+                    usm = op(usm, resp)
+            else:
+                raise ValueError(f"unknown agg {agg!r}")
             out_rows["z"].append(z)
             out_rows["x"].append(int(row["x"]))
             out_rows["y"].append(int(row["y"]))

@@ -1,0 +1,121 @@
+"""Global normalization statistics: the reference's per-algorithm
+stats pre-pass re-expressed as Spark aggregations.
+
+The reference computes one global (lo, scale) pair per algorithm from
+stratified full-resolution windows, then injects it into every block
+so normalization is seam-free (reference algorithms/_norm_stats.py:
+29-61,301-350, _global_stats.py:123-178). Here the same three pieces:
+
+- ``kernel_global_stats`` — run the kernel on a hash-sampled subset of
+  tiles (stats mode: no injected stats), pool an approx percentile
+  pair. One aggregate over exploded pixels; the sample is chosen by a
+  deterministic tile hash so the pre-pass is reproducible and scans a
+  bounded fraction of the data at any scale (A9).
+- central-window fallback (A10): when the sample is empty/degenerate
+  (sparse SF, all-NoData sample), rerun over the tiles nearest the
+  data centroid — the reference's bounded central-crop fallback
+  (reference algorithms/_global_stats.py:65-120).
+- ``stretch`` (A11): the display-stretch column op mapping
+  [lo, lo+scale] -> [0, 1], dark tail clamped, bright tail unclipped
+  (reference _global_stats.py:156-178, _normalization.py:22-41).
+
+At 100 TB the pre-pass reads sample_frac of the tiles once and
+broadcasts two doubles — the same shape as the reference's
+stats-then-stream design, with no second full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tiles import TILE_PX, merc_xy_norm
+from .tile_kernels import tile_kernel
+
+
+def stretch(col: Column, lo: float, scale: float) -> Column:
+    """A11 display stretch: max((v - lo) / scale, 0) — p99 maps to 1,
+    the bright tail passes through unclipped (reference
+    _global_stats.py:173-174)."""
+    if not scale > 1e-12:
+        return col
+    return F.greatest((col - F.lit(float(lo))) / F.lit(float(scale)), F.lit(0.0))
+
+
+def _owning_tile(points: DataFrame, z: int, lat_col="lat", lon_col="lon") -> DataFrame:
+    n_px = (1 << z) * TILE_PX
+    xn, yn = merc_xy_norm(F.col(lat_col), F.col(lon_col))
+    gx = F.least(F.lit(n_px - 1), F.greatest(F.lit(0), F.floor(xn * F.lit(float(n_px))))).cast("long")
+    gy = F.least(F.lit(n_px - 1), F.greatest(F.lit(0), F.floor(yn * F.lit(float(n_px))))).cast("long")
+    return points.withColumns({"_otx": F.shiftright(gx, 8), "_oty": F.shiftright(gy, 8)})
+
+
+def kernel_global_stats(
+    points: DataFrame,
+    z: int,
+    kernel: str,
+    lo_p: float = 1.0,
+    hi_p: float = 99.0,
+    sample_mod: int = 4,
+    log_scale: bool = True,
+    **kernel_params,
+) -> tuple[float, float]:
+    """(lo, scale) of the kernel's raw output pooled over a
+    deterministic 1/sample_mod tile sample; central-window fallback
+    (A10) when the sample is degenerate."""
+    pts = _owning_tile(points, z)
+    sampled = pts.filter(F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0).drop("_otx", "_oty")
+    stats = _pool_stats(sampled, z, kernel, lo_p, hi_p, log_scale, kernel_params)
+    if stats is not None:
+        return stats
+
+    # A10: central full-resolution window around the data centroid
+    # (reference _global_stats.py:65-120's bounded central crop)
+    center = pts.agg(
+        F.avg("_otx").alias("cx"), F.avg("_oty").alias("cy")
+    ).first()
+    cx, cy = int(center["cx"]), int(center["cy"])
+    central = pts.filter(
+        (F.abs(F.col("_otx") - cx) <= 2) & (F.abs(F.col("_oty") - cy) <= 2)
+    ).drop("_otx", "_oty")
+    stats = _pool_stats(central, z, kernel, lo_p, hi_p, log_scale, kernel_params)
+    return stats if stats is not None else (0.0, 0.0)
+
+
+def _pool_stats(points, z, kernel, lo_p, hi_p, log_scale, kernel_params):
+    tiles = tile_kernel(points, z, kernel=kernel, log_scale=log_scale, **kernel_params)
+    row = (
+        tiles.select(F.explode("result").alias("v"))
+        .filter(~F.isnan("v"))
+        .agg(F.percentile_approx("v", [lo_p / 100.0, hi_p / 100.0], 10000).alias("p"))
+        .first()
+    )
+    if row is None or row["p"] is None:
+        return None
+    lo, hi = float(row["p"][0]), float(row["p"][1])
+    if not hi - lo > 1e-12:
+        return None
+    return (lo, hi - lo)
+
+
+def tile_kernel_normalized(
+    points: DataFrame,
+    z: int,
+    kernel: str,
+    lo_p: float = 1.0,
+    hi_p: float = 99.0,
+    sample_mod: int = 4,
+    log_scale: bool = True,
+    **kernel_params,
+) -> DataFrame:
+    """Stats pre-pass + stats-injected kernel run: the reference's
+    seam-free normalization pipeline (pre-pass -> broadcast -> every
+    tile normalizes identically). The stats land in the kernel's
+    ``global_stats`` kwarg, so the per-tile UDF does no data-dependent
+    normalization of its own."""
+    stats = kernel_global_stats(
+        points, z, kernel, lo_p=lo_p, hi_p=hi_p, sample_mod=sample_mod,
+        log_scale=log_scale, **kernel_params,
+    )
+    return tile_kernel(points, z, kernel=kernel, log_scale=log_scale,
+                       global_stats=stats, **kernel_params)

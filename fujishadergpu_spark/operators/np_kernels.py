@@ -104,6 +104,7 @@ def np_openness(
     openness_type: str = "positive",
     num_directions: int = 16,
     max_distance: int = 32,
+    global_stats=None,
     **_ignored,
 ) -> np.ndarray:
     """Topographic openness (Yokoyama et al. 2002): per-azimuth horizon
@@ -152,7 +153,13 @@ def np_openness(
 
     openness = angle_sum / np.maximum(dir_count, 1.0)
     openness = np.clip(openness / (np.pi / 2), 0.0, 1.0)
-    return restore_nan(np.power(openness, DEFAULT_GAMMA), nan_mask)
+    out = np.power(openness, DEFAULT_GAMMA)
+    # [p1, p99] -> [0, 1] display stretch (openness concentrates in a
+    # narrow high band; reference applies apply_display_stretch_dask,
+    # _impl_openness.py:214-216). No-op without injected stats.
+    if global_stats is not None and float(global_stats[1]) > 1e-12:
+        out = np.maximum((out - float(global_stats[0])) / float(global_stats[1]), 0.0)
+    return restore_nan(out, nan_mask)
 
 
 # ------------------------ ambient occlusion ---------------------------
@@ -162,6 +169,7 @@ def np_ambient_occlusion(
     num_samples: int = 16,
     radius: float = 10.0,
     intensity: float = 1.0,
+    global_stats=None,
     **_ignored,
 ) -> np.ndarray:
     """Stylized SSAO: clamped elevation angles over num_samples
@@ -193,7 +201,11 @@ def np_ambient_occlusion(
 
     ao = np.clip(1.0 - (occ_total / np.maximum(n_samp, 1.0)) * intensity, 0.0, 1.0)
     ao = gaussian_filter(np.where(nan_mask, 1.0, ao), 1.0)
-    return restore_nan(np.power(np.clip(ao, 0.0, 1.0), DEFAULT_GAMMA), nan_mask)
+    out = np.power(np.clip(ao, 0.0, 1.0), DEFAULT_GAMMA)
+    # [p1, p99] display stretch (reference _impl_ambient_occlusion.py:200-203)
+    if global_stats is not None and float(global_stats[1]) > 1e-12:
+        out = np.maximum((out - float(global_stats[0])) / float(global_stats[1]), 0.0)
+    return restore_nan(out, nan_mask)
 
 
 # ----------------------------- specular -------------------------------

@@ -376,6 +376,49 @@ FROM pts ORDER BY id
 """
 
 
+def geo_tile_pixel_density_z7(spark, sf_dir):
+    """The rasterize spine under the hash oracle: per-tile pixel
+    binning (exactly the bincount grids rasterize_tiles accumulates)
+    reduced to SQL-expressible stats — occupied-pixel count, peak
+    per-pixel density, point count."""
+    p = geo_points(spark, sf_dir)
+    x, y, px, py = tile_pixel(F.col("lat"), F.col("lon"), 7)
+    per_pixel = (
+        p.withColumns({"x": x, "y": y, "px": px, "py": py})
+        .groupBy("x", "y", "px", "py")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_pixel.groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            F.max("c").alias("peak_density"),
+            F.sum("c").alias("n_points"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+_n7 = (1 << 7) * 256
+_latc7 = "greatest(-85.05112878, least(85.05112878, lat))"
+_xn7 = "((lon + 180.0) / 360.0)"
+_yn7 = f"((1.0 - ln(tan(radians({_latc7})) + 1.0 / cos(radians({_latc7}))) / pi()) / 2.0)"
+_gx7 = f"least({_n7 - 1}, greatest(0, CAST(floor({_xn7} * {float(_n7)}) AS BIGINT)))"
+_gy7 = f"least({_n7 - 1}, greatest(0, CAST(floor({_yn7} * {float(_n7)}) AS BIGINT)))"
+GEO_TILE_PIXEL_DENSITY_SQL = f"""
+WITH {PTS_SQL},
+pp AS (
+  SELECT ({_gx7}) // 256 AS x, ({_gy7}) // 256 AS y,
+         ({_gx7}) % 256 AS px, ({_gy7}) % 256 AS py,
+         COUNT(*) AS c
+  FROM pts GROUP BY 1, 2, 3, 4
+)
+SELECT x, y, COUNT(*) AS n_pixels, MAX(c) AS peak_density,
+       CAST(SUM(c) AS BIGINT) AS n_points
+FROM pp GROUP BY x, y ORDER BY x, y
+"""
+
+
 def geo_pip_zones(spark, sf_dir):
     p = geo_points(spark, sf_dir)
     z = _zones(spark, sf_dir)
@@ -583,6 +626,65 @@ def tile_hillshade_z6(spark, sf_dir):
     return tile_kernel_stats(p, 6, kernel="hillshade", log_scale=True).orderBy("x", "y")
 
 
+def _kernel_query(kernel: str, **params):
+    """One rows-only driver entry per ported stencil algorithm:
+    rasterize -> halo exchange -> kernel -> per-tile stats at z5.
+    Bit-exact correctness of each kernel is enforced by the
+    tiled==whole pytest matrix (tests/test_np_kernels.py); the driver
+    entry keeps the Spark plumbing of every kernel under smoke."""
+
+    def q(spark, sf_dir):
+        p = geo_points(spark, sf_dir)
+        return tile_kernel_stats(p, 5, kernel=kernel, log_scale=True, **params).orderBy("x", "y")
+
+    q.__name__ = f"tile_{kernel}_z5"
+    return q
+
+
+# modest per-kernel params: full-inventory coverage with bounded halos
+KERNEL_QUERY_PARAMS: dict[str, dict] = {
+    "blur": {"scale": 4.0},
+    "multiscale_terrain": {"scales": (2.0, 8.0, 32.0), "global_stats": (0.0, 1.0)},
+    "openness": {"max_distance": 16},
+    "ambient_occlusion": {"radius": 8.0},
+    "specular": {"roughness_scale": 12.0, "roughness_norm_scale": 1.0},
+    "atmospheric_scattering": {},
+    "npr_edges": {"grad_stats": (0.05, 0.2, 0.05)},
+    "structure_tensor": {"radii": (2.0, 8.0)},
+    "frangi": {"radii": (2.0, 4.0, 8.0), "global_stats": (0.0, 1.0)},
+    "lic": {"length": 10},
+    "phase_congruency": {"wavelengths": (4.0, 8.0, 16.0), "global_stats": (0.0, 1e-6)},
+    "tv_decomposition": {"iterations": 30, "tv_scale": 16.0, "global_stats": (0.0, 1.0)},
+    "scale_drift": {"scales": (2.0, 4.0, 8.0), "global_stats": (0.0, 0.1)},
+    "scale_space_surprise": {"scales": (2.0, 4.0, 8.0), "global_stats": (0.0, 1.0)},
+    "multi_light_uncertainty": {},
+    "visual_saliency": {"scales": (2.0, 4.0, 8.0, 16.0), "global_stats": (0.0, 1.0)},
+    "fractal_anomaly": {
+        "radii": (2.0, 4.0, 8.0, 16.0, 32.0),
+        "global_stats": (0.0, 1.0),
+        "relief_p10": 0.01,
+        "relief_p75": 0.5,
+    },
+}
+
+
+def tile_openness_normalized_z5(spark, sf_dir):
+    """Stats pre-pass -> broadcast -> stats-injected kernel: the A9/A11
+    per-algorithm global-stats injection pipeline under driver smoke
+    (operators/norm_stats.tile_kernel_normalized)."""
+    from .operators.norm_stats import tile_kernel_normalized
+
+    p = geo_points(spark, sf_dir)
+    t = tile_kernel_normalized(p, 5, "openness", max_distance=16)
+    # explode + codegen hash-agg, not F.aggregate (interpreted per element)
+    return (
+        t.select("z", "x", "y", F.explode("result").alias("v"))
+        .groupBy("z", "x", "y")
+        .agg(F.sum("v").alias("stretched_sum"))
+        .orderBy("x", "y")
+    )
+
+
 def multiscale_usm_z5(spark, sf_dir):
     """Multiscale unsharp mask (radii 2/8/64) with the large-radius
     overview rewrite — per-tile stats (the reference's flagship
@@ -603,6 +705,36 @@ def quantize_acctbal(spark, sf_dir):
     return c.select(
         "c_custkey", quantize(v, 0.0, 10000.0, "uint8").alias("dn")
     ).orderBy("c_custkey")
+
+
+def normalize_acctbal(spark, sf_dir):
+    """A11 normalize/display-stretch: global exact-percentile pre-pass
+    (one aggregate, two doubles broadcast in the plan) then the
+    stretch column op — the reference's stats->stretch pipeline
+    (reference _global_stats.py:123-178) on an oracle-checkable
+    column."""
+    from .operators.norm_stats import stretch
+
+    c = _t(spark, sf_dir, "customer")
+    row = c.agg(
+        F.expr("percentile(c_acctbal, 0.01)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.99)").alias("hi"),
+    ).first()
+    lo, scale = float(row["lo"]), float(row["hi"]) - float(row["lo"])
+    return c.select(
+        "c_custkey", stretch(F.col("c_acctbal"), lo, scale).alias("stretched")
+    ).orderBy("c_custkey")
+
+
+NORMALIZE_SQL = """
+WITH s AS (
+  SELECT quantile_cont(c_acctbal, 0.01) AS lo,
+         quantile_cont(c_acctbal, 0.99) AS hi
+  FROM customer
+)
+SELECT c_custkey, greatest((c_acctbal - lo) / (hi - lo), 0.0) AS stretched
+FROM customer, s ORDER BY c_custkey
+"""
 
 
 def media_features(spark, sf_dir):
@@ -658,9 +790,13 @@ ORDER BY user_id, session_start
 
 
 def customers_without_orders(spark, sf_dir):
-    """Anti-join coverage: customers that never ordered."""
+    """Anti-join coverage: customers with no order before mid-1996 (the
+    all-time predicate returned 0 rows at every SF — an empty-vs-empty
+    oracle that couldn't catch an anti-join regression)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-06-01 00:00:00").cast("timestamp")
+    )
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
@@ -670,7 +806,10 @@ def customers_without_orders(spark, sf_dir):
 
 CUST_NO_ORDERS_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+)
 ORDER BY c_custkey
 """
 
@@ -719,6 +858,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_cells_parent_r5": geo_cells_parent_r5,
     "geo_tiles_z8": geo_tiles_z8,
     "geo_tilepixel_z12": geo_tilepixel_z12,
+    "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
+    "normalize_acctbal": normalize_acctbal,
     "geo_pip_zones": geo_pip_zones,
     "geo_knn_k5": geo_knn_k5,
     # documents / embeddings
@@ -739,6 +880,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiscale_usm_z5": multiscale_usm_z5,
     "media_features": media_features,
     "knn_ring_trace": knn_ring_trace,
+    "tile_openness_normalized_z5": tile_openness_normalized_z5,
+    # one driver entry per ported stencil algorithm (rows-only; the
+    # bit-exact oracle is the tiled==whole pytest matrix)
+    **{f"tile_{k}_z5": _kernel_query(k, **p) for k, p in KERNEL_QUERY_PARAMS.items()},
 }
 
 QUANTIZE_SQL = """
@@ -766,6 +911,8 @@ ORACLES: dict[str, str] = {
     "geo_cells_parent_r5": GEO_CELLS_PARENT_SQL,
     "geo_tiles_z8": GEO_TILES_SQL,
     "geo_tilepixel_z12": GEO_TILEPIXEL_SQL,
+    "geo_tile_pixel_density_z7": GEO_TILE_PIXEL_DENSITY_SQL,
+    "normalize_acctbal": NORMALIZE_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
     "geo_knn_k5": GEO_KNN_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,

@@ -2,20 +2,27 @@
 
 Four families, each a distinct scale/recall trade-off:
 
-- exact_dedup: hash-groupBy (one shuffle, exact).
-- minhash_lsh_pairs: char-shingle MinHash + banded LSH bucket join →
-  exact-Jaccard verification of candidates only. The classic
-  Broder/LSH construction; the bucket join is an equi-join Catalyst
-  can shuffle-hash, and the verify stage touches candidates only.
-- simhash_pairs: 64-bit SimHash + 4x16-bit band join + Hamming
-  filter (F.bit_count, JVM-side).
-- embedding_near_dup: random-hyperplane sketch bucket join + exact
-  cosine verify.
+- exact_dedup: hash-groupBy (one shuffle, exact). The shuffle key is
+  (xxhash64(norm), length(norm)) — 16 bytes/row — never the text.
+- minhash_lsh_pairs: char-shingle MinHash (Carter-Wegman universal
+  hashing mod 2^31-1, exact in uint64 — no overflow wrap) + banded
+  LSH. Band rows are (id, band, bucket) ONLY: document text never
+  enters the band explode or the self-join shuffle. Oversized buckets
+  (boilerplate shingles) are capped before the self-join so one hot
+  bucket cannot go quadratic. Exact-Jaccard verification joins text
+  back for the (tiny) candidate set only, with per-document shingle
+  caching inside the Arrow batch.
+- simhash_pairs: 64-bit SimHash computed ENTIRELY JVM-side (explode
+  tokens -> xxhash64 -> 64 map-side-combined bit sums) + 4x16-bit
+  band join + Hamming filter via F.bit_count. No Python in the path.
+- embedding_near_dup: banded random-hyperplane sketches (b bands x r
+  bits, the signed-random-projection analog of MinHash banding:
+  recall 1-(1-p^r)^b instead of the all-bits-agree p^16 of a single
+  sketch) + exact cosine verify (JVM zip_with/aggregate).
 
-Everything heavy is Arrow pandas UDFs over NumPy matrices; bucket
-joins are plain equi-joins (AQE handles skewed buckets — constant
-shingles like boilerplate headers create hot bands, the same hot-cell
-skew as the spatial side).
+Shuffle discipline (the 100 TB contract): every wide operator here
+shuffles fixed-width keys/ids; variable-length payloads (text,
+embeddings) are joined back only for verified-candidate sets.
 
 Pair outputs are canonicalized (id_a < id_b) and deterministic.
 """
@@ -29,7 +36,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-MERSENNE = np.uint64((1 << 61) - 1)
+# Mersenne prime 2^31-1: with 31-bit hashes and a, b < p the product
+# a*h + b < 2^62 is exact in uint64, so ((a*h + b) mod p) is the
+# genuine Carter-Wegman universal family — not an overflow-wrapped
+# approximation (the 61-bit variant silently wrapped mod 2^64).
+P31 = np.uint64((1 << 31) - 1)
 
 
 # ----------------------------- exact ---------------------------------
@@ -37,67 +48,104 @@ MERSENNE = np.uint64((1 << 61) - 1)
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """One row per distinct text: (canonical_id = min id, dup_count).
 
-    Map-side partial aggregation makes this a single cheap shuffle on
-    the text hash; at 10^12 rows group on xxhash64(text) instead of
-    the full text bytes to keep shuffle rows narrow.
+    Groups on (xxhash64(norm), length(norm)) — a 16-byte shuffle row at
+    any document size, with map-side partial aggregation. A collision
+    would need equal 64-bit hashes AND equal lengths (~2^-64 per pair).
     """
     t = F.col(text_col)
     if normalize:
         t = F.lower(F.trim(F.regexp_replace(t, "\\s+", " ")))
     return (
-        df.select(F.col(id_col), t.alias("_norm"))
-        .groupBy("_norm")
+        df.select(F.col(id_col), F.xxhash64(t).alias("_h"), F.length(t).alias("_len"))
+        .groupBy("_h", "_len")
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
-        .drop("_norm")
+        .drop("_h", "_len")
     )
 
 
 # ------------------------- minhash + LSH ------------------------------
 
 def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    """Distinct char-shingle 61-bit hashes (polynomial rolling hash)."""
+    """Distinct char-shingle 31-bit hashes (polynomial rolling hash
+    reduced mod 2^31-1, the universal-hash input domain)."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     if len(b) < width:
         b = np.pad(b, (0, width - len(b)), constant_values=32)
     n = len(b) - width + 1
-    # matrix of sliding windows (n x width) via stride trick
     win = np.lib.stride_tricks.sliding_window_view(b, width)
     base = np.uint64(1000003)
     h = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(width):
             h = h * base + win[:, j]
-    return np.unique(h)
+    return np.unique(h % P31)
 
 
 def make_minhash_udf(num_hashes: int = 64, shingle: int = 5, seed: int = 42):
     """Series->Series Arrow UDF: text -> array<long> of MinHash values.
 
-    Universal hashing min_j((a_j*h + b_j) mod p) over the shingle set,
-    vectorized as one (shingles x num_hashes) matrix min per doc.
+    min_j((a_j*h + b_j) mod p), p = 2^31-1, a_j in [1, p), b_j in
+    [0, p): exact 62-bit products, a true universal family, vectorized
+    as one (shingles x num_hashes) matrix min per doc.
     """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, size=num_hashes).astype(np.uint64)
+    a = rng.randint(1, (1 << 31) - 1, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, (1 << 31) - 1, size=num_hashes).astype(np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
         out = []
-        with np.errstate(over="ignore"):
-            for s in text.fillna(""):
-                sh = _shingle_hashes(s, shingle)
-                m = (sh[:, None] * a[None, :] + b[None, :]) % MERSENNE
-                out.append(m.min(axis=0).astype(np.int64))
+        for s in text.fillna(""):
+            sh = _shingle_hashes(s, shingle)
+            m = (sh[:, None] * a[None, :] + b[None, :]) % P31
+            out.append(m.min(axis=0).astype(np.int64))
         return pd.Series(out)
 
     return minhash_udf
 
 
-def _jaccard(a: str, b: str, shingle: int) -> float:
-    sa, sb = _shingle_hashes(a, shingle), _shingle_hashes(b, shingle)
-    inter = np.intersect1d(sa, sb, assume_unique=True).size
-    union = sa.size + sb.size - inter
-    return inter / union if union else 1.0
+def _jaccard_batch(ta: pd.Series, tb: pd.Series, shingle: int) -> pd.Series:
+    """Exact Jaccard for a candidate batch; shingle sets are computed
+    once per distinct text in the batch (documents in many candidate
+    pairs — the boilerplate case — are hashed once, not per pair)."""
+    cache: dict[int, np.ndarray] = {}
+
+    def sh(s: str) -> np.ndarray:
+        k = hash(s)
+        v = cache.get(k)
+        if v is None:
+            v = cache[k] = _shingle_hashes(s, shingle)
+        return v
+
+    out = np.empty(len(ta), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(ta, tb)):
+        sa, sb = sh(x or ""), sh(y or "")
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        out[i] = inter / union if union else 1.0
+    return pd.Series(out)
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, _band, _bucket) — the ONLY columns that enter the LSH
+    band shuffle and self-join (schema-pinned by test_dedup): 3 longs
+    per (doc, band), never the text."""
+    rows_per_band = num_hashes // bands
+    mh = make_minhash_udf(num_hashes, shingle, seed)
+    sig = df.select(F.col(id_col).alias("_id"), mh(F.col(text_col)).alias("_sig"))
+    band_cols = [
+        F.hash(F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_bh")
+        for i in range(bands)
+    ]
+    return sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"))
 
 
 def minhash_lsh_pairs(
@@ -109,28 +157,32 @@ def minhash_lsh_pairs(
     shingle: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket: int = 128,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    signature -> band buckets -> self-join per band -> exact verify.
-    The verify UDF runs only on LSH candidates (a tiny fraction), the
-    same candidates-then-refine shape as the PIP join.
+    signature -> (id, band, bucket) rows -> bucket-size cap ->
+    ids-only self-join -> text joined back for candidates -> exact
+    verify. The band shuffle carries 3 longs per (doc, band) — at
+    10^12 docs x 16 bands that is ~0.4 PB less shuffle than carrying
+    the text through the explode. Buckets larger than max_bucket are
+    dropped before the self-join (a B-row bucket contributes B(B-1)/2
+    candidate pairs; boilerplate shingles would otherwise go
+    quadratic) — true duplicate pairs keep colliding in their other
+    bands, so the recall cost is bounded by (1 - p^r)^(hot bands).
     """
-    rows_per_band = num_hashes // bands
-    mh = make_minhash_udf(num_hashes, shingle, seed)
-    sig = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"),
-                    mh(F.col(text_col)).alias("_sig"))
+    banded = minhash_band_rows(df, id_col, text_col, num_hashes, bands, shingle, seed)
 
-    band_cols = [
-        F.hash(F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("_bh")
-        for i in range(bands)
-    ]
-    banded = sig.select(
-        "_id", "_text",
-        F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"),
-    )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # cap hot buckets before the self-join (count is a cheap partial-agg
+    # pass over 12-byte rows; the join then provably touches <= B²/2
+    # pairs per bucket)
+    sized = banded.join(
+        banded.groupBy("_band", "_bucket").agg(F.count("*").alias("_n")).filter(F.col("_n") <= max_bucket),
+        ["_band", "_bucket"],
+    ).drop("_n")
+
+    left = sized.alias("l")
+    right = sized.alias("r")
     cand = (
         left.join(
             right,
@@ -138,16 +190,20 @@ def minhash_lsh_pairs(
             & (F.col("l._bucket") == F.col("r._bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-            F.col("l._text").alias("_ta"), F.col("r._text").alias("_tb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # text joined back for the candidate set only (tiny vs the corpus)
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_t"))
+    cand = (
+        cand.join(texts, cand["id_a"] == texts["_tid"]).drop("_tid").withColumnRenamed("_t", "_ta")
+        .join(texts, F.col("id_b") == texts["_tid"]).drop("_tid").withColumnRenamed("_t", "_tb")
     )
 
     @pandas_udf(DoubleType())
     def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series([_jaccard(x or "", y or "", shingle) for x, y in zip(ta, tb)])
+        return _jaccard_batch(ta, tb, shingle)
 
     return (
         cand.withColumn("jaccard", jaccard_udf("_ta", "_tb"))
@@ -158,37 +214,37 @@ def minhash_lsh_pairs(
 
 # ------------------------------ simhash -------------------------------
 
-def make_simhash_udf(seed: int = 42):
-    """text -> 64-bit SimHash (sign of summed token-hash bit vectors)."""
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, _sh): 64-bit SimHash, fully JVM-side.
 
-    @pandas_udf(LongType())
-    def simhash_udf(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        with np.errstate(over="ignore"):
-            for i, s in enumerate(text.fillna("")):
-                toks = s.lower().split()
-                if not toks:
-                    continue
-                hs = np.zeros(len(toks), dtype=np.uint64)
-                for j, t in enumerate(toks):  # token hashing; vector math below
-                    hv = np.uint64(14695981039346656037)
-                    for ch in t.encode("utf-8"):
-                        hv = (hv ^ np.uint64(ch)) * np.uint64(1099511628211)
-                    hs[j] = hv
-                bits = ((hs[:, None] & bitw[None, :]) != 0).astype(np.int64)
-                acc = (2 * bits - 1).sum(axis=0)
-                out[i] = np.int64(((acc > 0).astype(np.uint64) * bitw).sum().astype(np.uint64).view(np.int64))
-        return pd.Series(out)
-
-    return simhash_udf
+    explode(lower-split tokens) -> xxhash64(token) -> per-bit sums
+    sum(±1) as 64 map-side-combined aggregates -> sign bits packed
+    back into one long. No Python worker anywhere; the shuffle after
+    the partial agg is 64 longs per document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda t: t != "")
+        ).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(term, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select("_id", packed.alias("_sh"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit band join then exact
-    Hamming filter via F.bit_count (JVM-side)."""
-    sim = make_simhash_udf()
-    sig = df.select(F.col(id_col).alias("_id"), sim(F.col(text_col)).alias("_sh"))
+    Hamming filter via F.bit_count — every stage JVM codegen."""
+    sig = simhash_signatures(df, id_col, text_col)
     bands = sig.select(
         "_id", "_sh",
         F.posexplode(
@@ -214,41 +270,64 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text", max_hammin
 
 # ----------------------- embedding near-dup ---------------------------
 
-def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """embedding -> LSH sketch (sign bits against random hyperplanes)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_planes))
-    bitw = (1 << np.arange(n_planes)).astype(np.int64)
+def make_band_sketch_udf(dim: int, bands: int = 8, rows_per_band: int = 8, seed: int = 42):
+    """embedding -> array<long> of per-band sign-bit keys (signed
+    random projections, banded like MinHash LSH).
 
-    @pandas_udf(LongType())
+    A pair at cosine threshold t agrees on one bit with p = 1 - θ/π
+    (θ = arccos t); a single n-bit sketch requiring ALL bits equal has
+    recall p^n (~8% at t=0.9, n=16 — the round-1 bug). Banding gives
+    1-(1-p^r)^b (~94% at t=0.9 with 8x8), with exact verify after.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, bands * rows_per_band))
+    bitw = (1 << np.arange(rows_per_band)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
     def sketch_udf(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())
-        proj = m.astype(np.float64) @ planes
-        return pd.Series(((proj > 0).astype(np.int64) * bitw[None, :]).sum(axis=1))
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ planes > 0).astype(np.int64).reshape(len(m), bands, rows_per_band)
+        keys = (bits * bitw[None, None, :]).sum(axis=2)
+        return pd.Series(list(keys))
 
     return sketch_udf
 
 
 def embedding_near_dup(
     df: DataFrame, id_col: str, emb_col: str = "embedding",
-    dim: int = 64, threshold: float = 0.95, n_planes: int = 16, seed: int = 42,
+    dim: int = 64, threshold: float = 0.9, bands: int = 8,
+    rows_per_band: int = 8, seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs by cosine >= threshold, bucketed by hyperplane
-    sketch (exact cosine verified with built-in zip_with/aggregate —
-    JVM-side, no UDF in the verify)."""
-    sk = make_hyperplane_udf(dim, n_planes, seed)
-    sig = df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"),
-                    sk(F.col(emb_col)).alias("_sk"))
-    l, r = sig.alias("l"), sig.alias("r")
-    dot = F.aggregate(
-        F.zip_with("l._emb", "r._emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    """Near-dup pairs by cosine >= threshold: banded hyperplane-sketch
+    bucket join (ids-only band rows), exact cosine verify with
+    built-in zip_with/aggregate — JVM-side, no UDF in the verify."""
+    sk = make_band_sketch_udf(dim, bands, rows_per_band, seed)
+    sig = df.select(F.col(id_col).alias("_id"), sk(F.col(emb_col)).alias("_sk"))
+    banded = sig.select("_id", F.posexplode("_sk").alias("_band", "_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(f"{side}._emb", lambda v: v * v), F.lit(0.0), lambda a, v: a + v)
+    embs = df.select(F.col(id_col).alias("_eid"), F.col(emb_col).alias("_e"))
+    cand = (
+        cand.join(embs, cand["id_a"] == embs["_eid"]).drop("_eid").withColumnRenamed("_e", "_ea")
+        .join(embs, F.col("id_b") == embs["_eid"]).drop("_eid").withColumnRenamed("_e", "_eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda v: v * v), F.lit(0.0), lambda a, v: a + v)
     )
     return (
-        l.join(r, (F.col("l._sk") == F.col("r._sk")) & (F.col("l._id") < F.col("r._id")))
-        .withColumn("cosine", dot / (norm("l") * norm("r")))
+        cand.withColumn("cosine", dot / (norm("_ea") * norm("_eb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

@@ -604,8 +604,23 @@ def doc_fingerprints(spark, sf_dir):
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup(e, "vec_id", dim=64, threshold=0.9).select(
+    """Banded-sketch near-dup with planted near-duplicates: the raw
+    table's max pairwise cosine is ~0.51 at every SF, so without
+    planting the threshold-0.9 check is vacuous (round 1 returned 0
+    rows). Each vec_id<%5==0 vector gets a deterministic blended twin
+    (cos ~0.95-0.99); recall >= 0.9 vs brute force is pytest-asserted
+    (tests/test_dedup.py)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    planted = (
+        a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") % 5 == 0)
+        .select(
+            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            F.zip_with("a.embedding", "b.embedding", lambda x, y: x * 0.97 + y * 0.08).alias("embedding"),
+        )
+    )
+    return dedup.embedding_near_dup(e.unionByName(planted), "vec_id", dim=64, threshold=0.9).select(
         "id_a", "id_b"
     ).orderBy("id_a", "id_b")
 

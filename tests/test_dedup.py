@@ -57,3 +57,71 @@ def test_embedding_near_dup(spark):
     pairs = dedup.embedding_near_dup(both, "vec_id", dim=64, threshold=0.999).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 999999) in got
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark):
+    """Planted perturbed near-duplicates: banded sketches must recover
+    >= 0.9 of the brute-force cosine>=0.9 ground truth (the round-1
+    single-sketch construction had ~8% expected recall and returned 0
+    pairs)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    # plant: blend each base vector with its successor (cos ~0.95-0.99)
+    a, b = emb.alias("a"), emb.alias("b")
+    planted = (
+        a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            F.zip_with("a.embedding", "b.embedding", lambda x, y: x * 0.97 + y * 0.08).alias("embedding"),
+        )
+    )
+    both = emb.unionByName(planted)
+    pdf = both.toPandas()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    cos = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if cos[i, j] >= 0.9
+    }
+    assert len(truth) >= 100  # planting actually created near-dups
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup(both, "vec_id", dim=64, threshold=0.9).collect()
+    }
+    assert not got - truth  # exact verify: zero false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_minhash_band_rows_schema_is_ids_only(spark, docs_with_dups):
+    """The LSH band shuffle must carry (_id, _band, _bucket) only —
+    text through a x16 explode was the round-1 scale-killer."""
+    rows = dedup.minhash_band_rows(docs_with_dups, "doc_id")
+    assert rows.columns == ["_id", "_band", "_bucket"]
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(spark):
+    """200 identical docs -> every bucket hot -> capped out; two
+    distinct near-dups still pair up via their own buckets."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, base) for i in range(200)]
+    rows += [(1000, "completely different text about spark shuffles and joins here"),
+             (1001, "completely different text about spark shuffles and joins there")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", threshold=0.5, max_bucket=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in got  # small buckets still matched
+    assert not any(a < 200 and b < 200 for a, b in got)  # hot bucket dropped, not exploded
+
+
+def test_simhash_is_jvm_only(spark, docs_with_dups):
+    """No Python worker in the simhash signature plan (round-1 ran
+    per-token/per-byte FNV loops inside a pandas UDF)."""
+    sig = dedup.simhash_signatures(docs_with_dups, "doc_id")
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -110,6 +110,11 @@ def knn(
     ``exclude_self`` drops candidates whose point_id equals the
     query_id (self-kNN over one table).
     """
+    if res < 2:
+        # at a 2x2 grid a ring of 1 wraps onto itself (duplicate
+        # candidates would corrupt row_number); res 2 is the terminal
+        # full-enumeration level anyway
+        raise ValueError("knn requires res >= 2")
     dlat_deg = 180.0 / float(1 << res)
 
     pts = points.select(
@@ -165,19 +170,59 @@ def knn(
         if ring >= n_cells // 2:
             break  # disk would cover the whole grid: brute-force the rest
     if pending is not None and not pending.isEmpty():
-        # coarse fallback: bounded brute force for the stragglers
-        # (reference's overview fallback for radii beyond MAX_DEPTH)
-        cand = F.broadcast(pending).crossJoin(pts)
-        if exclude_self:
-            cand = cand.filter(F.col("_nid") != F.col("_qid"))
-        cand = cand.withColumn(
-            "_dist", sq_dist_deg(F.col("_qlat"), F.col("_qlon"), F.col("_nlat"), F.col("_nlon"))
-        )
-        finished_parts.append(
-            cand.withColumn("_rank", F.row_number().over(w))
-            .filter(F.col("_rank") <= k)
-            .select("_qid", "_qlat", "_qlon", "_qcell", "_nid", "_dist", "_rank")
-        )
+        if res > 2:
+            # coarse-LOD fallback: restart ring expansion on a 4x
+            # coarser grid (each ring covers 16x the area, so sparse
+            # regions finish in a couple of rounds) — the reference's
+            # probe-the-overview escape hatch
+            # (reference algorithms/_nan_utils.py:836-871), with cell
+            # pruning intact instead of a crossJoin over all points.
+            coarse = knn(
+                points, pending.select(
+                    F.col("_qid").alias(query_id),
+                    F.col("_qlat").alias(lat_col),
+                    F.col("_qlon").alias(lon_col),
+                ),
+                k=k, res=max(2, res - 2), point_id=point_id, query_id=query_id,
+                lat_col=lat_col, lon_col=lon_col, k0=k0,
+                max_rounds=max_rounds, exclude_self=exclude_self,
+                broadcast_queries=broadcast_queries,
+            )
+            finished_parts.append(coarse.select(
+                F.col(query_id).alias("_qid"),
+                F.lit(0.0).alias("_qlat"), F.lit(0.0).alias("_qlon"),
+                F.lit(0).cast("long").alias("_qcell"),
+                F.col("neighbor_id").alias("_nid"),
+                F.col("dist_sq_deg").alias("_dist"),
+                F.col("rank").alias("_rank"),
+            ))
+        else:
+            # terminal level (<= 4x4 grid): enumerate EVERY cell once
+            # via sequence() and equi-join — exact top-k with the same
+            # hash-join shape as the ring rounds; no CartesianProduct /
+            # BroadcastNestedLoopJoin node ever enters the plan
+            probe = (
+                pending.withColumn("_jx", F.explode(F.sequence(F.lit(0), F.lit(n_cells - 1))))
+                .withColumn("_jy", F.explode(F.sequence(F.lit(0), F.lit(n_cells - 1))))
+                .withColumn(
+                    "_jcell",
+                    base + F.shiftleft(F.col("_jx").cast("long"), cells.X_SHIFT) + F.col("_jy"),
+                )
+                .drop("_jx", "_jy")
+            )
+            if broadcast_queries:
+                probe = F.broadcast(probe)
+            cand = probe.join(pts, probe["_jcell"] == pts["_ncell"], "inner")
+            if exclude_self:
+                cand = cand.filter(F.col("_nid") != F.col("_qid"))
+            cand = cand.withColumn(
+                "_dist", sq_dist_deg(F.col("_qlat"), F.col("_qlon"), F.col("_nlat"), F.col("_nlon"))
+            )
+            finished_parts.append(
+                cand.withColumn("_rank", F.row_number().over(w))
+                .filter(F.col("_rank") <= k)
+                .select("_qid", "_qlat", "_qlon", "_qcell", "_nid", "_dist", "_rank")
+            )
 
     out = finished_parts[0]
     for part in finished_parts[1:]:

@@ -128,6 +128,23 @@ def _packed_tiles(points: DataFrame, z: int, halo: int, weight_col: str | None) 
     return sel.repartition(_kernel_parallelism(points), "_tk")
 
 
+# A17 skip-filter note: the reference skips all-NoData tile windows
+# before running the kernel (reference core/tile_processor.py:864-874).
+# Here that case is structurally free — a tile with zero points in
+# core+halo has no shuffle rows, so no group exists and the kernel
+# never runs. ``skip_empty_core`` extends the skip to tiles whose CORE
+# is empty (only halo spill-ins): their output is pure boundary bleed
+# of neighbors, the analog of the reference's nodata-tile shortcut.
+_CORE_FLAG = "_core"
+
+
+def _with_core_flag(packed: DataFrame) -> DataFrame:
+    own = F.shiftleft(F.shiftright(F.col("_gk"), 32 + 8), 32) + F.shiftright(
+        F.col("_gk").bitwiseAND(F.lit(_MASK32)), 8
+    )
+    return packed.withColumn(_CORE_FLAG, own == F.col("_tk"))
+
+
 def _accumulate_grid(
     pdf: pd.DataFrame, z: int, halo: int, weight_col: str | None, dtype=np.float64
 ) -> np.ndarray:
@@ -287,6 +304,7 @@ def tile_kernel(
     halo: int | None = None,
     weight_col: str | None = None,
     log_scale: bool = True,
+    skip_empty_core: bool = False,
     **kernel_params,
 ) -> DataFrame:
     """Rasterize + stencil: one row per tile (z, x, y, result 256²).
@@ -296,12 +314,28 @@ def tile_kernel(
     the reference's map_overlap/tile pipeline (test-enforced: tiled
     output == whole-raster output on the core, the reference's
     tile-stability pattern tests/test_visual_saliency_tile_stability.py).
+
+    skip_empty_core (A17): drop tiles that own no points (only halo
+    spill-ins) before running the kernel.
     """
     fn_kernel, _ = KERNELS[kernel]
     h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
+    if skip_empty_core:
+        pts = _with_core_flag(pts)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if skip_empty_core:
+            if not pdf[_CORE_FLAG].to_numpy().any():
+                return pd.DataFrame(
+                    {
+                        "z": pd.Series(dtype="int32"),
+                        "x": pd.Series(dtype="int64"),
+                        "y": pd.Series(dtype="int64"),
+                        "result": pd.Series(dtype="object"),
+                    }
+                )
+            pdf = pdf.drop(columns=[_CORE_FLAG])
         grid = _accumulate_grid(pdf, z, h, weight_col)
         if log_scale:
             grid = np.log1p(grid)

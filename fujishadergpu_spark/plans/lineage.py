@@ -89,14 +89,15 @@ def run_stage_idempotent(
     the partial partition instead of duplicating rows.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    done = lineage.completed_keys(stage)
+    # completed keys are read TWICE (anti-join + readback diff) but the
+    # lineage log is tiny; the expensive upstream ``df`` executes
+    # exactly ONCE — inside the write. (The previous shape pre-counted
+    # pending keys, materializing the whole upstream stage, then the
+    # write recomputed it: every pipeline stage ran twice.)
+    done = lineage.completed_keys(stage).localCheckpoint()
     pending = df.withColumn("_pk", F.col(key_col).cast("string")).join(
         done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
     )
-    n_pending_keys = pending.select("_pk").distinct().count()
-    if n_pending_keys == 0:
-        return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
-
     (
         pending.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -104,9 +105,12 @@ def run_stage_idempotent(
         .parquet(out_path)
     )
 
-    # validate-by-readback + metrics (only the keys written this run)
+    # validate-by-readback + metrics. Keys written THIS run = readback
+    # keys minus previously-completed keys (disk = old ∪ new under
+    # dynamic overwrite) — derived from the cheap readback scan, never
+    # by re-executing the upstream.
     written = spark.read.parquet(out_path).join(
-        pending.select("_pk").distinct(), "_pk", "left_semi"
+        done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
     )
     now = time.time()
     metrics = (
@@ -123,6 +127,9 @@ def run_stage_idempotent(
         )
     ).cache()
     n_keys = metrics.count()
+    if n_keys == 0:
+        metrics.unpersist()
+        return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
     # best-effort per-partition byte sizes (local/posix paths)
     rows = metrics.collect()
     out = []
@@ -133,3 +140,35 @@ def run_stage_idempotent(
     lineage.append(spark.createDataFrame(out, LINEAGE_SCHEMA))
     metrics.unpersist()
     return {"run_id": run_id, "stage": stage, "keys_processed": n_keys, "skipped": False}
+
+
+def audit_stage(spark: SparkSession, out_path: str, lineage: LineageLog, stage: str) -> DataFrame:
+    """A20 post-write validation: per-key row counts on disk vs the
+    lineage log (the reference's written-COG audit,
+    reference io/cog_validator.py:16-127). One row per key with
+    status 'ok' / 'count_mismatch' / 'missing_on_disk' /
+    'unlogged_on_disk' — a corrupted, truncated, or orphaned partition
+    surfaces here without re-executing any upstream stage."""
+    disk = (
+        spark.read.parquet(out_path)
+        # partition-column inference may read _pk back as int; lineage
+        # keys are strings
+        .groupBy(F.col("_pk").cast("string").alias("partition_key"))
+        .agg(F.count("*").alias("disk_rows"))
+    )
+    # latest lineage row per key (keys may be re-logged across runs)
+    lw = lineage.read().filter((F.col("stage") == stage) & (F.col("status") == "ok"))
+    latest = lw.groupBy("partition_key").agg(
+        F.max_by("row_count", "ts").alias("logged_rows")
+    )
+    j = disk.join(latest, "partition_key", "full_outer")
+    return j.select(
+        "partition_key",
+        "disk_rows",
+        "logged_rows",
+        F.when(F.col("disk_rows").isNull(), "missing_on_disk")
+        .when(F.col("logged_rows").isNull(), "unlogged_on_disk")
+        .when(F.col("disk_rows") == F.col("logged_rows"), "ok")
+        .otherwise("count_mismatch")
+        .alias("audit_status"),
+    )

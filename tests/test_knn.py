@@ -54,3 +54,30 @@ def test_knn_k_larger_than_points(spark):
     rows = knn(pts, pts, k=5, res=7, point_id="id", query_id="id", exclude_self=True).collect()
     # only 1 neighbor exists per query
     assert len(rows) == 2 and all(r["rank"] == 1 for r in rows)
+
+
+def test_knn_fallback_never_cartesian(spark):
+    """The straggler fallback is a coarse-LOD ring probe + terminal
+    full-cell enumeration — the plan must contain no CartesianProduct
+    / BroadcastNestedLoopJoin at any recursion level (the round-1
+    fallback was broadcast(pending).crossJoin(points))."""
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 20.0, 20.0), (3, -25.0, 10.0)],
+        "id long, lat double, lon double",
+    )
+    out = knn(pts, pts, k=2, res=10, point_id="id", query_id="id",
+              exclude_self=True, max_rounds=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and it still returns the true neighbors
+    got = {(r["id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert got[(1, 1)] in (2, 3) and len(got) == 6
+
+
+def test_knn_rejects_degenerate_res(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+    with pytest.raises(ValueError):
+        knn(pts, pts, k=1, res=1)

@@ -45,6 +45,45 @@ def test_crash_resume_completes(spark, tmp_path):
     assert all(r["count"] == 1 for r in per_key)
 
 
+def test_upstream_executes_exactly_once(spark, tmp_path):
+    """The round-1 shape pre-counted pending keys and then wrote,
+    executing every upstream stage twice; now the only full execution
+    is the write itself (metrics come from the readback)."""
+    from pyspark.sql.functions import udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @udf("long")
+    def tick(x):
+        acc.add(1)
+        return x
+
+    df = _mkdf(spark).withColumn("ticked", tick("v"))
+    lin = LineageLog(spark, str(tmp_path / "lineage"))
+    run_stage_idempotent(spark, df, "bucket", str(tmp_path / "out"), lin, "s", run_id="r1")
+    assert acc.value == 1000, f"upstream ran {acc.value / 1000:.1f}x"
+
+
+def test_audit_stage_flags_tampered_partition(spark, tmp_path):
+    """A20: the post-write audit compares on-disk row counts against
+    the lineage log and flags truncated / orphaned partitions."""
+    import shutil
+
+    from fujishadergpu_spark.plans.lineage import audit_stage
+
+    df = _mkdf(spark)
+    lin = LineageLog(spark, str(tmp_path / "lineage"))
+    out = str(tmp_path / "out")
+    run_stage_idempotent(spark, df, "bucket", out, lin, "s", run_id="r1")
+    audit = {r["partition_key"]: r["audit_status"] for r in audit_stage(spark, out, lin, "s").collect()}
+    assert set(audit.values()) == {"ok"} and len(audit) == 10
+    # truncate one partition behind the log's back
+    shutil.rmtree(f"{out}/_pk=3")
+    audit2 = {r["partition_key"]: r["audit_status"] for r in audit_stage(spark, out, lin, "s").collect()}
+    assert audit2["3"] == "missing_on_disk"
+    assert all(v == "ok" for k, v in audit2.items() if k != "3")
+
+
 def test_partial_partition_overwritten(spark, tmp_path):
     """A key written but never logged (crash between write and log)
     is re-processed and the partition replaced, not duplicated."""

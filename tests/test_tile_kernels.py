@@ -114,6 +114,29 @@ def test_new_kernels_seam_free_via_spark(spark, points_df):
             assert np.array_equal(g, sl), f"{name}: seam in tile {(t['x'], t['y'])}"
 
 
+def test_skip_empty_core_drops_halo_only_tiles(spark):
+    """A17: one point 2px from a tile edge with a large halo spills
+    into the neighbor tile; with skip_empty_core the neighbor (which
+    owns nothing) is skipped, the owner is kept with identical
+    values."""
+    lat, lon = 0.01, (1022.5 / 2048.0) * 360.0 - 180.0  # 2px inside tile 3 in x
+    owner = tuple(
+        int(v[0]) for v in np_tile_pixel(np.array([lat]), np.array([lon]), Z)[:2]
+    )
+    pts = spark.createDataFrame([(1, lat, lon)], "id long, lat double, lon double")
+    both = {
+        (t["x"], t["y"]): t["result"]
+        for t in tile_kernel(pts, Z, kernel="hillshade", halo=8).collect()
+    }
+    kept = {
+        (t["x"], t["y"]): t["result"]
+        for t in tile_kernel(pts, Z, kernel="hillshade", halo=8, skip_empty_core=True).collect()
+    }
+    assert len(both) > 1  # halo spill created neighbor tiles
+    assert set(kept) == {owner}  # only the owning tile survives
+    assert list(both[owner]) == list(kept[owner])  # owner output unchanged
+
+
 def test_pyramid_mass_conservation(spark, points_df):
     base = rasterize_tiles(points_df, Z)
     pyr = build_pyramid(base, Z, 0, agg="sum")

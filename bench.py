@@ -86,6 +86,14 @@ def main():
     spark = get_spark(app_name="fujishadergpu-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: first Spark job pays JVM codegen compile + python-worker
+    # fork + numpy import (~4 s); run one JVM-only and one
+    # pandas-UDF-bearing query untimed so per-query numbers measure
+    # the queries, not session spin-up
+    materialize(Q.QUERIES["q6_revenue_delta"](spark, sf_dir))
+    materialize(Q.QUERIES["geo_cells_r7"](spark, sf_dir).limit(10))
+    materialize(Q.QUERIES["tile_hillshade_z6"](spark, sf_dir).limit(1))
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]

@@ -30,27 +30,38 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 _DEC = r"(-?\d+(?:\.\d+)?)"
-URL_LAT_RE = rf"[?&]lat={_DEC}"
-URL_LON_RE = rf"[?&]lon={_DEC}"
-URL_MLAT_RE = r"[?&]mlat=(-?\d+)"
-URL_MLON_RE = r"[?&]mlon=(-?\d+)"
+URL_LAT_RE = rf"[?&]m?lat={_DEC}"
+URL_LON_RE = rf"[?&]m?lon={_DEC}"
 TEXT_COORD_RE = rf"near \({_DEC}, {_DEC}\)"
 
 
 def lat_lon_from_url(url: Column) -> tuple[Column, Column]:
-    """(lat, lon) doubles from URL query params; decimal params win,
-    micro-degree ints are the fallback. NULL when absent."""
-    dlat = F.regexp_extract(url, URL_LAT_RE, 1)
-    dlon = F.regexp_extract(url, URL_LON_RE, 1)
-    mlat = F.regexp_extract(url, URL_MLAT_RE, 1)
-    mlon = F.regexp_extract(url, URL_MLON_RE, 1)
-    lat = F.when(dlat != "", dlat.cast("double")).otherwise(
-        F.when(mlat != "", mlat.cast("double") / F.lit(100000.0))
-    )
-    lon = F.when(dlon != "", dlon.cast("double")).otherwise(
-        F.when(mlon != "", mlon.cast("double") / F.lit(100000.0))
-    )
-    return lat, lon
+    """(lat, lon) doubles from URL query params — decimal
+    ``lat=/lon=`` or micro-degree integer ``mlat=/mlon=``. NULL when
+    absent.
+
+    ONE regex pass per coordinate (the round-1 shape ran 4 separate
+    regexp_extract scans over every URL — scan-side CPU dominated the
+    ingest stage): a single ``m?lat=`` pattern captures the whole
+    ``[?&]m?lat=<value>`` token, then non-regex string ops split the
+    value (substring_index) and pick the micro-degree scaling (does
+    the MATCHED token start with a micro key). When a URL carries both
+    forms the first occurrence wins — the page model puts the decimal
+    form first, preserving the decimal-first precedence.
+    Bit-parity: ``x / 1.0`` is exact in IEEE, so the decimal path is
+    unchanged ulp-for-ulp.
+    """
+
+    def coord(key: str) -> Column:
+        tok = F.regexp_extract(url, rf"[?&]m?{key}={_DEC}", 0)
+        is_micro = F.substring(tok, 2, 1) == "m"  # char 1 is the [?&]
+        return F.when(
+            tok != "",
+            F.substring_index(tok, "=", -1).cast("double")
+            / F.when(is_micro, F.lit(100000.0)).otherwise(F.lit(1.0)),
+        )
+
+    return coord("lat"), coord("lon")
 
 
 def lat_lon_from_text(text: Column) -> tuple[Column, Column]:

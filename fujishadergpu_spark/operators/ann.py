@@ -76,12 +76,16 @@ def brute_force_topk(
 
 def train_centroids(
     corpus: DataFrame, m: int, id_col: str = "vec_id", emb_col: str = "embedding",
-    iters: int = 2,
+    iters: int = 2, sample_target: int = 65536,
 ) -> np.ndarray:
     """Deterministic k-means-lite: seed centroids from a strided id
-    sample, refine with ``iters`` distributed Lloyd steps (assignment
-    via pandas-UDF matmul, means via groupBy on the posexploded
-    embedding — all aggregation JVM-side)."""
+    sample, refine with ``iters`` Lloyd steps over a BOUNDED
+    deterministic hash sample (~sample_target rows, materialized once)
+    — training never rescans the corpus per iteration, so the pre-pass
+    cost is O(sample) regardless of corpus size (the standard IVF
+    practice; round 1 ran each Lloyd step over all dim x N exploded
+    rows). Assignment via pandas-UDF matmul, means via groupBy on the
+    posexploded embedding — aggregation JVM-side."""
     total = corpus.count()
     stride = max(1, total // m)
     cents = np.stack(
@@ -89,9 +93,15 @@ def train_centroids(
         .orderBy(id_col).limit(m)
         .select(emb_col).toPandas()[emb_col].to_numpy()
     ).astype(np.float64)
+    mod = max(1, total // sample_target)
+    sample = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .select(emb_col)
+        .localCheckpoint()  # materialize once; Lloyd steps reuse it
+    )
     for _ in range(iters):
         assign = assign_bucket_udf(cents)
-        assigned = corpus.select(F.col(emb_col), assign(F.col(emb_col)).alias("_b"))
+        assigned = sample.select(F.col(emb_col), assign(F.col(emb_col)).alias("_b"))
         means = (
             assigned.select("_b", F.posexplode(emb_col).alias("_i", "_v"))
             .groupBy("_b", "_i").agg(F.avg("_v").alias("_m"))

@@ -64,12 +64,35 @@ def polygon_cover(polygons: DataFrame, res: int, ring_col: str = "ring") -> Data
     def cy(lat):
         return F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor((lat + 90.0) / 180.0 * float(n)).cast("long")))
 
+    # Precondition (checked, not assumed): rings must not cross the
+    # antimeridian and coords must be in range — a crossing ring's
+    # lon-bbox cover would silently MISS its true cells (false
+    # negatives), the worst failure mode for a join. Split such rings
+    # at ±180 upstream. assert_true is evaluated once per polygon row
+    # (the small build side), free at probe scale.
+    lon_ok = (
+        (F.array_max(lons) - F.array_min(lons) <= 180.0)
+        & (F.array_min(lons) >= -180.0) & (F.array_max(lons) <= 180.0)
+        & (F.array_min(lats) >= -90.0) & (F.array_max(lats) <= 90.0)
+    )
+    guard = F.assert_true(
+        lon_ok,
+        F.concat(
+            F.lit("polygon_cover: ring crosses the antimeridian or has out-of-range "
+                  "coords (split at ±180 first); ring_lon="),
+            F.col("ring_lon").cast("string"),
+        ),
+    )
     out = (
         polygons.withColumns(
             {
                 "ring_lon": lons,
                 "ring_lat": lats,
-                "_x0": cx(F.array_min(lons)),
+            }
+        )
+        .withColumns(
+            {
+                "_x0": cx(F.array_min(lons)) + F.coalesce(guard.cast("long"), F.lit(0)),
                 "_x1": cx(F.array_max(lons)),
                 "_y0": cy(F.array_min(lats)),
                 "_y1": cy(F.array_max(lats)),
@@ -197,6 +220,8 @@ def make_pip_closure_udf(ring_rows: list[tuple[int, np.ndarray, np.ndarray]]):
     columns instead (rings_in_closure=False).
     """
     pids = np.array([r[0] for r in ring_rows], dtype=np.int64)
+    if len(np.unique(pids)) != len(pids):
+        raise ValueError("pip index: duplicate polygon_id in ring table")
     order = np.argsort(pids)
     pids = pids[order]
     max_nv = max(len(ring_rows[i][1]) for i in range(len(ring_rows)))
@@ -218,7 +243,18 @@ def make_pip_closure_udf(ring_rows: list[tuple[int, np.ndarray, np.ndarray]]):
             return pd.Series(np.zeros(0, dtype=bool))
         px = lon.to_numpy(dtype=np.float64)
         py = lat.to_numpy(dtype=np.float64)
-        rows = np.searchsorted(pids, polygon_id.to_numpy(dtype=np.int64))
+        ids = polygon_id.to_numpy(dtype=np.int64)
+        rows = np.searchsorted(pids, ids)
+        # an id absent from the index would silently ray-cast against
+        # the WRONG ring (searchsorted returns an insertion point, or n
+        # -> IndexError) — possible when pip_join is called with an
+        # index built from a different polygon table
+        rows = np.minimum(rows, len(pids) - 1)
+        if not (pids[rows] == ids).all():
+            missing = ids[pids[rows] != ids][:5]
+            raise ValueError(
+                f"pip index/polygon-table mismatch: ids {missing.tolist()} not in index"
+            )
         rx = RX[rows]
         ry = RY[rows]
         inside = np.zeros(n, dtype=bool)

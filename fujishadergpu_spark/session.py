@@ -78,6 +78,13 @@ def get_spark(
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    # scale shuffle width with the configured parallelism (2 waves;
+    # AQE coalesces small stages back down) — a fixed 32 starves
+    # local[8]-style runs of shuffle parallelism headroom and caps
+    # bigger ones at one wave per 32 cores
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus_env.isdigit():
+        confs["spark.sql.shuffle.partitions"] = str(max(32, 2 * int(cpus_env)))
     local_dirs = _local_dirs()
     if local_dirs:
         confs["spark.local.dir"] = local_dirs

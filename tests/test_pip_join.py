@@ -71,3 +71,42 @@ def test_pip_plan_is_broadcast(spark, points_df):
     """Small build side must broadcast (no shuffle of the point table)."""
     plan = pip_join(points_df, polygons(spark), res=6)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _ring(*pts):
+    return [{"lon": float(a), "lat": float(b)} for a, b in pts]
+
+
+def test_antimeridian_ring_rejected(spark):
+    """A crossing ring's lon-bbox cover would silently drop matches —
+    the precondition is checked, not assumed (ADVICE r1)."""
+    import pytest
+
+    from fujishadergpu_spark.operators.pip_join import polygon_cover
+
+    bad = spark.createDataFrame(
+        [(1, _ring((170, 0), (-170, 0), (-170, 10), (170, 10)))],
+        "polygon_id long, ring array<struct<lon:double,lat:double>>",
+    )
+    with pytest.raises(Exception, match="antimeridian"):
+        polygon_cover(bad, 5).count()
+
+
+def test_index_table_mismatch_raises(spark):
+    """pip_join with an index built from a DIFFERENT polygon table must
+    fail loudly, not ray-cast against the wrong ring (ADVICE r1)."""
+    import pytest
+
+    from fujishadergpu_spark.operators.pip_join import PipIndex, pip_join
+
+    good = spark.createDataFrame(
+        [(1, _ring((0, 0), (10, 0), (10, 10), (0, 10)))],
+        "polygon_id long, ring array<struct<lon:double,lat:double>>",
+    )
+    other = spark.createDataFrame(
+        [(99, _ring((0, 0), (10, 0), (10, 10), (0, 10)))],
+        "polygon_id long, ring array<struct<lon:double,lat:double>>",
+    )
+    pts = spark.createDataFrame([(1, 5.0, 5.0)], "id long, lat double, lon double")
+    with pytest.raises(Exception, match="not in index"):
+        pip_join(pts, other, index=PipIndex(good)).count()

@@ -96,7 +96,7 @@ def _plan_scales(radii: list[int], threshold: int) -> tuple[list[int], dict[int,
 def multiscale_usm(
     points: DataFrame,
     z: int,
-    radii: tuple[int, ...] = (2, 8, 32, 128),
+    radii: tuple[int, ...] | None = (2, 8, 32, 128),
     weights: tuple[float, ...] | None = None,
     overview_threshold: int = 16,
     output: str = "stats",
@@ -115,6 +115,16 @@ def multiscale_usm(
     """
     if agg not in ("mean", "min", "max", "sum"):
         raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum)")  # fail at plan time, not in executors
+    if radii is None:
+        # the shared size-aware auto rule (reference
+        # algorithms/common/spatial_mode.py:21-101): the world raster
+        # at zoom z is the DEM, short side 2^z * 256 px
+        from ..functions.spatial import auto_spatial_profile
+
+        radii_l, weights_l = auto_spatial_profile(float((1 << z) * TILE_PX))
+        radii = tuple(radii_l)
+        if weights is None:
+            weights = tuple(weights_l)
     if weights is None:
         weights = tuple(1.0 / len(radii) for _ in radii)
     w_by_r = dict(zip(radii, weights))

@@ -223,3 +223,52 @@ def restore_nan(a: np.ndarray, nan_mask: np.ndarray) -> np.ndarray:
         a = a.copy()
         a[nan_mask] = np.nan
     return a
+
+
+def zoom_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (pixel-center convention, edge-clamped) — the
+    scipy.ndimage.zoom(order=1, mode='nearest') stand-in the push-pull
+    fill needs."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    return bilinear_sample(img, ys[:, None] + np.zeros((1, out_w)), xs[None, :] + np.zeros((out_h, 1)))
+
+
+def pushpull_fill(grid: np.ndarray) -> np.ndarray:
+    """Membrane-like void fill via a push-pull image pyramid: NaN
+    voids are synthesized from progressively coarser valid-weighted
+    levels, so small voids fill from fine levels and large voids from
+    coarse ones — the lowest-frequency surface consistent with the
+    surroundings, never inventing relief (reference
+    algorithms/_pyramid_fill.py:24-85 semantics, NumPy re-derivation).
+    Known cells are preserved exactly."""
+    valid = ~np.isnan(grid)
+    out = np.where(valid, grid, 0.0).astype(np.float64)
+    if valid.all():
+        return grid.astype(np.float64, copy=True)
+    if not valid.any():
+        return np.zeros_like(out)
+    eps = 1e-6
+    w = valid.astype(np.float64)
+    vws = [out * w]
+    ws = [w]
+    # push: halve (valid-weighted) until every cell has support or 1x1
+    while max(vws[-1].shape) > 1 and float(ws[-1].min()) <= eps:
+        ch, cw = vws[-1].shape
+        nh, nw = max(1, ch // 2), max(1, cw // 2)
+        num = zoom_bilinear(vws[-1], nh, nw)
+        den = zoom_bilinear(ws[-1], nh, nw)
+        wv = np.minimum(den, 1.0)
+        mean = np.where(den > eps, num / np.maximum(den, eps), 0.0)
+        vws.append(mean * wv)
+        ws.append(wv)
+    # pull: synthesize from coarsest up; fill only unsupported cells
+    filled = np.where(ws[-1] > eps, vws[-1] / np.maximum(ws[-1], eps), 0.0)
+    for lvl in range(len(vws) - 2, -1, -1):
+        th, tw = vws[lvl].shape
+        up = zoom_bilinear(filled, th, tw)
+        wl = ws[lvl]
+        vl = np.where(wl > eps, vws[lvl] / np.maximum(wl, eps), 0.0)
+        filled = np.where(wl > eps, vl, up)
+    return np.where(valid, grid, filled).astype(np.float64)

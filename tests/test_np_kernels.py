@@ -263,3 +263,44 @@ def test_specular_range_and_flat():
     assert (out >= 0).all() and (out <= 1).all()
     flat = K.np_specular(np.zeros((48, 48)), roughness_norm_scale=1.0)
     assert np.allclose(flat, flat[24, 24])  # flat -> uniform shade
+
+
+def test_pushpull_fill_membrane():
+    """Void fill (reference _pyramid_fill.py): known cells exact, voids
+    finite and within the surrounding range, a hole in a ramp fills
+    near the ramp (no invented relief)."""
+    from fujishadergpu_spark.operators.np_filters import pushpull_fill
+
+    y, x = np.mgrid[0:64, 0:64].astype(np.float64)
+    ramp = 2.0 * x + y
+    holed = ramp.copy()
+    holed[20:30, 20:30] = np.nan  # small void
+    holed[5:8, 50:60] = np.nan
+    filled = pushpull_fill(holed)
+    assert np.isfinite(filled).all()
+    known = ~np.isnan(holed)
+    assert np.array_equal(filled[known], ramp[known])  # exact preservation
+    hole_err = np.abs(filled[20:30, 20:30] - ramp[20:30, 20:30]).max()
+    assert hole_err < 12.0  # membrane-ish, no wild relief (ramp range is 192)
+    # degenerate cases
+    assert np.array_equal(pushpull_fill(ramp), ramp)
+    assert (pushpull_fill(np.full((8, 8), np.nan)) == 0).all()
+
+
+def test_meters_per_degree_wgs84():
+    from fujishadergpu_spark.functions.spatial import meters_per_degree
+
+    m_lon0, m_lat0 = meters_per_degree(0.0)
+    assert abs(m_lat0 - 110574) < 5 and abs(m_lon0 - 111320) < 5  # textbook equator values
+    m_lon60, m_lat60 = meters_per_degree(60.0)
+    assert abs(m_lon60 - 55800) < 100  # ~cos(60) with flattening correction
+    assert meters_per_degree(90.0)[0] > 0  # pole: positive floor
+
+
+def test_auto_spatial_profile_rule():
+    from fujishadergpu_spark.functions.spatial import auto_spatial_profile
+
+    radii, weights = auto_spatial_profile(10240.0)  # short side 10240 px
+    assert radii == [2, 8, 32, 128, 512]  # capped at short_side/10 = 1024
+    assert abs(sum(weights) - 1.0) < 1e-12 and weights[0] == max(weights)
+    assert auto_spatial_profile(10.0)[0] == [2]  # tiny DEM keeps one radius

@@ -86,6 +86,83 @@ def streaming_cell_counts(pages_stream: DataFrame, res: int = 7, watermark: str 
     )
 
 
+TRANSITION_OUT_SCHEMA = "key long, ts timestamp, from_cell long, to_cell long"
+TRANSITION_STATE_SCHEMA = "last_cell long, last_ts timestamp"
+
+
+def cell_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cell_col: str = "cell_id",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: emit one row per cell CHANGE per key
+    (movement events between spatial cells).
+
+    Streaming: ``applyInPandasWithState`` — per-key state is
+    (last_cell, last_ts); ``lag()`` is not available under streaming,
+    so this is the genuinely-custom state slot (SURVEY.md §7.3). Rows
+    are sorted by ts inside each micro-batch; rows older than the
+    stored state ts are dropped (late-data policy: transitions are
+    strictly forward in time).
+
+    ``timeout_ms`` (state eviction for long-running continuous jobs)
+    is OPT-IN: a ProcessingTimeTimeout keeps an availableNow drain
+    alive until the timeout fires, so batch-style drains (tests, the
+    parity check) must run with NoTimeout.
+
+    Batch: the identical semantics from one ``lag()`` window — the
+    twin the parity test compares against.
+    """
+    if not df.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        prev = F.lag(cell_col).over(w)
+        return (
+            df.withColumn("_prev", prev)
+            .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col(cell_col)))
+            .select(
+                F.col(key_col).alias("key"),
+                F.col(ts_col).alias("ts"),
+                F.col("_prev").alias("from_cell"),
+                F.col(cell_col).alias("to_cell"),
+            )
+        )
+
+    import pandas as pd  # noqa: PLC0415 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["key", "ts", "from_cell", "to_cell"])
+            return
+        last_cell, last_ts = state.get if state.exists else (None, None)
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for ts, cell in zip(pdf[ts_col], pdf[cell_col]):
+                if last_ts is not None and ts < last_ts:
+                    continue  # late row older than state: drop
+                if last_cell is not None and cell != last_cell:
+                    out_rows.append((key[0], ts, last_cell, cell))
+                last_cell, last_ts = cell, ts
+        state.update((last_cell, last_ts))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(int(timeout_ms))
+        yield pd.DataFrame(out_rows, columns=["key", "ts", "from_cell", "to_cell"])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        TRANSITION_OUT_SCHEMA,
+        TRANSITION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None else GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """availableNow drain into a memory sink (test/verification path)."""
     q = (

@@ -36,6 +36,24 @@ def test_session_stats_stream_matches_batch(spark, events_batch, tmp_path):
     assert got == exp
 
 
+def test_cell_transitions_stream_matches_batch(spark, events_batch, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key cell
+    transitions from the stream equal the batch lag() twin. Events get
+    a synthetic cell from value buckets; single availableNow batch so
+    in-order arrival is guaranteed (the op's documented contract)."""
+    from pyspark.sql import functions as F
+
+    with_cell = events_batch.withColumn("cell_id", (F.col("value") * 5).cast("long"))
+    src = str(tmp_path / "events_cells")
+    with_cell.write.parquet(src)
+    schema = ev.EVENTS_SCHEMA + ", cell_id long"
+    stream = spark.readStream.schema(schema).parquet(src)
+    ev.run_stream_to_memory(ev.cell_transitions(stream), "cell_trans", output_mode="append")
+    got = _rows(spark.sql("SELECT * FROM cell_trans"), ["key", "ts", "from_cell", "to_cell"])
+    exp = _rows(ev.cell_transitions(with_cell), ["key", "ts", "from_cell", "to_cell"])
+    assert got == exp and len(got) > 100
+
+
 def test_multimodal_plumbing(spark):
     from fujishadergpu_spark.sources.multimodal import extract_features, synthetic_media
 

@@ -197,7 +197,10 @@ time; min filters neighbor interference).
 The LOW pairs sit inside the socket's linear region and are the
 apples-to-apples analog of adding executors on a real cluster (per-
 task memory bandwidth roughly constant); the high pairs cross the
-single-socket bandwidth knee (see control below).
+single-socket bandwidth knee (see control below). The lowest pair can
+additionally be depressed by low-thread turbo (fewer active cores
+clock higher), an artifact a fixed-frequency cluster node does not
+have — compare the ALU control's per-proc rates.
 
 ## Control: the ceiling is the socket, not the engine
 

@@ -70,3 +70,27 @@ def test_events_window_partial_aggregation(spark):
     plan = _plan(q)
     # map-side combine before the exchange (partial_count)
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_extended_kernels_single_shuffle(spark, points_df):
+    """The halo-exchange contract holds for the ported inventory, not
+    just hillshade: one hashpartitioning exchange feeding the
+    grouped-map kernel."""
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats
+
+    for kernel, params in [("openness", {"max_distance": 8}), ("tv_decomposition", {"iterations": 12})]:
+        plan = _plan(tile_kernel_stats(points_df, 5, kernel=kernel, **params))
+        assert plan.count("Exchange hashpartitioning") == 1, kernel
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """exact_dedup's exchange must carry the 16-byte (hash, length)
+    key with map-side partial aggregation — never the text."""
+    from fujishadergpu_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(d, "doc_id"))
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    ex = plan[plan.index("Exchange hashpartitioning"):]
+    head = ex[: ex.index("\n")]
+    assert "_h" in head and "text" not in head

@@ -598,6 +598,38 @@ def doc_lang_id(spark, sf_dir):
     return d.select("doc_id", textfn.lang_id(F.col("text")).alias("pred_lang")).orderBy("doc_id")
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of textfn.lang_id, generated from the SAME stopword
+    table so the two can never drift: distinct lowered tokens, per-lang
+    intersect counts, argmax with lang-ascending tie-break."""
+    langs = sorted(textfn.STOPWORDS)
+    score_cols = ",\n         ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in textfn.STOPWORDS[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN {g} = 0 THEN 'und' {case} END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 def doc_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textfn.fingerprint_udf("text").alias("fingerprint")).orderBy("doc_id")
@@ -766,7 +798,24 @@ def knn_ring_trace(spark, sf_dir):
     p = geo_points(spark, sf_dir)
     q = p.filter(F.col("id") % 100 == 0)
     r = knn(p, q, k=3, res=7, point_id="id", query_id="id", exclude_self=True)
-    return r.groupBy("rank").agg(F.count("*").alias("n")).orderBy("rank")
+    return r.groupBy(F.col("rank").cast("long").alias("rank")).agg(
+        F.count("*").alias("n")
+    ).orderBy("rank")
+
+
+KNN_RING_TRACE_SQL = f"""
+WITH {PTS_SQL},
+q AS (SELECT * FROM pts WHERE id % 100 = 0),
+r AS (
+  SELECT CAST(row_number() OVER (
+           PARTITION BY q.id
+           ORDER BY (q.lat-p.lat)*(q.lat-p.lat)+(q.lon-p.lon)*(q.lon-p.lon), p.id
+         ) AS BIGINT) AS rank
+  FROM q JOIN pts p ON p.id != q.id
+)
+SELECT rank, COUNT(*) AS n FROM r WHERE rank <= 3
+GROUP BY rank ORDER BY rank
+"""
 
 
 def events_sessions(spark, sf_dir):
@@ -930,10 +979,12 @@ ORACLES: dict[str, str] = {
     "normalize_acctbal": NORMALIZE_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
     "geo_knn_k5": GEO_KNN_SQL,
+    "knn_ring_trace": KNN_RING_TRACE_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "doc_lang_id": LANG_ID_SQL,
     "ann_topk_cosine": ANN_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }

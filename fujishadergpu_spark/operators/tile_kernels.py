@@ -45,8 +45,13 @@ def _kernel_parallelism(df: DataFrame) -> int:
     stages pin partitions to a multiple of the cluster parallelism —
     the analog of the reference's worker-throttling-by-compute (not
     by bytes) sizing (reference config/auto_tune.py:159-192).
+
+    2 waves: measured per-partition grouped-map overhead (Arrow stream
+    + python eval setup) makes 4 waves ~1.5x slower than 1 at bench
+    scale, while heavy-tailed per-tile cost (dense urban tiles) still
+    wants more than one task per core for balance.
     """
-    return df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.sparkSession.sparkContext.defaultParallelism * 2
 
 
 # ------------------------- halo explosion ---------------------------

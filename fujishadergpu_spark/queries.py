@@ -784,6 +784,44 @@ FROM customer, s ORDER BY c_custkey
 """
 
 
+def nodata_infer_normalize(spark, sf_dir):
+    """A4 under the hash gate: plant a -9999 sentinel into ~5.3% of
+    acctbal rows, run REAL sentinel inference (one aggregate over the
+    candidate list), normalize the inferred sentinels to NULL, then
+    quantize (NULL -> DN 0). The oracle hardcodes the sentinel — if
+    inference ever fails to find it (or over-fires), the Spark output
+    diverges and the hash catches it."""
+    from .functions.encoding import infer_sentinels, normalize_nodata, quantize
+
+    c = _t(spark, sf_dir, "customer")
+    planted = c.withColumn(
+        "v",
+        F.when(F.col("c_custkey") % 19 == 0, F.lit(-9999.0)).otherwise(
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+        ),
+    )
+    sentinels = infer_sentinels(planted, "v")
+    out = normalize_nodata(planted, "v", sentinels) if sentinels else planted
+    return out.select(
+        "c_custkey", quantize(F.col("v"), 0.0, 10000.0, "uint8").alias("dn")
+    ).orderBy("c_custkey")
+
+
+from .functions.encoding import quantize_sql as _qsql  # noqa: E402
+
+NODATA_INFER_SQL = f"""
+WITH p AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 19 = 0 THEN NULL
+              WHEN c_acctbal < 0 THEN NULL
+              ELSE c_acctbal END AS v
+  FROM customer
+)
+SELECT c_custkey, {_qsql('v', 0.0, 10000.0, 'uint8')} AS dn
+FROM p ORDER BY c_custkey
+"""
+
+
 def media_features(spark, sf_dir):
     media = synthetic_media(spark, 500)
     f = extract_features(media)
@@ -924,6 +962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_tilepixel_z12": geo_tilepixel_z12,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
     "normalize_acctbal": normalize_acctbal,
+    "nodata_infer_normalize": nodata_infer_normalize,
     "geo_pip_zones": geo_pip_zones,
     "geo_knn_k5": geo_knn_k5,
     # documents / embeddings
@@ -977,6 +1016,7 @@ ORACLES: dict[str, str] = {
     "geo_tilepixel_z12": GEO_TILEPIXEL_SQL,
     "geo_tile_pixel_density_z7": GEO_TILE_PIXEL_DENSITY_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
+    "nodata_infer_normalize": NODATA_INFER_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
     "geo_knn_k5": GEO_KNN_SQL,
     "knn_ring_trace": KNN_RING_TRACE_SQL,

@@ -715,6 +715,17 @@ KERNEL_QUERY_PARAMS: dict[str, dict] = {
 }
 
 
+def spatial_hillshade_z5(spark, sf_dir):
+    """Generic spatial mode (multi-radius + large-radius-from-overview
+    path) under driver smoke: hillshade at radii (2, 8, 64) — 64 runs
+    on the 2^s-decimated LOD level and upsamples back (world-oracle
+    parity is pytest-enforced, tests/test_spatial_mode.py)."""
+    from .operators.spatial_mode import spatial_kernel
+
+    p = geo_points(spark, sf_dir)
+    return spatial_kernel(p, 5, "hillshade", radii=(2.0, 8.0, 64.0)).orderBy("x", "y")
+
+
 def tile_openness_normalized_z5(spark, sf_dir):
     """Stats pre-pass -> broadcast -> stats-injected kernel: the A9/A11
     per-algorithm global-stats injection pipeline under driver smoke
@@ -984,6 +995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": media_features,
     "knn_ring_trace": knn_ring_trace,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
+    "spatial_hillshade_z5": spatial_hillshade_z5,
     # one driver entry per ported stencil algorithm (rows-only; the
     # bit-exact oracle is the tiled==whole pytest matrix)
     **{f"tile_{k}_z5": _kernel_query(k, **p) for k, p in KERNEL_QUERY_PARAMS.items()},

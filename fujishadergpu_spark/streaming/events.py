@@ -163,6 +163,27 @@ def cell_transitions(
     )
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+):
+    """availableNow drain into a parquet sink with a durable
+    checkpoint — the production sink shape (A15): the checkpoint's
+    file-source offsets + sink commit log give exactly-once output
+    across restarts (a re-run after new files arrive processes ONLY
+    the new files; a re-run with nothing new writes nothing). On an
+    Iceberg catalog the same query targets ``.toTable(...)``."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """availableNow drain into a memory sink (test/verification path)."""
     q = (

@@ -54,6 +54,34 @@ def test_cell_transitions_stream_matches_batch(spark, events_batch, tmp_path):
     assert got == exp and len(got) > 100
 
 
+def test_parquet_sink_checkpoint_exactly_once(spark, events_batch, tmp_path):
+    """A15: the checkpointed parquet sink is exactly-once across
+    restarts — resume after new data processes only the new files;
+    resume with nothing new writes nothing."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = events_batch.filter("user_id % 2 = 0")
+    second = events_batch.filter("user_id % 2 = 1")
+    first.write.parquet(src)
+
+    def drain():
+        stream = ev.read_events_stream(spark, src, files_per_trigger=2)
+        enriched = stream.withColumn("vk", (stream["value"] * 10).cast("long"))
+        ev.run_stream_to_parquet(enriched, out, ckpt)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+    drain()  # nothing new -> no duplicates
+    assert spark.read.parquet(out).count() == n1
+    second.write.mode("append").parquet(src)
+    drain()  # only the new files processed
+    total = spark.read.parquet(out)
+    assert total.count() == events_batch.count()
+    assert total.select("event_id").distinct().count() == events_batch.count()
+
+
 def test_multimodal_plumbing(spark):
     from fujishadergpu_spark.sources.multimodal import extract_features, synthetic_media
 

@@ -69,6 +69,72 @@ def run_pipeline(spark, pages_path: str, out_root: str, zoom: int = 8, run_id: s
     return summary
 
 
+def run_render(
+    spark,
+    pages_path: str,
+    out_root: str,
+    algorithm: str = "hillshade",
+    zoom: int = 8,
+    radii: list[float] | None = None,
+    weights: list[float] | None = None,
+    agg: str = "mean",
+    run_id: str | None = None,
+) -> dict:
+    """The reference's primary command (``fujishadergpu in out
+    --algorithm X --radii ... --agg ...``) end-to-end: geoparse ->
+    rasterize -> kernel (spatial mode when radii are given) -> global
+    [p1,p99] stretch (A9/A11 pre-pass) -> uint8 quantize (A13, DN 0 =
+    NoData) -> 65,536-byte raw tile payloads written resumably with
+    lineage (A16/A18). Output rows: (z, x, y, dn: binary)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.spatial_mode import spatial_kernel
+    from .operators.tile_kernels import KERNELS, tile_kernel
+
+    if algorithm not in KERNELS:
+        raise KeyError(f"unknown algorithm {algorithm!r}; registered: {sorted(KERNELS)}")
+    pg = spark.read.parquet(pages_path)
+    pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
+    if radii:
+        t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
+                           weights=tuple(weights) if weights else None,
+                           agg=agg, output="grid")
+    else:
+        t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True)
+
+    # A9/A11 stats pre-pass: robust [p1, p99] over a deterministic tile
+    # sample, broadcast into the encode UDF
+    sampled = t.filter(F.pmod(F.xxhash64("x", "y"), F.lit(4)) == 0)
+    row = (
+        sampled.select(F.explode("result").alias("v"))
+        .filter(~F.isnan("v"))
+        .agg(F.percentile_approx("v", [0.01, 0.99], 10000).alias("p"))
+        .first()
+    )
+    lo, hi = (0.0, 1.0) if row is None or row["p"] is None else (float(row["p"][0]), float(row["p"][1]))
+    scale = hi - lo if hi - lo > 1e-12 else 1.0
+
+    def encode(it):
+        for pdf in it:
+            out = {"z": pdf["z"], "x": pdf["x"], "y": pdf["y"], "dn": []}
+            for g in pdf["result"]:
+                v = np.asarray(g, dtype=np.float64)
+                stretched = np.maximum((v - lo) / scale, 0.0)
+                dn = np.clip(np.round(stretched * 254.0 + 1.0), 1, 255)
+                dn = np.where(np.isnan(v), 0, dn).astype(np.uint8)  # DN 0 = NoData
+                out["dn"].append(dn.tobytes())
+            yield pd.DataFrame(out)
+
+    encoded = t.mapInPandas(encode, "z int, x long, y long, dn binary")
+    keyed = encoded.withColumn("bucket", F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(N_BUCKETS)))
+    lineage = LineageLog(spark, f"{out_root}/_lineage")
+    return run_stage_idempotent(
+        spark, keyed, "bucket", f"{out_root}/tiles_{algorithm}_z{zoom}", lineage,
+        f"render_{algorithm}_z{zoom}", run_id,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="fujishadergpu_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -84,6 +150,20 @@ def main(argv=None):
     p.add_argument("--zoom", type=int, default=8)
     p.add_argument("--run-id", default=None)
 
+    r = sub.add_parser(
+        "render",
+        help="run any registered algorithm over the pages table and write quantized tiles "
+             "(the reference's `fujishadergpu in out --algorithm X` analog)",
+    )
+    r.add_argument("--pages", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--algorithm", default="hillshade")
+    r.add_argument("--zoom", type=int, default=8)
+    r.add_argument("--radii", default=None, help="comma list; enables spatial mode")
+    r.add_argument("--weights", default=None, help="comma list matching --radii")
+    r.add_argument("--agg", default="mean", choices=["mean", "min", "max", "sum"])
+    r.add_argument("--run-id", default=None)
+
     args = ap.parse_args(argv)
     # under spark-submit the master comes from the submitter; local
     # runs fall back to local[$SPARK_GRAFT_CPUS]
@@ -97,6 +177,14 @@ def main(argv=None):
             summary = run_pipeline(spark, args.pages, args.out, args.zoom, args.run_id)
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")
+        elif args.cmd == "render":
+            radii = [float(x) for x in args.radii.split(",")] if args.radii else None
+            weights = [float(x) for x in args.weights.split(",")] if args.weights else None
+            s = run_render(
+                spark, args.pages, args.out, args.algorithm, args.zoom,
+                radii, weights, args.agg, args.run_id,
+            )
+            print(f"render {args.algorithm}: {s}")
     finally:
         spark.stop()
     return 0

@@ -51,3 +51,26 @@ def test_pipeline_shuffle_partition_invariance(spark, pages_path, tmp_path):
     ta = {tuple(r) for r in spark.read.parquet(f"{out_a}/tiles").select("x", "y", "lit_pixels", "shade_sum").collect()}
     tb = {tuple(r) for r in spark.read.parquet(f"{out_b}/tiles").select("x", "y", "lit_pixels", "shade_sum").collect()}
     assert ta == tb
+
+
+def test_render_cli_end_to_end(spark, tmp_path):
+    """The reference's primary command analog: kernel -> global stretch
+    -> uint8 quantize -> resumable tile sink. 65,536-byte payloads,
+    DN 0 reserved for NoData, idempotent re-run."""
+    import numpy as np
+
+    from fujishadergpu_spark.cli import run_render
+    from fujishadergpu_spark.sources.pages import pages
+
+    src = str(tmp_path / "pages")
+    pages(spark, 2000).write.parquet(src)
+    out = str(tmp_path / "render")
+    s1 = run_render(spark, src, out, algorithm="hillshade", zoom=5)
+    assert s1["keys_processed"] > 0
+    tiles = spark.read.parquet(f"{out}/tiles_hillshade_z5")
+    rows = tiles.collect()
+    assert all(len(r["dn"]) == 256 * 256 for r in rows)
+    dn = np.frombuffer(rows[0]["dn"], dtype=np.uint8)
+    assert dn.min() >= 1  # density rasters have no NoData -> DN 0 unused
+    s2 = run_render(spark, src, out, algorithm="hillshade", zoom=5)
+    assert s2["skipped"]  # lineage resume

@@ -69,6 +69,33 @@ def run_pipeline(spark, pages_path: str, out_root: str, zoom: int = 8, run_id: s
     return summary
 
 
+def run_render_many(
+    spark,
+    pages_path: str,
+    out_root: str,
+    algorithms: list[str],
+    zoom: int = 8,
+    run_id: str | None = None,
+) -> dict:
+    """Fan-out: N algorithms from ONE scan+geoparse. The reference
+    runs one algorithm per invocation (re-reading the COG each time);
+    on Spark the shared upstream persists (MEMORY_AND_DISK — the A14
+    persist-or-stream decision, safe under spill) and each algorithm
+    reuses it."""
+    from pyspark import StorageLevel
+
+    pg = spark.read.parquet(pages_path)
+    pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
+    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return {
+            a: run_render(spark, pages_path, out_root, a, zoom, run_id=run_id, _pts=pts)
+            for a in algorithms
+        }
+    finally:
+        pts.unpersist()
+
+
 def run_render(
     spark,
     pages_path: str,
@@ -79,6 +106,7 @@ def run_render(
     weights: list[float] | None = None,
     agg: str = "mean",
     run_id: str | None = None,
+    _pts=None,
 ) -> dict:
     """The reference's primary command (``fujishadergpu in out
     --algorithm X --radii ... --agg ...``) end-to-end: geoparse ->
@@ -94,8 +122,11 @@ def run_render(
 
     if algorithm not in KERNELS:
         raise KeyError(f"unknown algorithm {algorithm!r}; registered: {sorted(KERNELS)}")
-    pg = spark.read.parquet(pages_path)
-    pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
+    if _pts is not None:
+        pts = _pts  # shared persisted upstream (run_render_many)
+    else:
+        pg = spark.read.parquet(pages_path)
+        pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
     if radii:
         t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
                            weights=tuple(weights) if weights else None,
@@ -157,7 +188,8 @@ def main(argv=None):
     )
     r.add_argument("--pages", required=True)
     r.add_argument("--out", required=True)
-    r.add_argument("--algorithm", default="hillshade")
+    r.add_argument("--algorithm", default="hillshade",
+                   help="registered kernel name; comma list fans out N algorithms from one scan")
     r.add_argument("--zoom", type=int, default=8)
     r.add_argument("--radii", default=None, help="comma list; enables spatial mode")
     r.add_argument("--weights", default=None, help="comma list matching --radii")
@@ -180,11 +212,18 @@ def main(argv=None):
         elif args.cmd == "render":
             radii = [float(x) for x in args.radii.split(",")] if args.radii else None
             weights = [float(x) for x in args.weights.split(",")] if args.weights else None
-            s = run_render(
-                spark, args.pages, args.out, args.algorithm, args.zoom,
-                radii, weights, args.agg, args.run_id,
-            )
-            print(f"render {args.algorithm}: {s}")
+            algos = [a.strip() for a in args.algorithm.split(",") if a.strip()]
+            if len(algos) > 1:
+                if radii:
+                    raise SystemExit("--radii applies to single-algorithm renders")
+                for a, s in run_render_many(spark, args.pages, args.out, algos, args.zoom, args.run_id).items():
+                    print(f"render {a}: {s}")
+            else:
+                s = run_render(
+                    spark, args.pages, args.out, algos[0], args.zoom,
+                    radii, weights, args.agg, args.run_id,
+                )
+                print(f"render {algos[0]}: {s}")
     finally:
         spark.stop()
     return 0

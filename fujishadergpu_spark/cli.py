@@ -134,8 +134,15 @@ def run_render(
     else:
         t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True)
 
-    # A9/A11 stats pre-pass: robust [p1, p99] over a deterministic tile
-    # sample, broadcast into the encode UDF
+    # A9/A11 stats pre-pass: robust [p1, p99] broadcast into the encode
+    # UDF. The kernel output is persisted so the pre-pass action and
+    # the encode write run the expensive rasterize+kernel ONCE (the
+    # A14 persist decision; without it every render computed the
+    # kernel twice — the tile-hash filter sits above the grouped map
+    # and cannot prune kernel work)
+    from pyspark import StorageLevel
+
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sampled = t.filter(F.pmod(F.xxhash64("x", "y"), F.lit(4)) == 0)
     row = (
         sampled.select(F.explode("result").alias("v"))
@@ -160,10 +167,13 @@ def run_render(
     encoded = t.mapInPandas(encode, "z int, x long, y long, dn binary")
     keyed = encoded.withColumn("bucket", F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(N_BUCKETS)))
     lineage = LineageLog(spark, f"{out_root}/_lineage")
-    return run_stage_idempotent(
-        spark, keyed, "bucket", f"{out_root}/tiles_{algorithm}_z{zoom}", lineage,
-        f"render_{algorithm}_z{zoom}", run_id,
-    )
+    try:
+        return run_stage_idempotent(
+            spark, keyed, "bucket", f"{out_root}/tiles_{algorithm}_z{zoom}", lineage,
+            f"render_{algorithm}_z{zoom}", run_id,
+        )
+    finally:
+        t.unpersist()
 
 
 def main(argv=None):

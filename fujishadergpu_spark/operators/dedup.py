@@ -108,13 +108,15 @@ def _jaccard_batch(ta: pd.Series, tb: pd.Series, shingle: int) -> pd.Series:
     """Exact Jaccard for a candidate batch; shingle sets are computed
     once per distinct text in the batch (documents in many candidate
     pairs — the boilerplate case — are hashed once, not per pair)."""
-    cache: dict[int, np.ndarray] = {}
+    # keyed by the string itself (dicts hash internally AND compare on
+    # collision — a raw hash(s) key would silently share shingles
+    # between colliding texts)
+    cache: dict[str, np.ndarray] = {}
 
     def sh(s: str) -> np.ndarray:
-        k = hash(s)
-        v = cache.get(k)
+        v = cache.get(s)
         if v is None:
-            v = cache[k] = _shingle_hashes(s, shingle)
+            v = cache[s] = _shingle_hashes(s, shingle)
         return v
 
     out = np.empty(len(ta), dtype=np.float64)
@@ -222,6 +224,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     back into one long. No Python worker anywhere; the shuffle after
     the partial agg is 64 longs per document.
     """
+    # NOTE: documents with zero tokens get NO signature row (the
+    # explode yields nothing). Deliberate: assigning empty docs a
+    # shared signature (the old UDF's 0) pairs EVERY empty doc with
+    # every other — an O(E²) cluster at web scale. Route empty docs
+    # through exact_dedup instead.
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(

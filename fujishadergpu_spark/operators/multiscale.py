@@ -60,19 +60,13 @@ def np_box_mean(g: np.ndarray, r: int) -> np.ndarray:
 
 
 def np_bilinear_sample(coarse: np.ndarray, cy: np.ndarray, cx: np.ndarray) -> np.ndarray:
-    """Bilinear sample of `coarse` at fractional (cy, cx) grids."""
-    y0 = np.floor(cy).astype(np.int64)
-    x0 = np.floor(cx).astype(np.int64)
-    fy = cy - y0
-    fx = cx - x0
-    y0 = np.clip(y0, 0, coarse.shape[0] - 2)
-    x0 = np.clip(x0, 0, coarse.shape[1] - 2)
-    tl = coarse[y0, x0]
-    tr = coarse[y0, x0 + 1]
-    bl = coarse[y0 + 1, x0]
-    br = coarse[y0 + 1, x0 + 1]
-    return (tl * (1 - fy) * (1 - fx) + tr * (1 - fy) * fx
-            + bl * fy * (1 - fx) + br * fy * fx)
+    """Bilinear sample of `coarse` at fractional (cy, cx) grids —
+    canonical clamped implementation (identical results in-range; the
+    previous local copy extrapolated for out-of-range coordinates
+    because it took fractional parts before clipping)."""
+    from .np_filters import bilinear_sample
+
+    return bilinear_sample(coarse, cy, cx)
 
 
 def _plan_scales(radii: list[int], threshold: int) -> tuple[list[int], dict[int, int]]:

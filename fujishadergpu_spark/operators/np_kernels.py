@@ -605,9 +605,7 @@ def np_phase_congruency(
     h, w = grid.shape
     if h < 8 or w < 8:
         return restore_nan(np.zeros(grid.shape), nan_mask)
-    scales = sorted({min(max(float(s), 3.0), 64.0) for s in wavelengths})
-    if len(scales) < 2:
-        scales = [4.0, 8.0, 16.0, 32.0, 64.0]
+    scales = _eff_pc_wavelengths(wavelengths)
 
     work = filled - filled.mean()
     Fw = np.fft.fft2(work)
@@ -757,9 +755,7 @@ def np_scale_drift(
     weighted mean drift vector; magnitude / direction / divergence
     output (reference _impl_scale_drift.py:85-193)."""
     filled, nan_mask = nan_filled(grid)
-    ss = sorted({float(s) for s in scales if float(s) > 0})
-    if len(ss) < 2:
-        ss = [2.0, 4.0, 8.0, 16.0, 32.0]
+    ss = _eff_drift_scales(scales)
     pair_w = None
     if weights is not None and len(weights) == len(ss):
         pw = [0.5 * (float(weights[i]) + float(weights[i + 1])) for i in range(len(ss) - 1)]
@@ -830,9 +826,7 @@ def np_scale_space_surprise(
         work = np.where(nan_mask, fill, grid)
     else:
         work = np.asarray(grid, dtype=np.float64)
-    ss = sorted({float(s) for s in scales if float(s) > 0})
-    if len(ss) < 2:
-        ss = [1.0, 2.0, 4.0]
+    ss = _eff_surprise_scales(scales)
     pair_w = None
     if weights is not None and len(weights) == len(ss):
         pw = [0.5 * (float(weights[i]) + float(weights[i + 1])) for i in range(len(ss) - 1)]
@@ -917,9 +911,7 @@ def np_visual_saliency(
         work = np.where(nan_mask, fill if np.isfinite(fill) else 0.0, grid).astype(np.float64)
     else:
         work = np.asarray(grid, dtype=np.float64)
-    use_scales = [max(0.5, float(s)) for s in scales]
-    if len(use_scales) < 4:
-        use_scales = [2.0, 4.0, 8.0, 16.0]
+    use_scales = _eff_vs_scales(scales)
     wl = list(weights) if (weights is not None and len(weights) == len(use_scales)) else None
     smooths = [gaussian_filter(work, s) for s in use_scales]
 
@@ -1071,6 +1063,33 @@ def np_fractal_anomaly(
     return restore_nan(result, nan_mask)
 
 
+
+
+# ---- effective-scale resolution (shared by kernels AND halo rules) ----
+# Kernels substitute defaults for degenerate scale lists (mirroring the
+# reference); halo rules MUST apply the same substitution or the
+# allocated halo under-covers the actual support (seams).
+
+def _eff_vs_scales(scales):
+    use = [max(0.5, float(s)) for s in scales]
+    return use if len(use) >= 4 else [2.0, 4.0, 8.0, 16.0]
+
+
+def _eff_drift_scales(scales):
+    ss = sorted({float(s) for s in scales if float(s) > 0})
+    return ss if len(ss) >= 2 else [2.0, 4.0, 8.0, 16.0, 32.0]
+
+
+def _eff_surprise_scales(scales):
+    ss = sorted({float(s) for s in scales if float(s) > 0})
+    return ss if len(ss) >= 2 else [1.0, 2.0, 4.0]
+
+
+def _eff_pc_wavelengths(wavelengths):
+    ws = sorted({min(max(float(w), 3.0), 64.0) for w in wavelengths})
+    return ws if len(ws) >= 2 else [4.0, 8.0, 16.0, 32.0, 64.0]
+
+
 # ------------------------------ registry --------------------------------
 
 def _halo_gauss(sigma: float) -> int:
@@ -1112,25 +1131,25 @@ EXT_KERNELS = {
     ),
     "phase_congruency": (
         np_phase_congruency,
-        lambda p: int(2 * max(p.get("wavelengths", (4.0, 8.0, 16.0, 32.0))) + 16),
+        lambda p: int(2 * max(_eff_pc_wavelengths(p.get("wavelengths", (4.0, 8.0, 16.0, 32.0)))) + 16),
     ),
     "tv_decomposition": (np_tv_decomposition, lambda p: int(min(int(p.get("iterations", 60)), 140)) + 2),
     "scale_drift": (
         np_scale_drift,
         lambda p: int(
-            4 * max(p.get("scales", (2.0, 4.0, 8.0, 16.0)))
-            + 4 * min(max(p.get("scales", (2.0, 4.0, 8.0, 16.0))), 24.0)
+            4 * max(_eff_drift_scales(p.get("scales", (2.0, 4.0, 8.0, 16.0))))
+            + 4 * min(max(_eff_drift_scales(p.get("scales", (2.0, 4.0, 8.0, 16.0)))), 24.0)
             + 4
         ),
     ),
     "scale_space_surprise": (
         np_scale_space_surprise,
-        lambda p: _halo_gauss(max(p.get("scales", (2.0, 4.0, 8.0, 16.0)))),
+        lambda p: _halo_gauss(max(_eff_surprise_scales(p.get("scales", (2.0, 4.0, 8.0, 16.0))))),
     ),
     "multi_light_uncertainty": (np_multi_light_uncertainty, lambda p: 2),
     "visual_saliency": (
         np_visual_saliency,
-        lambda p: int(5 * max(p.get("scales", (2.0, 4.0, 8.0, 16.0)))),
+        lambda p: int(5 * max(_eff_vs_scales(p.get("scales", (2.0, 4.0, 8.0, 16.0))))),
     ),
     # two chained gaussians at sigma=r/2 (trend, then residual energy)
     # -> support 2 * halo(r/2); the reference's 2r+16 rule under-covers

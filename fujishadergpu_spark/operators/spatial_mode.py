@@ -102,9 +102,14 @@ def _combine(responses: list[tuple[float, np.ndarray]], agg: str) -> np.ndarray:
     return out
 
 
-def _plan_radii(radii: list[float], threshold: float) -> tuple[list[float], dict[float, int]]:
+def _plan_radii(
+    radii: list[float], threshold: float, max_s: int | None = None
+) -> tuple[list[float], dict[float, int]]:
     """(small, {radius: decimation exponent}) — same rule as
-    multiscale._plan_scales (reference radius->factor heuristic)."""
+    multiscale._plan_scales (reference radius->factor heuristic).
+    ``max_s`` caps the decimation so the coarse zoom z-s never goes
+    negative at low zooms (a capped level just runs with a larger,
+    still halo-bounded coarse radius)."""
     small, large = [], {}
     for r in sorted(radii):
         if r <= threshold:
@@ -113,6 +118,8 @@ def _plan_radii(radii: list[float], threshold: float) -> tuple[list[float], dict
             s = 0
             while (r / (1 << (s + 1))) > threshold / 2 and (1 << (s + 1)) <= TILE_PX:
                 s += 1
+            if max_s is not None:
+                s = min(s, max_s)
             large[r] = s
     return small, large
 
@@ -146,7 +153,7 @@ def spatial_kernel(
         weights = [1.0 / len(radii)] * len(radii)
     w_by_r = dict(zip(radii, weights))
 
-    small, large = _plan_radii(radii, overview_threshold)
+    small, large = _plan_radii(radii, overview_threshold, max_s=max(0, z))
     rkey = {r: f"r{i}" for i, r in enumerate(sorted(radii))}  # SQL-safe column token per radius
     halo = max((spatial_response_halo(kernel, r, kernel_params) for r in small), default=0)
     halo = min(halo, TILE_PX - 1)

@@ -108,8 +108,17 @@ def run_stage_idempotent(
     # validate-by-readback + metrics. Keys written THIS run = readback
     # keys minus previously-completed keys (disk = old ∪ new under
     # dynamic overwrite) — derived from the cheap readback scan, never
-    # by re-executing the upstream.
-    written = spark.read.parquet(out_path).join(
+    # by re-executing the upstream. Partitions on disk are always
+    # job-complete (the committer publishes at job end), so a key from
+    # an earlier run that crashed between commit and lineage-append is
+    # correctly adopted here with its full row count.
+    try:
+        readback = spark.read.parquet(out_path)
+    except Exception:
+        # empty first run: the write produced no partitions (only
+        # _SUCCESS), so there is nothing to read back or log
+        return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
+    written = readback.withColumn("_pk", F.col("_pk").cast("string")).join(
         done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
     )
     now = time.time()

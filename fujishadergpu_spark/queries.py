@@ -641,14 +641,15 @@ def embedding_near_dup_pairs(spark, sf_dir):
     planting the threshold-0.9 check is vacuous (round 1 returned 0
     rows). Each vec_id<%5==0 vector gets a deterministic blended twin
     (cos ~0.95-0.99); recall >= 0.9 vs brute force is pytest-asserted
-    (tests/test_dedup.py)."""
+    (tests/test_dedup.py). Twin ids are negative (-id-1) so they
+    never collide with real non-negative vec_ids at any SF."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
     planted = (
         a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
         .filter(F.col("a.vec_id") % 5 == 0)
         .select(
-            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            (-F.col("a.vec_id") - 1).alias("vec_id"),  # negative twin ids: collision-free at any SF
             F.zip_with("a.embedding", "b.embedding", lambda x, y: x * 0.97 + y * 0.08).alias("embedding"),
         )
     )

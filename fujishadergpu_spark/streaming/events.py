@@ -141,14 +141,19 @@ def cell_transitions(
             return
         last_cell, last_ts = state.get if state.exists else (None, None)
         out_rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            for ts, cell in zip(pdf[ts_col], pdf[cell_col]):
-                if last_ts is not None and ts < last_ts:
-                    continue  # late row older than state: drop
-                if last_cell is not None and cell != last_cell:
-                    out_rows.append((key[0], ts, last_cell, cell))
-                last_cell, last_ts = cell, ts
+        # concat ALL chunks before the sort: a key larger than one
+        # Arrow batch arrives as several shuffle-ordered chunks, and
+        # per-chunk sorting would process later timestamps first and
+        # silently drop the earlier chunk's rows as "late"
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(ts_col)
+        for ts, cell in zip(pdf[ts_col], pdf[cell_col]):
+            if last_ts is not None and ts < last_ts:
+                continue  # late row older than state: drop
+            if last_cell is not None and cell != last_cell:
+                out_rows.append((key[0], ts, last_cell, cell))
+            last_cell, last_ts = cell, ts
         state.update((last_cell, last_ts))
         if timeout_ms is not None:
             state.setTimeoutDuration(int(timeout_ms))

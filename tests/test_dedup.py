@@ -72,7 +72,7 @@ def test_embedding_near_dup_recall_vs_brute_force(spark):
     planted = (
         a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
         .select(
-            (F.col("a.vec_id") + 100000).alias("vec_id"),
+            (-F.col("a.vec_id") - 1).alias("vec_id"),  # negative: collision-free at any SF
             F.zip_with("a.embedding", "b.embedding", lambda x, y: x * 0.97 + y * 0.08).alias("embedding"),
         )
     )

@@ -304,3 +304,30 @@ def test_auto_spatial_profile_rule():
     assert radii == [2, 8, 32, 128, 512]  # capped at short_side/10 = 1024
     assert abs(sum(weights) - 1.0) < 1e-12 and weights[0] == max(weights)
     assert auto_spatial_profile(10.0)[0] == [2]  # tiny DEM keeps one radius
+
+
+def test_degenerate_scale_lists_halo_covers_substitution():
+    """Kernels substitute default scale lists for degenerate inputs;
+    the halo rules must follow the SAME substitution or the allocated
+    halo under-covers the real support (review finding r2)."""
+    # visual_saliency: 3 scales -> substituted (2,4,8,16), support 5*16
+    params = {"scales": (2.0, 4.0, 8.0), "global_stats": (0.0, 1.0)}
+    fn, _ = KERNELS["visual_saliency"]
+    h = kernel_halo("visual_saliency", params)
+    assert h >= 80
+    world = _world(640)
+    c0 = 192
+    whole = fn(world, **params)[c0 : c0 + 256, c0 : c0 + 256]
+    win = world[c0 - h : c0 + 256 + h, c0 - h : c0 + 256 + h]
+    assert np.array_equal(fn(win, **params)[h : h + 256, h : h + 256], whole)
+    # scale_drift: single scale -> substituted 5-scale default
+    params = {"scales": (3.0,), "global_stats": (0.0, 0.2)}
+    fn, _ = KERNELS["scale_drift"]
+    h = kernel_halo("scale_drift", params)
+    assert h >= 4 * 32  # default max scale 32
+    world = _world(256 + 2 * 240)
+    c0 = 240
+    assert h <= c0
+    whole = fn(world, **params)[c0 : c0 + 256, c0 : c0 + 256]
+    win = world[c0 - h : c0 + 256 + h, c0 - h : c0 + 256 + h]
+    assert np.array_equal(fn(win, **params)[h : h + 256, h : h + 256], whole)

@@ -110,3 +110,29 @@ def test_streaming_cell_counts_matches_batch(spark, tmp_path):
     got = _rows(spark.sql("SELECT * FROM cell_counts"), ["window_start", "cell_id", "n_pages"])
     exp = _rows(streaming_cell_counts(spark.read.parquet(src)), ["window_start", "cell_id", "n_pages"])
     assert got == exp and len(got) > 100
+
+
+def test_cell_transitions_multi_chunk_key(spark, events_batch, tmp_path):
+    """A key spanning several Arrow chunks in one micro-batch must
+    still process in global time order (review finding r1: per-chunk
+    sorting dropped earlier chunks' rows as 'late')."""
+    from pyspark.sql import functions as F
+
+    with_cell = (
+        events_batch.withColumn("user_id", F.lit(7).cast("long"))
+        .withColumn("cell_id", (F.col("value") * 5).cast("long"))
+    )
+    src = str(tmp_path / "one_key")
+    with_cell.write.parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    try:
+        schema = ev.EVENTS_SCHEMA + ", cell_id long"
+        stream = spark.readStream.schema(schema).parquet(src)
+        ev.run_stream_to_memory(ev.cell_transitions(stream), "one_key_trans", output_mode="append")
+        got = _rows(spark.sql("SELECT * FROM one_key_trans"), ["key", "ts", "from_cell", "to_cell"])
+        exp = _rows(ev.cell_transitions(with_cell), ["key", "ts", "from_cell", "to_cell"])
+        assert len(exp) > 500  # one key, thousands of rows -> many chunks
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

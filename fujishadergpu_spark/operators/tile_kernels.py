@@ -234,16 +234,25 @@ def np_hillshade(grid: np.ndarray, azimuth_deg: float = 315.0, altitude_deg: flo
     return np.clip(shade, 0.0, 1.0)
 
 
-def np_slope(grid: np.ndarray) -> np.ndarray:
-    """Slope magnitude in degrees (reference algorithms/_impl_slope.py:19-45)."""
+def np_slope(grid: np.ndarray, unit: str = "degree") -> np.ndarray:
+    """Slope magnitude in degree / percent / radian (reference
+    algorithms/_impl_slope.py:19-35's unit switch)."""
     gy, gx = np.gradient(grid)
-    return np.degrees(np.arctan(np.hypot(gx, gy)))
+    rad = np.arctan(np.hypot(gx, gy))
+    if unit == "degree":
+        return np.degrees(rad)
+    if unit == "percent":
+        return np.tan(rad) * 100.0
+    if unit == "radian":
+        return rad
+    raise ValueError(f"unknown slope unit {unit!r} (degree/percent/radian)")
 
 
 def np_curvature(grid: np.ndarray, mode: str = "planform") -> np.ndarray:
     """Second-order surface curvature (reference
-    algorithms/_impl_curvature.py:19-57 semantics: mean / planform /
-    profile from the Hessian + gradient, fresh NumPy implementation).
+    algorithms/_impl_curvature.py:19-57 semantics: mean / gaussian /
+    planform / profile from the Hessian + gradient, fresh NumPy
+    implementation).
 
     planform curvature is zero along straight contours (a parabolic
     cylinder has zero planform curvature — the reference's analytic
@@ -258,6 +267,11 @@ def np_curvature(grid: np.ndarray, mode: str = "planform") -> np.ndarray:
         num = (1 + gy * gy) * gxx - 2 * gx * gy * gxy + (1 + gx * gx) * gyy
         den = 2.0 * np.power(1 + p, 1.5)
         return num / np.maximum(den, eps)
+    if mode == "gaussian":
+        # K = (z_xx z_yy - z_xy^2) / (1 + |∇z|^2)^2 — positive on
+        # domes/bowls, negative on saddles, zero on developable
+        # surfaces (reference _impl_curvature.py:41-42)
+        return (gxx * gyy - gxy * gxy) / np.power(1 + p, 2)
     if mode == "planform":
         num = gy * gy * gxx - 2 * gx * gy * gxy + gx * gx * gyy
         return np.where(p > eps, num / np.maximum(np.power(p, 1.5), eps), 0.0)

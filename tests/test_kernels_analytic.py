@@ -60,3 +60,34 @@ def test_curvature_tile_kernel_runs(spark, points_df):
     out = tile_kernel_stats(points_df, 4, kernel="curvature", log_scale=True,
                             lit_threshold=0.0).collect()
     assert len(out) > 0
+
+
+def test_gaussian_curvature_sphere_vs_cylinder():
+    """Gaussian curvature K: positive on a dome, ~zero on a developable
+    (parabolic-cylinder) surface, negative on a saddle — the defining
+    classification (reference _impl_curvature.py:41-42)."""
+    import numpy as np
+
+    from fujishadergpu_spark.operators.tile_kernels import np_curvature
+
+    y, x = np.mgrid[0:61, 0:61].astype(np.float64)
+    xc, yc = x - 30, y - 30
+    dome = -0.01 * (xc**2 + yc**2)
+    cylinder = -0.01 * xc**2
+    saddle = 0.01 * (xc**2 - yc**2)
+    c = (30, 30)
+    assert np_curvature(dome, "gaussian")[c] > 1e-6
+    assert abs(np_curvature(cylinder, "gaussian")[c]) < 1e-9
+    assert np_curvature(saddle, "gaussian")[c] < -1e-6
+
+
+def test_slope_units():
+    import numpy as np
+
+    from fujishadergpu_spark.operators.tile_kernels import np_slope
+
+    ramp = np.outer(np.ones(32), np.arange(32, dtype=np.float64))  # dz/dx = 1
+    c = (16, 16)
+    assert abs(np_slope(ramp, "degree")[c] - 45.0) < 1e-9
+    assert abs(np_slope(ramp, "percent")[c] - 100.0) < 1e-9
+    assert abs(np_slope(ramp, "radian")[c] - np.pi / 4) < 1e-12

@@ -281,6 +281,14 @@ def np_curvature(grid: np.ndarray, mode: str = "planform") -> np.ndarray:
     raise ValueError(f"unknown curvature mode {mode}")
 
 
+def np_curvature_display(grid: np.ndarray, mode: str = "mean") -> np.ndarray:
+    """Display-ready curvature: tanh(100c) -> [0,1] + gamma (the
+    reference's visualization transform, _impl_curvature.py:55-58);
+    np_curvature returns the raw quantitative field."""
+    c = np_curvature(grid, mode)
+    return np.power((np.tanh(c * 100.0) + 1.0) / 2.0, 1 / 2.2)
+
+
 def np_aspect(grid: np.ndarray) -> np.ndarray:
     """Downslope direction in degrees [0, 360) (0 = north)."""
     gy, gx = np.gradient(grid)
@@ -293,6 +301,7 @@ KERNELS = {
     "hillshade": (np_hillshade, 1),  # name -> (fn, halo depth | halo(params))
     "slope": (np_slope, 1),
     "curvature": (np_curvature, 2),  # 2nd-order stencil -> depth 2
+    "curvature_display": (np_curvature_display, 2),
     "aspect": (np_aspect, 1),
     # the full reference algorithm inventory (np_kernels.py): blur,
     # multiscale_terrain, openness, ambient_occlusion, specular,

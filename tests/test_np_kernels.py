@@ -46,6 +46,7 @@ SEAM_PARAMS = {
     "hillshade": {},
     "slope": {},
     "curvature": {},
+    "curvature_display": {},
     "aspect": {},
     "blur": {"scale": 2.0},
     "multiscale_terrain": {"scales": (1.0, 2.0, 4.0), "global_stats": (0.0, 3.0)},

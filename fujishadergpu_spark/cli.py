@@ -107,6 +107,7 @@ def run_render(
     agg: str = "mean",
     run_id: str | None = None,
     _pts=None,
+    kernel_params: dict | None = None,
 ) -> dict:
     """The reference's primary command (``fujishadergpu in out
     --algorithm X --radii ... --agg ...``) end-to-end: geoparse ->
@@ -122,6 +123,15 @@ def run_render(
 
     if algorithm not in KERNELS:
         raise KeyError(f"unknown algorithm {algorithm!r}; registered: {sorted(KERNELS)}")
+    kernel_params = dict(kernel_params or {})
+    from .operators.tile_kernels import KERNEL_DEFAULTS
+
+    unknown = set(kernel_params) - set(KERNEL_DEFAULTS[algorithm])
+    if unknown:
+        raise KeyError(
+            f"unknown params {sorted(unknown)} for {algorithm!r}; "
+            f"declared surface: {sorted(KERNEL_DEFAULTS[algorithm])}"
+        )
     if _pts is not None:
         pts = _pts  # shared persisted upstream (run_render_many)
     else:
@@ -130,9 +140,9 @@ def run_render(
     if radii:
         t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
                            weights=tuple(weights) if weights else None,
-                           agg=agg, output="grid")
+                           agg=agg, output="grid", **kernel_params)
     else:
-        t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True)
+        t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True, **kernel_params)
 
     # A9/A11 stats pre-pass: robust [p1, p99] broadcast into the encode
     # UDF. The kernel output is persisted so the pre-pass action and
@@ -204,6 +214,8 @@ def main(argv=None):
     r.add_argument("--radii", default=None, help="comma list; enables spatial mode")
     r.add_argument("--weights", default=None, help="comma list matching --radii")
     r.add_argument("--agg", default="mean", choices=["mean", "min", "max", "sum"])
+    r.add_argument("--params", default=None,
+                   help="JSON dict of kernel params (validated against the declared surface)")
     r.add_argument("--run-id", default=None)
 
     args = ap.parse_args(argv)
@@ -229,9 +241,12 @@ def main(argv=None):
                 for a, s in run_render_many(spark, args.pages, args.out, algos, args.zoom, args.run_id).items():
                     print(f"render {a}: {s}")
             else:
+                import json as _json
+
+                kparams = _json.loads(args.params) if args.params else None
                 s = run_render(
                     spark, args.pages, args.out, algos[0], args.zoom,
-                    radii, weights, args.agg, args.run_id,
+                    radii, weights, args.agg, args.run_id, kernel_params=kparams,
                 )
                 print(f"render {algos[0]}: {s}")
     finally:

@@ -1096,6 +1096,43 @@ def _halo_gauss(sigma: float) -> int:
     return int(4.0 * max(float(sigma), 0.5) + 0.5) + 1
 
 
+# §2.D declared parameter surface: one defaults dict per kernel,
+# mirroring the reference's per-algorithm get_default_params()
+# (reference algorithms/_base.py:42-53; CLI parity test-enforced like
+# reference tests/test_registry_cli_sync.py). Callers (render CLI
+# --params, queries registry) validate against these names.
+EXT_KERNEL_DEFAULTS: dict[str, dict] = {
+    "blur": {"scale": 8.0},
+    "multiscale_terrain": {"scales": (2.0, 8.0, 32.0), "weights": None, "global_stats": None},
+    "openness": {"openness_type": "positive", "num_directions": 16, "max_distance": 32, "global_stats": None},
+    "ambient_occlusion": {"num_samples": 16, "radius": 10.0, "intensity": 1.0, "global_stats": None},
+    "specular": {"roughness_scale": 20.0, "shininess": 10.0, "roughness_norm_scale": None,
+                 "light_azimuth": DEFAULT_AZIMUTH, "light_altitude": DEFAULT_ALTITUDE},
+    "atmospheric_scattering": {"scattering_strength": 0.5},
+    "npr_edges": {"edge_sigma": 1.0, "threshold_low": 0.2, "threshold_high": 0.5, "grad_stats": None},
+    "structure_tensor": {"radii": (2.0, 8.0, 32.0), "weights": None, "st_output": "coherence",
+                         "azimuth": DEFAULT_AZIMUTH, "derivative_sigma": 1.0, "global_stats": None},
+    "frangi": {"radii": (2.0, 4.0, 8.0, 16.0), "beta": 0.5, "feature_type": "both",
+               "global_stats": None, "agg": "mean", "weights": None},
+    "lic": {"length": 20, "lic_field": "flow", "composite": "hillshade", "flow_sigma": 1.5,
+            "azimuth": DEFAULT_AZIMUTH, "altitude": DEFAULT_ALTITUDE},
+    "phase_congruency": {"wavelengths": (4.0, 8.0, 16.0, 32.0), "sigma_onf": 0.55,
+                         "noise_k": 2.0, "feature_type": "both", "global_stats": None},
+    "tv_decomposition": {"tv_scale": 32.0, "iterations": 60, "fidelity": "l1",
+                         "component": "texture", "global_stats": None},
+    "scale_drift": {"scales": (2.0, 4.0, 8.0, 16.0), "weights": None,
+                    "drift_output": "magnitude", "global_stats": None},
+    "scale_space_surprise": {"scales": (2.0, 4.0, 8.0, 16.0), "enhancement": 2.0,
+                             "weights": None, "global_stats": None},
+    "multi_light_uncertainty": {"azimuths": (0.0, 90.0, 180.0, 270.0), "altitude": 45.0,
+                                "z_factor": 1.0, "uncertainty_weight": 0.7},
+    "visual_saliency": {"scales": (2.0, 4.0, 8.0, 16.0), "weights": None, "global_stats": None},
+    "fractal_anomaly": {"radii": (4.0, 8.0, 16.0, 32.0, 64.0), "weights": None,
+                        "global_stats": None, "relief_p10": None, "relief_p75": None,
+                        "smoothing_sigma": 1.2, "despeckle_threshold": 0.35,
+                        "despeckle_alpha_max": 0.30, "detail_boost": 0.35},
+}
+
 # name -> (kernel fn, halo(params)->int). Halo rules mirror the
 # reference's per-algorithm map_overlap depths
 # (reference core/tile_processor.py:207-383, each _impl process()).

@@ -295,7 +295,18 @@ def np_aspect(grid: np.ndarray) -> np.ndarray:
     return np.degrees(np.arctan2(-gx, gy)) % 360.0
 
 
-from .np_kernels import EXT_KERNELS  # noqa: E402  (registry merge below)
+from .np_kernels import EXT_KERNEL_DEFAULTS, EXT_KERNELS  # noqa: E402  (registry merge below)
+
+# §2.D declared per-kernel parameter defaults (reference
+# get_default_params contract); the local kernels' surfaces first
+KERNEL_DEFAULTS: dict[str, dict] = {
+    "hillshade": {"azimuth_deg": 315.0, "altitude_deg": 45.0},
+    "slope": {"unit": "degree"},
+    "curvature": {"mode": "planform"},
+    "curvature_display": {"mode": "mean"},
+    "aspect": {},
+    **EXT_KERNEL_DEFAULTS,
+}
 
 KERNELS = {
     "hillshade": (np_hillshade, 1),  # name -> (fn, halo depth | halo(params))

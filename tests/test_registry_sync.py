@@ -33,6 +33,33 @@ def test_every_kernel_runs_on_synthetic_grid():
         assert kernel_halo(name) >= 1, name
 
 
+def test_kernel_param_surfaces_declared_and_accepted():
+    """§2.D contract (reference get_default_params +
+    tests/test_registry_cli_sync.py): every kernel declares its
+    parameter surface, every declared surface is accepted by the
+    kernel at its defaults, and the registries stay in sync."""
+    import inspect as _i
+
+    import numpy as np
+
+    from fujishadergpu_spark.operators.tile_kernels import KERNEL_DEFAULTS
+
+    assert set(KERNEL_DEFAULTS) == set(KERNELS)
+    rng = np.random.RandomState(7)
+    g = rng.rand(48, 48) * 10
+    for name, defaults in KERNEL_DEFAULTS.items():
+        fn, _ = KERNELS[name]
+        params = {k: v for k, v in defaults.items() if v is not None}
+        out = fn(g, **params)
+        assert out.shape == g.shape, name
+        # every declared name is a real parameter (or swallowed by the
+        # kernel's **_ignored escape hatch, which all ext kernels have)
+        sig = _i.signature(fn)
+        has_kwargs = any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values())
+        if not has_kwargs:
+            assert set(defaults) <= set(sig.parameters), name
+
+
 def test_full_reference_inventory_registered():
     """All 21 algorithms of the reference registry
     (reference algorithms/dask_registry.py:27-49) have a kernel here

@@ -76,6 +76,8 @@ def run_render_many(
     algorithms: list[str],
     zoom: int = 8,
     run_id: str | None = None,
+    agg: str = "mean",
+    kernel_params: dict | None = None,
 ) -> dict:
     """Fan-out: N algorithms from ONE scan+geoparse. The reference
     runs one algorithm per invocation (re-reading the COG each time);
@@ -89,7 +91,8 @@ def run_render_many(
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return {
-            a: run_render(spark, pages_path, out_root, a, zoom, run_id=run_id, _pts=pts)
+            a: run_render(spark, pages_path, out_root, a, zoom, agg=agg,
+                          run_id=run_id, _pts=pts, kernel_params=kernel_params)
             for a in algorithms
         }
     finally:
@@ -153,15 +156,28 @@ def run_render(
     from pyspark import StorageLevel
 
     t = t.persist(StorageLevel.MEMORY_AND_DISK)
-    sampled = t.filter(F.pmod(F.xxhash64("x", "y"), F.lit(4)) == 0)
-    row = (
-        sampled.select(F.explode("result").alias("v"))
-        .filter(~F.isnan("v"))
-        .agg(F.percentile_approx("v", [0.01, 0.99], 10000).alias("p"))
-        .first()
-    )
-    lo, hi = (0.0, 1.0) if row is None or row["p"] is None else (float(row["p"][0]), float(row["p"][1]))
-    scale = hi - lo if hi - lo > 1e-12 else 1.0
+    # stats are PERSISTED next to the sink and reused on resume:
+    # percentile_approx is a partition-layout-dependent sketch, so
+    # recomputing it on a resumed run would quantize the remaining
+    # tiles on a (slightly) different scale than the already-committed
+    # ones — seams at resume boundaries. First run wins.
+    stats_path = f"{out_root}/_stats_render_{algorithm}_z{zoom}"
+    try:
+        srow = spark.read.parquet(stats_path).first()
+        lo, scale = float(srow["lo"]), float(srow["scale"])
+    except Exception:
+        sampled = t.filter(F.pmod(F.xxhash64("x", "y"), F.lit(4)) == 0)
+        row = (
+            sampled.select(F.explode("result").alias("v"))
+            .filter(~F.isnan("v"))
+            .agg(F.percentile_approx("v", [0.01, 0.99], 10000).alias("p"))
+            .first()
+        )
+        lo, hi = (0.0, 1.0) if row is None or row["p"] is None else (float(row["p"][0]), float(row["p"][1]))
+        scale = hi - lo if hi - lo > 1e-12 else 1.0
+        spark.createDataFrame([(lo, scale)], "lo double, scale double").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stats_path)
 
     def encode(it):
         for pdf in it:
@@ -234,16 +250,22 @@ def main(argv=None):
         elif args.cmd == "render":
             radii = [float(x) for x in args.radii.split(",")] if args.radii else None
             weights = [float(x) for x in args.weights.split(",")] if args.weights else None
+            import json as _json
+
             algos = [a.strip() for a in args.algorithm.split(",") if a.strip()]
+            if not algos:
+                raise SystemExit("--algorithm must name at least one registered kernel")
+            kparams = _json.loads(args.params) if args.params else None
             if len(algos) > 1:
-                if radii:
-                    raise SystemExit("--radii applies to single-algorithm renders")
-                for a, s in run_render_many(spark, args.pages, args.out, algos, args.zoom, args.run_id).items():
+                if radii or weights:
+                    raise SystemExit("--radii/--weights apply to single-algorithm renders")
+                many = run_render_many(
+                    spark, args.pages, args.out, algos, args.zoom, args.run_id,
+                    agg=args.agg, kernel_params=kparams,
+                )
+                for a, s in many.items():
                     print(f"render {a}: {s}")
             else:
-                import json as _json
-
-                kparams = _json.loads(args.params) if args.params else None
                 s = run_render(
                     spark, args.pages, args.out, algos[0], args.zoom,
                     radii, weights, args.agg, args.run_id, kernel_params=kparams,

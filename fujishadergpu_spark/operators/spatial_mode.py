@@ -149,14 +149,26 @@ def spatial_kernel(
         if weights is None:
             weights = tuple(auto_w)
     radii = [float(r) for r in radii]
-    if weights is None or len(weights) != len(radii):
+    if weights is not None and len(weights) != len(radii):
+        raise ValueError(
+            f"{len(weights)} weights for {len(radii)} radii — counts must match"
+        )  # silent uniform fallback would render something the user did not ask for
+    if weights is None:
         weights = [1.0 / len(radii)] * len(radii)
     w_by_r = dict(zip(radii, weights))
 
     small, large = _plan_radii(radii, overview_threshold, max_s=max(0, z))
     rkey = {r: f"r{i}" for i, r in enumerate(sorted(radii))}  # SQL-safe column token per radius
     halo = max((spatial_response_halo(kernel, r, kernel_params) for r in small), default=0)
-    halo = min(halo, TILE_PX - 1)
+    if halo > TILE_PX - 1:
+        # clamping would silently truncate the kernel's support and
+        # seam every tile edge; the caller must lower the overview
+        # threshold (routing the radius via the coarse path) or shrink
+        # the kernel's own support params
+        raise ValueError(
+            f"fine-path halo {halo} exceeds the tile budget {TILE_PX - 1} for kernel "
+            f"{kernel!r} at radii {small}; lower overview_threshold or the kernel's support"
+        )
     fine = rasterize_tiles(points, z, halo=halo)
 
     # one coarse response level per decimation exponent

@@ -29,6 +29,7 @@ import os
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,10 +115,14 @@ def run_stage_idempotent(
     # correctly adopted here with its full row count.
     try:
         readback = spark.read.parquet(out_path)
-    except Exception:
+    except AnalysisException as e:
         # empty first run: the write produced no partitions (only
-        # _SUCCESS), so there is nothing to read back or log
-        return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
+        # _SUCCESS), so schema inference fails — nothing to read back
+        # or log. Anything else (FS fault, corrupt footer) must
+        # propagate, not masquerade as a clean skip.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
+        raise
     written = readback.withColumn("_pk", F.col("_pk").cast("string")).join(
         done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
     )

@@ -85,3 +85,29 @@ def test_meters_per_degree_bounds(lat):
     # longitude scale shrinks with |lat|
     m_lon_eq, _ = meters_per_degree(0.0)
     assert m_lon <= m_lon_eq + 1e-6
+
+
+def test_quantize_dequantize_real_columns(spark):
+    """The REAL encoding.quantize/dequantize Column expressions (not a
+    formula copy): NULL -> DN 0 -> NULL, roundtrip within one step,
+    clip at both ends — one Spark job over a dense value grid."""
+    from pyspark.sql import functions as F
+
+    from fujishadergpu_spark.functions.encoding import dequantize, quantize
+
+    vals = [(i, i * 37.3 % 10000.0) for i in range(1, 800)] + [(0, None), (900, -5.0), (901, 10005.0)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    out = df.select(
+        "id", "v",
+        quantize(F.col("v"), 0.0, 10000.0, "uint8").alias("dn"),
+    ).withColumn("back", dequantize(F.col("dn"), 0.0, 10000.0, "uint8")).collect()
+    step = 10000.0 / 254.0
+    for r in out:
+        if r["v"] is None:
+            assert r["dn"] == 0 and r["back"] is None  # NoData law
+        else:
+            assert 1 <= r["dn"] <= 255  # DN 0 reserved
+            if 0.0 <= r["v"] <= 10000.0:
+                assert abs(r["back"] - r["v"]) <= step * 0.5 + 1e-9
+            else:
+                assert r["dn"] in (1, 255)  # clipped at the ends

@@ -93,3 +93,20 @@ def test_spatial_kernel_auto_radii(spark, points_df):
     rows = spatial_kernel(points_df, Z, "atmospheric_scattering").limit(3).collect()
     assert len(rows) == 3
     assert all(np.isfinite(r["resp_sum"]) for r in rows)
+
+
+def test_spatial_kernel_rejects_oversized_fine_halo(spark, points_df):
+    """A small radius whose response support exceeds the tile budget
+    must raise, not silently truncate into per-tile seams (review
+    finding r2-2)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="tile budget"):
+        spatial_kernel(points_df, 3, "fractal_anomaly", radii=(20.0,))
+
+
+def test_spatial_kernel_rejects_mismatched_weights(spark, points_df):
+    import pytest
+
+    with pytest.raises(ValueError, match="counts must match"):
+        spatial_kernel(points_df, 3, "hillshade", radii=(2.0, 8.0), weights=(1.0,))

@@ -52,6 +52,16 @@ SPATIAL_RADIUS_KW: dict[str, str] = {
     "blur": "scale",
 }
 
+# intrinsically multi-scale kernels: their result is undefined at a
+# single external radius (they carry their own scales/radii banks), so
+# radius-driven spatial mode does not apply — the reference's same
+# classification (reference algorithms/common/spatial_mode.py:35-53,
+# MULTISCALE_REQUIRED_ALGOS)
+MULTISCALE_INTRINSIC = frozenset({
+    "multiscale_terrain", "visual_saliency", "scale_space_surprise",
+    "scale_drift", "phase_congruency", "fractal_anomaly",
+})
+
 
 def np_spatial_response(field: np.ndarray, kernel: str, radius: float, **params) -> np.ndarray:
     """One radius' response on a plain 2-D field (NumPy; used by both
@@ -143,6 +153,12 @@ def spatial_kernel(
         raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum)")
     if kernel not in KERNELS:
         raise KeyError(kernel)
+    if kernel in MULTISCALE_INTRINSIC:
+        raise ValueError(
+            f"{kernel!r} is intrinsically multi-scale (it carries its own "
+            f"scales/radii params) — run it via tile_kernel with those params "
+            f"instead of radius-driven spatial mode"
+        )
     if radii is None:
         auto_r, auto_w = auto_spatial_profile(float((1 << z) * TILE_PX))
         radii = tuple(float(r) for r in auto_r)

@@ -102,6 +102,18 @@ def test_spatial_kernel_rejects_oversized_fine_halo(spark, points_df):
     import pytest
 
     with pytest.raises(ValueError, match="tile budget"):
+        # radius 60 forced down the fine path: smoothing support (~121)
+        # + TV's iteration halo (142) overflows the 255-px budget
+        spatial_kernel(points_df, 3, "tv_decomposition", radii=(60.0,),
+                       overview_threshold=100.0, iterations=140)
+
+
+def test_spatial_kernel_rejects_intrinsically_multiscale(spark, points_df):
+    """Radius-driven spatial mode does not apply to kernels carrying
+    their own scale banks (reference MULTISCALE_REQUIRED_ALGOS)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="intrinsically multi-scale"):
         spatial_kernel(points_df, 3, "fractal_anomaly", radii=(20.0,))
 
 

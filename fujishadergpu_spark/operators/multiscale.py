@@ -69,6 +69,20 @@ def np_bilinear_sample(coarse: np.ndarray, cy: np.ndarray, cx: np.ndarray) -> np
     return bilinear_sample(coarse, cy, cx)
 
 
+def coarse_sample_coords(tile_x: int, tile_y: int, s: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fine-pixel-center coordinates of tile (tile_x, tile_y) in its
+    2^s-coarse ancestor's local grid (+1 for the 1-px crop ring the
+    coarse response carries). THE alignment contract between the
+    overview path's build and sample sides — shared by multiscale_usm,
+    spatial_kernel, and the world-oracle tests so it cannot drift."""
+    p = np.arange(TILE_PX)
+    gx = tile_x * TILE_PX + p
+    gy = tile_y * TILE_PX + p
+    cx = (gx + 0.5) / (1 << s) - 0.5 - (tile_x >> s) * TILE_PX + 1.0
+    cy = (gy + 0.5) / (1 << s) - 0.5 - (tile_y >> s) * TILE_PX + 1.0
+    return cy, cx
+
+
 def _plan_scales(radii: list[int], threshold: int) -> tuple[list[int], dict[int, int]]:
     """Split radii into (small, {radius: s}) where s is the overview
     decimation exponent chosen so the effective coarse radius lands in
@@ -193,12 +207,7 @@ def multiscale_usm(
                 if cg is None:
                     continue
                 cgrid = np.asarray(cg, dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
-                # fine pixel centers in coarse local coords (+1: crop ring)
-                p = np.arange(TILE_PX)
-                gx = int(row["x"]) * TILE_PX + p
-                gy = int(row["y"]) * TILE_PX + p
-                cx = (gx + 0.5) / (1 << s) - 0.5 - (int(row["x"]) >> s) * TILE_PX + 1.0
-                cy = (gy + 0.5) / (1 << s) - 0.5 - (int(row["y"]) >> s) * TILE_PX + 1.0
+                cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
                 responses.append((r, core - up))
             # combine modes (reference _nan_utils.py:182-213): weighted

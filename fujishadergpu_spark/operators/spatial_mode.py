@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.spatial import auto_spatial_profile
 from ..functions.tiles import TILE_PX
-from .multiscale import np_bilinear_sample
+from .multiscale import coarse_sample_coords, np_bilinear_sample
 from .np_filters import nan_gaussian, restore_nan
 from .np_kernels import _halo_gauss
 from .tile_kernels import KERNELS, kernel_halo, rasterize_tiles
@@ -263,11 +263,7 @@ def spatial_kernel(
                 if cg is None:
                     continue
                 cgrid = np.asarray(cg, dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
-                p = np.arange(TILE_PX)
-                gx = int(row["x"]) * TILE_PX + p
-                gy = int(row["y"]) * TILE_PX + p
-                cx = (gx + 0.5) / (1 << s) - 0.5 - (int(row["x"]) >> s) * TILE_PX + 1.0
-                cy = (gy + 0.5) / (1 << s) - 0.5 - (int(row["y"]) >> s) * TILE_PX + 1.0
+                cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
                 responses.append((w_by_r[r], up))
             combined = _combine(responses, agg)

@@ -227,6 +227,65 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer
+    (4-way join + grouped decimal aggregate + top-N)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = (dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,4)") - dec("l_discount"))).cast("decimal(28,8)")
+    out = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(n, F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    return out
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def doc_token_histogram(spark, sf_dir):
+    """Corpus length histogram: docs per 50-token bucket — the
+    pre-training length-distribution report shape."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.floor(textfn.token_count(F.col("text")) / 50).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket_50_tokens"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket_50_tokens")
+    )
+
+
+DOC_HIST_SQL = """
+SELECT CAST(floor(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) / 50) AS BIGINT)
+         AS bucket_50_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def top_customers_per_nation(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -961,6 +1020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_revenue_delta": q6_revenue_delta,
+    "q10_returned_items": q10_returned_items,
+    "doc_token_histogram": doc_token_histogram,
     "top_customers_per_nation": top_customers_per_nation,
     "order_priority_count": order_priority_count,
     "events_hourly": events_hourly,
@@ -1017,6 +1078,8 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "q6_revenue_delta": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "doc_token_histogram": DOC_HIST_SQL,
     "top_customers_per_nation": TOPCUST_SQL,
     "order_priority_count": ORDERPRIO_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,

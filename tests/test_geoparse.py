@@ -56,3 +56,26 @@ def test_datagen_deterministic(spark):
     a = pages(spark, 500, partitions=2).orderBy("url").collect()
     b = pages(spark, 500, partitions=7).orderBy("url").collect()
     assert a == b
+
+
+def test_pages_formats_are_indistinguishable(spark, pages_df, tmp_path):
+    """A1/A2: parquet / JSONL / CSV pages land in the same canonical
+    model — geoparse + byte-identical html extraction agree across all
+    three (the reference's COG-vs-Zarr normalization law)."""
+    from fujishadergpu_spark.sources.readers import read_pages, write_pages
+
+    sample = pages_df.limit(300)
+
+    def fingerprint(df):
+        g = geoparse.geoparse(geoparse.extract_text(df))
+        return {
+            r["url"]: (r["lat"], r["lon"], r["extracted_text"])
+            for r in g.select("url", "lat", "lon", "extracted_text").collect()
+        }
+
+    base = fingerprint(sample)
+    for fmt in ("parquet", "json", "csv"):
+        p = str(tmp_path / f"pages_{fmt}")
+        write_pages(sample, p, fmt)
+        got = fingerprint(read_pages(spark, p, fmt))
+        assert got == base, f"{fmt} drifted from the canonical model"

@@ -162,10 +162,26 @@ def run_render(
     # tiles on a (slightly) different scale than the already-committed
     # ones — seams at resume boundaries. First run wins.
     stats_path = f"{out_root}/_stats_render_{algorithm}_z{zoom}"
-    try:
-        srow = spark.read.parquet(stats_path).first()
+    # only a genuinely-missing stats file falls through to recompute;
+    # any other read failure (FS fault, corrupt footer, permissions)
+    # must propagate — silently recomputing percentile_approx would
+    # quantize resumed tiles on a different scale than the committed
+    # ones (the resume-boundary seams this persisted-stats contract
+    # exists to prevent; same narrow catch as plans/lineage.py)
+    from pyspark.errors import AnalysisException
+
+    def _read_stats():
+        try:
+            return spark.read.parquet(stats_path).first()
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+                return None
+            raise
+
+    srow = _read_stats()
+    if srow is not None:
         lo, scale = float(srow["lo"]), float(srow["scale"])
-    except Exception:
+    else:
         sampled = t.filter(F.pmod(F.xxhash64("x", "y"), F.lit(4)) == 0)
         row = (
             sampled.select(F.explode("result").alias("v"))

@@ -83,19 +83,26 @@ def coarse_sample_coords(tile_x: int, tile_y: int, s: int) -> tuple[np.ndarray, 
     return cy, cx
 
 
-def _plan_scales(radii: list[int], threshold: int) -> tuple[list[int], dict[int, int]]:
+def _plan_scales(
+    radii: list[int], threshold: int, max_s: int | None = None
+) -> tuple[list[int], dict[int, int]]:
     """Split radii into (small, {radius: s}) where s is the overview
     decimation exponent chosen so the effective coarse radius lands in
     (threshold/2, threshold] — the reference's radius→factor heuristic
     (reference algorithms/_nan_utils.py:555-601), deterministic and
-    shape-independent."""
+    shape-independent. max_s caps s (callers pass the zoom, so the
+    coarse level z−s never goes negative at low zooms)."""
     small, large = [], {}
     for r in sorted(radii):
         if r <= threshold:
             small.append(r)
         else:
             s = 0
-            while (r >> (s + 1)) > threshold // 2 and (1 << (s + 1)) <= TILE_PX:
+            while (
+                (r >> (s + 1)) > threshold // 2
+                and (1 << (s + 1)) <= TILE_PX
+                and (max_s is None or s + 1 <= max_s)
+            ):
                 s += 1
             large[r] = s
     return small, large
@@ -136,7 +143,7 @@ def multiscale_usm(
     if weights is None:
         weights = tuple(1.0 / len(radii) for _ in radii)
     w_by_r = dict(zip(radii, weights))
-    small, large = _plan_scales(list(radii), overview_threshold)
+    small, large = _plan_scales(list(radii), overview_threshold, max_s=z)
     halo = max(small) if small else 0
 
     fine = rasterize_tiles(points, z, halo=halo)  # (z,x,y,grid (256+2h)²)

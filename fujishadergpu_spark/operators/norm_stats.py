@@ -32,6 +32,37 @@ from pyspark.sql import functions as F
 from ..functions.tiles import TILE_PX, merc_xy_norm
 from .tile_kernels import tile_kernel
 
+# Kernels whose ``global_stats`` kwarg is a pure POST-OUTPUT stretch of
+# the same quantity the no-stats run emits raw — the only kernels for
+# which pooling the no-stats output's percentiles and injecting them
+# back is domain-correct. Everything else interprets global_stats in a
+# different domain (frangi: structure-energy c, phase_congruency: noise
+# median, tv_decomposition: texture tanh scale, fractal_anomaly:
+# (mean, std), multiscale_terrain: pre-gamma detail band), mirroring the
+# reference's per-algorithm _norm_stats dispatch (reference
+# algorithms/_norm_stats.py:29-61) — those need bespoke raw-stat
+# extractors, not this generic path; base kernels (hillshade/slope/...)
+# have no global_stats param at all and would TypeError in executors.
+# Value: predicate over kernel_params gating mode-dependent outputs.
+STATS_STRETCH_KERNELS: dict = {
+    "openness": lambda p: True,
+    "ambient_occlusion": lambda p: True,
+    "structure_tensor": lambda p: str(p.get("st_output", "coherence")).lower() == "coherence",
+    "scale_drift": lambda p: str(p.get("drift_output", "magnitude")).lower() == "magnitude",
+}
+
+
+def _check_stretch_domain(kernel: str, kernel_params: dict) -> None:
+    ok = STATS_STRETCH_KERNELS.get(kernel)
+    if ok is None or not ok(kernel_params):
+        raise ValueError(
+            f"kernel {kernel!r} (params {kernel_params!r}) is not a stretch-domain kernel: "
+            f"its global_stats parameter is not a post-output [lo, lo+scale] stretch, so "
+            f"injecting pooled output percentiles would mis-normalize. Supported: "
+            f"{sorted(STATS_STRETCH_KERNELS)} (structure_tensor only for st_output="
+            f"'coherence', scale_drift only for drift_output='magnitude')."
+        )
+
 
 def stretch(col: Column, lo: float, scale: float) -> Column:
     """A11 display stretch: max((v - lo) / scale, 0) — p99 maps to 1,
@@ -62,7 +93,9 @@ def kernel_global_stats(
 ) -> tuple[float, float]:
     """(lo, scale) of the kernel's raw output pooled over a
     deterministic 1/sample_mod tile sample; central-window fallback
-    (A10) when the sample is degenerate."""
+    (A10) when the sample is degenerate. Restricted to stretch-domain
+    kernels (STATS_STRETCH_KERNELS) — see _check_stretch_domain."""
+    _check_stretch_domain(kernel, kernel_params)
     pts = _owning_tile(points, z)
     sampled = pts.filter(F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0).drop("_otx", "_oty")
     stats = _pool_stats(sampled, z, kernel, lo_p, hi_p, log_scale, kernel_params)
@@ -74,6 +107,8 @@ def kernel_global_stats(
     center = pts.agg(
         F.avg("_otx").alias("cx"), F.avg("_oty").alias("cy")
     ).first()
+    if center is None or center["cx"] is None:
+        return (0.0, 0.0)  # no points at all: nothing to recover from
     cx, cy = int(center["cx"]), int(center["cy"])
     central = pts.filter(
         (F.abs(F.col("_otx") - cx) <= 2) & (F.abs(F.col("_oty") - cy) <= 2)
@@ -112,7 +147,9 @@ def tile_kernel_normalized(
     seam-free normalization pipeline (pre-pass -> broadcast -> every
     tile normalizes identically). The stats land in the kernel's
     ``global_stats`` kwarg, so the per-tile UDF does no data-dependent
-    normalization of its own."""
+    normalization of its own. Stretch-domain kernels only
+    (STATS_STRETCH_KERNELS)."""
+    _check_stretch_domain(kernel, kernel_params)
     stats = kernel_global_stats(
         points, z, kernel, lo_p=lo_p, hi_p=hi_p, sample_mod=sample_mod,
         log_scale=log_scale, **kernel_params,

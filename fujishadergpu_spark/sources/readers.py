@@ -33,7 +33,18 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     if fmt == "json":
         df = spark.read.schema(_TEXT_SCHEMA).json(path)
     elif fmt == "csv":
-        df = spark.read.schema(_TEXT_SCHEMA).option("header", "true").option("escape", '"').csv(path)
+        # multiLine: the CSV writer quotes embedded newlines in
+        # text/url fields; without it the reader splits such records at
+        # line boundaries and silently corrupts rows (real crawl text
+        # routinely contains newlines)
+        df = (
+            spark.read.schema(_TEXT_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(path)
+        )
     else:
         raise ValueError(f"unknown pages format {fmt!r} (parquet/json/csv)")
     return df.select(

@@ -50,6 +50,39 @@ def test_mlat_fallback(spark):
     assert row["lat"] == 12.345 and row["lon"] == -56.789
 
 
+def test_url_coord_precedence_first_wins(spark):
+    """Pin the one-regex-pass precedence contract: when a URL carries
+    BOTH coordinate forms, the FIRST occurrence wins — equivalent to
+    decimal-first because the page model always emits the decimal form
+    first (sources/pages.py format string), which the datagen test
+    below re-verifies on every generated URL."""
+    df = spark.createDataFrame(
+        [
+            # decimal first (the page model's ordering) -> decimal wins
+            ("https://x.example/p?lat=1.50000&lon=2.50000&mlat=999&mlon=999", 1.5, 2.5),
+            # micro first (foreign ordering) -> micro wins, micro-scaled
+            ("https://x.example/p?mlat=150000&mlon=250000&lat=9.9&lon=9.9", 1.5, 2.5),
+            # fractional micro value scales too (first-wins semantics,
+            # not integer-only micro: mlat=1.5 -> 0.000015)
+            ("https://x.example/p?mlat=1.5&mlon=3.0", 0.000015, 0.00003),
+        ],
+        "url string, lat_want double, lon_want double",
+    )
+    lat, lon = geoparse.lat_lon_from_url(F.col("url"))
+    bad = df.withColumns({"lat": lat, "lon": lon}).filter(
+        "lat IS DISTINCT FROM lat_want OR lon IS DISTINCT FROM lon_want"
+    )
+    assert bad.count() == 0
+
+
+def test_datagen_urls_put_decimal_form_first(pages_df):
+    """The precedence contract above only equals decimal-first if the
+    generator never emits mlat= before lat= — enforce it on the data."""
+    mpos = F.locate("mlat=", F.col("url"))
+    bad = pages_df.filter((mpos > 0) & (mpos < F.locate("lat=", F.col("url"))))
+    assert bad.count() == 0
+
+
 def test_datagen_deterministic(spark):
     from fujishadergpu_spark.sources.pages import pages
 
@@ -64,7 +97,21 @@ def test_pages_formats_are_indistinguishable(spark, pages_df, tmp_path):
     three (the reference's COG-vs-Zarr normalization law)."""
     from fujishadergpu_spark.sources.readers import read_pages, write_pages
 
-    sample = pages_df.limit(300)
+    # crawl text routinely carries newlines/quotes/commas — the CSV
+    # path needs multiLine+quote handling or it silently splits rows
+    gnarly = spark.createDataFrame(
+        [
+            (
+                'https://gnarly.example/p?lat=1.50000&lon=2.50000&mlat=150000&mlon=250000&id=0',
+                None,
+                b'<html><body><p>line one\nline "two", with, commas\n\nand blanks</p></body></html>',
+                'line one\nline "two", with, commas\n\nand blanks',
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    sample = pages_df.limit(300).unionByName(gnarly)
 
     def fingerprint(df):
         g = geoparse.geoparse(geoparse.extract_text(df))

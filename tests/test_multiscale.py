@@ -81,6 +81,18 @@ def test_multiscale_partition_invariance(spark, points_df):
     assert a == b
 
 
+def test_low_zoom_large_radius_clamps_decimation(spark, points_df):
+    """radius 128 at z=2 used to pick decimation s=3 and call
+    rasterize_tiles at zoom −1 (1 << negative raises). _plan_scales is
+    now capped at max_s=z, so the coarse level bottoms out at z=0."""
+    from fujishadergpu_spark.operators.multiscale import _plan_scales
+
+    _, large = _plan_scales([128], 16, max_s=2)
+    assert large == {128: 2}
+    rows = multiscale_usm(points_df, 2, radii=(2, 128)).collect()
+    assert len(rows) >= 1
+
+
 def test_global_p99_runs(spark, points_df):
     g = multiscale_usm(points_df, Z, radii=(2, 8), output="grid")
     p = global_abs_p99(g, "usm", sample_mod=1)

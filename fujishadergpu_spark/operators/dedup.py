@@ -105,27 +105,50 @@ def make_minhash_udf(num_hashes: int = 64, shingle: int = 5, seed: int = 42):
 
 
 def _jaccard_batch(ta: pd.Series, tb: pd.Series, shingle: int) -> pd.Series:
-    """Exact Jaccard for a candidate batch; shingle sets are computed
-    once per distinct text in the batch (documents in many candidate
-    pairs — the boilerplate case — are hashed once, not per pair)."""
-    # keyed by the string itself (dicts hash internally AND compare on
-    # collision — a raw hash(s) key would silently share shingles
-    # between colliding texts)
-    cache: dict[str, np.ndarray] = {}
+    """Exact Jaccard for a candidate batch, vectorized ACROSS pairs.
 
-    def sh(s: str) -> np.ndarray:
-        v = cache.get(s)
-        if v is None:
-            v = cache[s] = _shingle_hashes(s, shingle)
-        return v
+    Shingle sets are computed once per DISTINCT text in the batch
+    (documents in many candidate pairs — the boilerplate case — are
+    hashed once). All per-pair intersections are then ONE sort: each
+    pair's two (internally-unique) shingle arrays are concatenated and
+    tagged with the pair index packed above the 31-bit shingle value
+    (pair << 31 | value is exact in uint64), so adjacent equal values
+    after the sort count exactly the per-pair intersection — no
+    per-pair Python loop, no per-pair intersect1d.
+    """
+    n = len(ta)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    both = pd.concat(
+        [ta.fillna("").reset_index(drop=True), tb.fillna("").reset_index(drop=True)],
+        ignore_index=True,
+    )
+    codes, uniques = pd.factorize(both)
+    ia, ib = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    shs = [_shingle_hashes(s, shingle) for s in uniques]  # per-DISTINCT-text
+    sizes = np.array([v.size for v in shs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    allv = np.concatenate(shs)
 
-    out = np.empty(len(ta), dtype=np.float64)
-    for i, (x, y) in enumerate(zip(ta, tb)):
-        sa, sb = sh(x or ""), sh(y or "")
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        out[i] = inter / union if union else 1.0
-    return pd.Series(out)
+    # grouped ranges: one flat gather index over every (pair, side) slice
+    seg_text = np.empty(2 * n, dtype=np.int64)
+    seg_text[0::2] = ia
+    seg_text[1::2] = ib
+    seg_len = sizes[seg_text]
+    total = int(seg_len.sum())
+    take_base = np.repeat(
+        offs[seg_text] - np.concatenate([[0], np.cumsum(seg_len)[:-1]]), seg_len
+    )
+    vals = allv[take_base + np.arange(total)]
+    pair = np.repeat(np.repeat(np.arange(n, dtype=np.uint64), 2), seg_len)
+    packed = (pair << np.uint64(31)) | vals
+    packed.sort()
+    eq = packed[1:] == packed[:-1]
+    inter = np.bincount((packed[:-1][eq] >> np.uint64(31)).astype(np.int64), minlength=n)
+    union = sizes[ia] + sizes[ib] - inter
+    # union is never 0 (_shingle_hashes pads to >= 1 shingle); keep the
+    # empty-set convention jaccard=1.0 anyway
+    return pd.Series(np.where(union > 0, inter / np.maximum(union, 1), 1.0))
 
 
 def minhash_band_rows(

@@ -40,11 +40,13 @@ from ..functions.tiles import TILE_PX
 from .tile_kernels import rasterize_tiles
 
 
-def np_box_mean(g: np.ndarray, r: int) -> np.ndarray:
-    """(2r+1)² box mean, constant-area (interior) normalization.
+def np_box_total(g: np.ndarray, r: int) -> np.ndarray:
+    """(2r+1)² window SUM via summed-area table. Over integer-valued
+    counts this is exact in float64 (cumsums and differences of
+    integers < 2^53) — the hash-oracle queries rely on that.
 
     Valid for pixels whose window lies inside g — callers guarantee a
-    halo >= r around every pixel they keep.
+    halo >= r around every pixel they keep; edge windows clip.
     """
     h, w = g.shape
     s = np.zeros((h + 1, w + 1), dtype=np.float64)
@@ -54,9 +56,13 @@ def np_box_mean(g: np.ndarray, r: int) -> np.ndarray:
     y1 = np.clip(np.arange(h) + r + 1, 0, h)
     x0 = np.clip(np.arange(w) - r, 0, w)
     x1 = np.clip(np.arange(w) + r + 1, 0, w)
-    total = s[y1[:, None], x1[None, :]] - s[y0[:, None], x1[None, :]] \
+    return s[y1[:, None], x1[None, :]] - s[y0[:, None], x1[None, :]] \
         - s[y1[:, None], x0[None, :]] + s[y0[:, None], x0[None, :]]
-    return total / float((2 * r + 1) ** 2)
+
+
+def np_box_mean(g: np.ndarray, r: int) -> np.ndarray:
+    """(2r+1)² box mean, constant-area (interior) normalization."""
+    return np_box_total(g, r) / float((2 * r + 1) ** 2)
 
 
 def np_bilinear_sample(coarse: np.ndarray, cy: np.ndarray, cx: np.ndarray) -> np.ndarray:

@@ -437,6 +437,69 @@ def tile_kernel_stats(
     return pts.groupBy("_tk").applyInPandas(fn, schema)
 
 
+# ------------------- halo-contract census operators ------------------
+# These two reduce the REAL halo machinery (explode_to_tiles -> packed
+# shuffle -> _accumulate_grid, i.e. A3+A5's transport layer) to exact
+# integers, so the driver's DuckDB hash gate can check the halo
+# exchange end-to-end — the per-kernel float math stays on the pytest
+# tiled==whole matrix (reference analog: the tile-stability tests,
+# reference tests/test_visual_saliency_tile_stability.py:6-29).
+
+def tile_halo_census(points: DataFrame, z: int, halo: int) -> DataFrame:
+    """Per tile: points in the halo-expanded window vs points owned.
+
+    (z, x, y, win_pts, core_pts) — win_pts counts every point whose
+    global pixel lands in [x*256-halo, (x+1)*256+halo) × same-for-y
+    (x wrapped at the antimeridian, y clipped at the world edge);
+    core_pts counts the owned points. Both exact BIGINTs.
+    """
+    pts = _packed_tiles(points, z, halo, None)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = _accumulate_grid(pdf, z, halo, None)
+        core = grid[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else grid
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "x": [int(pdf["_tk"].iloc[0]) >> 32],
+                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
+                "win_pts": [int(grid.sum())],
+                "core_pts": [int(core.sum())],
+            }
+        )
+
+    return pts.groupBy("_tk").applyInPandas(fn, "z int, x long, y long, win_pts long, core_pts long")
+
+
+def tile_box_total(points: DataFrame, z: int, r: int) -> DataFrame:
+    """Per tile: Σ over core pixels of the (2r+1)² window COUNT total —
+    the multiscale box filter's numerator in the exact integer domain
+    (the box MEAN is this divided by (2r+1)²; division is the one step
+    that can't cross the engine boundary bit-exactly, so the oracle
+    checks the window sums). Exercises rasterize-with-halo + SAT
+    windowing end-to-end.
+    """
+    from .multiscale import np_box_total
+
+    pts = _packed_tiles(points, z, r, None)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = _accumulate_grid(pdf, z, r, None)
+        tot = np_box_total(grid, r)[r : r + TILE_PX, r : r + TILE_PX]
+        core = grid[r : r + TILE_PX, r : r + TILE_PX]
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "x": [int(pdf["_tk"].iloc[0]) >> 32],
+                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
+                "box_total": [int(tot.sum())],
+                "core_pts": [int(core.sum())],
+            }
+        )
+
+    return pts.groupBy("_tk").applyInPandas(fn, "z int, x long, y long, box_total long, core_pts long")
+
+
 # ----------------------------- LOD pyramid ---------------------------
 
 def pyramid_level(tiles: DataFrame, agg: str = "sum") -> DataFrame:

@@ -478,6 +478,110 @@ FROM pp GROUP BY x, y ORDER BY x, y
 """
 
 
+def _grid_sql(z: int) -> tuple[str, str]:
+    """(gx, gy) global-pixel BIGINT expressions over pts.lat/lon at
+    zoom z — the SQL twin of functions/tiles.merc_xy_norm + floor."""
+    n = (1 << z) * 256
+    latc = "greatest(-85.05112878, least(85.05112878, lat))"
+    xn = "((lon + 180.0) / 360.0)"
+    yn = f"((1.0 - ln(tan(radians({latc})) + 1.0 / cos(radians({latc}))) / pi()) / 2.0)"
+    gx = f"least({n - 1}, greatest(0, CAST(floor({xn} * {float(n)}) AS BIGINT)))"
+    gy = f"least({n - 1}, greatest(0, CAST(floor({yn} * {float(n)}) AS BIGINT)))"
+    return gx, gy
+
+
+def _halo_neighbors_sql(z: int, h: int) -> str:
+    """CTE skeleton: every (point, tile) pair where the point's global
+    pixel lies in the tile's halo-h window — the SQL re-statement of
+    explode_to_tiles' 9-neighbor duplication rule (x wraps at the
+    antimeridian, y clips at the world edge). Exposes the point's
+    position (lx, ly) in the paired tile's core-pixel frame."""
+    gx, gy = _grid_sql(z)
+    nt = 1 << z
+    return f"""
+g AS (
+  SELECT {gx} // 256 AS tx, {gy} // 256 AS ty,
+         {gx} % 256 AS pxl, {gy} % 256 AS pyl
+  FROM pts
+),
+n AS (
+  SELECT ((g.tx + d.dx) % {nt} + {nt}) % {nt} AS x,
+         g.ty + d.dy AS y,
+         g.pxl - d.dx * 256 AS lx,
+         g.pyl - d.dy * 256 AS ly
+  FROM g CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS d(dx, dy)
+  WHERE (d.dx = 0 OR (d.dx = -1 AND g.pxl < {h}) OR (d.dx = 1 AND g.pxl >= 256 - {h}))
+    AND (d.dy = 0 OR (d.dy = -1 AND g.pyl < {h}) OR (d.dy = 1 AND g.pyl >= 256 - {h}))
+    AND g.ty + d.dy >= 0 AND g.ty + d.dy < {nt}
+)
+""".strip()
+
+
+def _halo_census_query(z: int, h: int):
+    def q(spark, sf_dir):
+        from .operators.tile_kernels import tile_halo_census
+
+        p = geo_points(spark, sf_dir)
+        return tile_halo_census(p, z, h).orderBy("x", "y")
+
+    q.__doc__ = (
+        f"A3/A5 halo transport under the hash gate at depth {h}: per-tile "
+        f"point counts over the halo-expanded window vs the owned core, "
+        f"via the REAL explode->packed-shuffle->accumulate machinery."
+    )
+    return q
+
+
+def _halo_census_sql(z: int, h: int) -> str:
+    return f"""
+WITH {PTS_SQL},
+{_halo_neighbors_sql(z, h)}
+SELECT {z} AS z, x, y,
+       COUNT(*) AS win_pts,
+       CAST(SUM(CASE WHEN lx BETWEEN 0 AND 255 AND ly BETWEEN 0 AND 255 THEN 1 ELSE 0 END) AS BIGINT) AS core_pts
+FROM n GROUP BY x, y ORDER BY x, y
+"""
+
+
+def _box_total_query(z: int, r: int):
+    def q(spark, sf_dir):
+        from .operators.tile_kernels import tile_box_total
+
+        p = geo_points(spark, sf_dir)
+        return tile_box_total(p, z, r).orderBy("x", "y")
+
+    q.__doc__ = (
+        f"The multiscale box filter's window sums (r={r}) as exact "
+        f"integers: Σ over core pixels of the (2r+1)² count total — "
+        f"oracles the halo-correct windowed aggregation end-to-end."
+    )
+    return q
+
+
+def _box_total_sql(z: int, r: int) -> str:
+    # each point contributes overlap_x·overlap_y window hits to a tile:
+    # the count of core pixels within Chebyshev distance r of the
+    # point's pixel (lx, ly) in that tile's frame
+    ox = f"greatest(0, least(lx + {r}, 255) - greatest(lx - {r}, 0) + 1)"
+    oy = f"greatest(0, least(ly + {r}, 255) - greatest(ly - {r}, 0) + 1)"
+    return f"""
+WITH {PTS_SQL},
+{_halo_neighbors_sql(z, r)}
+SELECT {z} AS z, x, y,
+       CAST(SUM(({ox}) * ({oy})) AS BIGINT) AS box_total,
+       CAST(SUM(CASE WHEN lx BETWEEN 0 AND 255 AND ly BETWEEN 0 AND 255 THEN 1 ELSE 0 END) AS BIGINT) AS core_pts
+FROM n GROUP BY x, y ORDER BY x, y
+"""
+
+
+tile_halo_census_z6 = _halo_census_query(6, 3)
+tile_halo_census_deep_z5 = _halo_census_query(5, 96)
+tile_box_total_z6 = _box_total_query(6, 2)
+TILE_HALO_CENSUS_Z6_SQL = _halo_census_sql(6, 3)
+TILE_HALO_CENSUS_DEEP_Z5_SQL = _halo_census_sql(5, 96)
+TILE_BOX_TOTAL_Z6_SQL = _box_total_sql(6, 2)
+
+
 def geo_pip_zones(spark, sf_dir):
     p = geo_points(spark, sf_dir)
     z = _zones(spark, sf_dir)
@@ -643,8 +747,45 @@ ORDER BY query_id, rank
 # ----------------------------------------------------------------------
 
 def dedup_minhash_docs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, HASH-CHECKED against ground truth:
+    the DuckDB oracle computes exact distinct-char-5-gram Jaccard over
+    ALL pairs (inverted-index join, no LSH), so the driver hash
+    verifies both the banding recall (a missed pair = row mismatch)
+    and the exact-verify Jaccard values (31-bit shingle hashing is
+    collision-free on this corpus, so hashed-set Jaccard equals
+    raw-set Jaccard as an int/int ratio — one IEEE division both
+    engines)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, "doc_id", threshold=0.5).orderBy("id_a", "id_b")
+
+
+# ground truth for minhash_lsh_pairs: exact Jaccard over distinct char
+# 5-grams via an inverted-index self-join (shared-shingle counts), with
+# the same short-text space padding as _shingle_hashes
+DEDUP_MINHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([t[i : i + 4] for i in generate_series(1, length(t) - 4)]) AS s
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(text) < 5 THEN text || repeat(' ', 5 - length(text)) ELSE text END AS t
+    FROM documents
+  )
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ix AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ix.id_a, ix.id_b,
+       CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) AS jaccard
+FROM ix
+JOIN (SELECT doc_id, len(s) AS na FROM sh) sa ON sa.doc_id = ix.id_a
+JOIN (SELECT doc_id, len(s) AS nb FROM sh) sb ON sb.doc_id = ix.id_b
+WHERE CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) >= 0.5
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_simhash_docs(spark, sf_dir):
@@ -1034,6 +1175,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_tiles_z8": geo_tiles_z8,
     "geo_tilepixel_z12": geo_tilepixel_z12,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
+    "tile_halo_census_z6": tile_halo_census_z6,
+    "tile_halo_census_deep_z5": tile_halo_census_deep_z5,
+    "tile_box_total_z6": tile_box_total_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "geo_pip_zones": geo_pip_zones,
@@ -1091,6 +1235,9 @@ ORACLES: dict[str, str] = {
     "geo_tiles_z8": GEO_TILES_SQL,
     "geo_tilepixel_z12": GEO_TILEPIXEL_SQL,
     "geo_tile_pixel_density_z7": GEO_TILE_PIXEL_DENSITY_SQL,
+    "tile_halo_census_z6": TILE_HALO_CENSUS_Z6_SQL,
+    "tile_halo_census_deep_z5": TILE_HALO_CENSUS_DEEP_Z5_SQL,
+    "tile_box_total_z6": TILE_BOX_TOTAL_Z6_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
@@ -1101,6 +1248,7 @@ ORACLES: dict[str, str] = {
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_lang_id": LANG_ID_SQL,
+    "dedup_minhash_docs": DEDUP_MINHASH_SQL,
     "ann_topk_cosine": ANN_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }

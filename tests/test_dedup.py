@@ -125,3 +125,31 @@ def test_simhash_is_jvm_only(spark, docs_with_dups):
     sig = dedup.simhash_signatures(docs_with_dups, "doc_id")
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jaccard_batch_matches_per_pair_reference():
+    """The vectorized one-sort _jaccard_batch vs a straightforward
+    per-pair intersect1d reference — identical doubles on a randomized
+    batch with repeats, empties, and shared texts across pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from fujishadergpu_spark.operators.dedup import _jaccard_batch, _shingle_hashes
+
+    rng = np.random.RandomState(7)
+    vocab = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 40))) for _ in range(30)]
+    texts += ["", "ab", texts[0], texts[0] + " extra"]
+    ia = rng.randint(0, len(texts), 200)
+    ib = rng.randint(0, len(texts), 200)
+    ta = pd.Series([texts[i] for i in ia])
+    tb = pd.Series([texts[i] for i in ib])
+
+    got = _jaccard_batch(ta, tb, 5).to_numpy()
+    want = np.empty(len(ta))
+    for k, (x, y) in enumerate(zip(ta, tb)):
+        sa, sb = _shingle_hashes(x, 5), _shingle_hashes(y, 5)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        want[k] = inter / union if union else 1.0
+    np.testing.assert_array_equal(got, want)

@@ -195,9 +195,16 @@ def run_render(
             "overwrite"
         ).parquet(stats_path)
 
+    # --agg stack emits one row per (tile, radius); the radius column
+    # rides through the encode so per-band tiles stay distinguishable
+    has_radius = "radius" in t.columns
+
     def encode(it):
         for pdf in it:
-            out = {"z": pdf["z"], "x": pdf["x"], "y": pdf["y"], "dn": []}
+            out = {"z": pdf["z"], "x": pdf["x"], "y": pdf["y"]}
+            if has_radius:
+                out["radius"] = pdf["radius"]
+            out["dn"] = []
             for g in pdf["result"]:
                 v = np.asarray(g, dtype=np.float64)
                 stretched = np.maximum((v - lo) / scale, 0.0)
@@ -206,7 +213,8 @@ def run_render(
                 out["dn"].append(dn.tobytes())
             yield pd.DataFrame(out)
 
-    encoded = t.mapInPandas(encode, "z int, x long, y long, dn binary")
+    enc_schema = "z int, x long, y long, " + ("radius double, " if has_radius else "") + "dn binary"
+    encoded = t.mapInPandas(encode, enc_schema)
     keyed = encoded.withColumn("bucket", F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(N_BUCKETS)))
     lineage = LineageLog(spark, f"{out_root}/_lineage")
     try:
@@ -245,7 +253,7 @@ def main(argv=None):
     r.add_argument("--zoom", type=int, default=8)
     r.add_argument("--radii", default=None, help="comma list; enables spatial mode")
     r.add_argument("--weights", default=None, help="comma list matching --radii")
-    r.add_argument("--agg", default="mean", choices=["mean", "min", "max", "sum"])
+    r.add_argument("--agg", default="mean", choices=["mean", "min", "max", "sum", "stack"])
     r.add_argument("--params", default=None,
                    help="JSON dict of kernel params (validated against the declared surface)")
     r.add_argument("--run-id", default=None)

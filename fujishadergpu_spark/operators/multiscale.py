@@ -127,15 +127,19 @@ def multiscale_usm(
 
     agg='mean' (default): Σ wᵢ (density − box_meanᵢ(density)) — the
     reference's weighted mean; 'min'/'max'/'sum' combine the
-    per-radius responses elementwise instead (reference
-    algorithms/_nan_utils.py:182-213 combine modes; frangi's canonical
-    form is --agg max).
+    per-radius responses elementwise instead; 'stack' emits the RAW
+    (unweighted) per-radius responses as one row per (tile, radius)
+    with a ``radius`` column — the row-wise re-expression of the
+    reference's multi-band (C,H,W) stack output (reference
+    algorithms/_nan_utils.py:182-213 combine modes,
+    core/dask_processor.py:1594-1599; SURVEY.md §1.2 maps the stack to
+    per-scale rows).
 
-    output='stats' → (z, x, y, usm_sum, usm_min, usm_max);
-    output='grid'  → (z, x, y, usm: array<double> 256²).
+    output='stats' → (z, x, y[, radius], usm_sum, usm_min, usm_max);
+    output='grid'  → (z, x, y[, radius], usm: array<double> 256²).
     """
-    if agg not in ("mean", "min", "max", "sum"):
-        raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum)")  # fail at plan time, not in executors
+    if agg not in ("mean", "min", "max", "sum", "stack"):
+        raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum/stack)")  # fail at plan time, not in executors
     if radii is None:
         # the shared size-aware auto rule (reference
         # algorithms/common/spatial_mode.py:21-101): the world raster
@@ -203,6 +207,8 @@ def multiscale_usm(
 
     def finish(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = {k: [] for k in ("z", "x", "y")}
+        if agg == "stack":
+            out_rows["radius"] = []
         payload = []
         # precomputed fine-pixel center coordinates per s
         for _, row in pdf.iterrows():
@@ -224,7 +230,16 @@ def multiscale_usm(
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
                 responses.append((r, core - up))
             # combine modes (reference _nan_utils.py:182-213): weighted
-            # mean (default) or elementwise min/max/sum over scales
+            # mean (default), elementwise min/max/sum over scales, or
+            # stack = one output row per (tile, radius), raw response
+            if agg == "stack":
+                for r, resp in responses:
+                    out_rows["z"].append(z)
+                    out_rows["x"].append(int(row["x"]))
+                    out_rows["y"].append(int(row["y"]))
+                    out_rows["radius"].append(float(r))
+                    payload.append(resp)
+                continue
             usm = np.zeros((TILE_PX, TILE_PX), dtype=np.float64)
             if agg == "mean":
                 for r, resp in responses:
@@ -254,10 +269,11 @@ def multiscale_usm(
             }
         )
 
+    rad_col = "radius double, " if agg == "stack" else ""
     schema = (
-        "z int, x long, y long, usm array<double>"
+        f"z int, x long, y long, {rad_col}usm array<double>"
         if output == "grid"
-        else "z int, x long, y long, usm_sum double, usm_min double, usm_max double"
+        else f"z int, x long, y long, {rad_col}usm_sum double, usm_min double, usm_max double"
     )
     return joined.mapInPandas(lambda it: (finish(pdf) for pdf in it), schema)
 

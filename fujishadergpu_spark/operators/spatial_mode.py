@@ -148,9 +148,13 @@ def spatial_kernel(
 ) -> DataFrame:
     """Multi-radius spatial-mode run of any registered kernel at zoom
     z: per-tile combined response (output='grid': (z,x,y,result 256²);
-    'stats': (z,x,y,resp_sum,resp_min,resp_max))."""
-    if agg not in ("mean", "min", "max", "sum"):
-        raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum)")
+    'stats': (z,x,y,resp_sum,resp_min,resp_max)). agg='stack' emits the
+    raw per-radius responses as one row per (tile, radius) with a
+    ``radius`` column instead of combining — the reference's multi-band
+    stack output as rows (reference _nan_utils.py:182-213,
+    core/dask_processor.py:1594-1599)."""
+    if agg not in ("mean", "min", "max", "sum", "stack"):
+        raise ValueError(f"unknown agg {agg!r} (mean/min/max/sum/stack)")
     if kernel not in KERNELS:
         raise KeyError(kernel)
     if kernel in MULTISCALE_INTRINSIC:
@@ -246,6 +250,8 @@ def spatial_kernel(
 
     def finish(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = {k: [] for k in ("z", "x", "y")}
+        if agg == "stack":
+            out_rows["radius"] = []
         payload = []
         for _, row in pdf.iterrows():
             g = np.asarray(row["grid"], dtype=np.float64).reshape(
@@ -254,10 +260,12 @@ def spatial_kernel(
             if log_scale:
                 g = np.log1p(g)
             responses: list[tuple[float, np.ndarray]] = []
+            rads: list[float] = []
             for r in small:
                 resp = np_spatial_response(g, kernel, r, **kernel_params)
                 core = resp[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else resp
                 responses.append((w_by_r[r], core))
+                rads.append(r)
             for r, s in large_items:
                 cg = row[coarse_cols[r]]
                 if cg is None:
@@ -266,6 +274,15 @@ def spatial_kernel(
                 cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
                 responses.append((w_by_r[r], up))
+                rads.append(r)
+            if agg == "stack":
+                for r, (_, resp) in zip(rads, responses):
+                    out_rows["z"].append(z)
+                    out_rows["x"].append(int(row["x"]))
+                    out_rows["y"].append(int(row["y"]))
+                    out_rows["radius"].append(float(r))
+                    payload.append(resp)
+                continue
             combined = _combine(responses, agg)
             out_rows["z"].append(z)
             out_rows["x"].append(int(row["x"]))
@@ -282,9 +299,10 @@ def spatial_kernel(
             }
         )
 
+    rad_col = "radius double, " if agg == "stack" else ""
     schema = (
-        "z int, x long, y long, result array<double>"
+        f"z int, x long, y long, {rad_col}result array<double>"
         if output == "grid"
-        else "z int, x long, y long, resp_sum double, resp_min double, resp_max double"
+        else f"z int, x long, y long, {rad_col}resp_sum double, resp_min double, resp_max double"
     )
     return joined.mapInPandas(lambda it: (finish(pdf) for pdf in it), schema)

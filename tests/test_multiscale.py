@@ -93,6 +93,25 @@ def test_low_zoom_large_radius_clamps_decimation(spark, points_df):
     assert len(rows) >= 1
 
 
+def test_stack_mode_matches_single_radius_runs(spark, points_df):
+    """agg='stack' must emit exactly the per-radius responses a
+    single-radius run produces (reference stack semantics: raw bands,
+    no combine) — bit-exact, covering both the small-radius and
+    overview paths."""
+    stacked = multiscale_usm(points_df, Z, radii=RADII, agg="stack", output="grid").collect()
+    got = {(r["x"], r["y"], r["radius"]): np.asarray(r["usm"]) for r in stacked}
+    assert {k[2] for k in got} == {float(r) for r in RADII}
+    for r in RADII:
+        single = multiscale_usm(
+            points_df, Z, radii=(r,), weights=(1.0,), agg="mean", output="grid"
+        ).collect()
+        assert len(single) >= 1
+        for row in single:
+            np.testing.assert_array_equal(
+                got[(row["x"], row["y"], float(r))], np.asarray(row["usm"])
+            )
+
+
 def test_global_p99_runs(spark, points_df):
     g = multiscale_usm(points_df, Z, radii=(2, 8), output="grid")
     p = global_abs_p99(g, "usm", sample_mod=1)

@@ -122,3 +122,24 @@ def test_spatial_kernel_rejects_mismatched_weights(spark, points_df):
 
     with pytest.raises(ValueError, match="counts must match"):
         spatial_kernel(points_df, 3, "hillshade", radii=(2.0, 8.0), weights=(1.0,))
+
+
+def test_spatial_stack_matches_single_radius_runs(spark, points_df):
+    """agg='stack' emits the raw per-radius responses bit-exactly
+    (parity with single-radius weight-1 runs, both paths)."""
+    import numpy as np
+
+    stacked = spatial_kernel(
+        points_df, Z, "hillshade", radii=RADII, agg="stack", output="grid"
+    ).collect()
+    got = {(r["x"], r["y"], r["radius"]): np.asarray(r["result"]) for r in stacked}
+    assert {k[2] for k in got} == set(RADII)
+    for r in RADII:
+        single = spatial_kernel(
+            points_df, Z, "hillshade", radii=(r,), weights=(1.0,), output="grid"
+        ).collect()
+        assert len(single) >= 1
+        for row in single:
+            np.testing.assert_array_equal(
+                got[(row["x"], row["y"], float(r))], np.asarray(row["result"])
+            )

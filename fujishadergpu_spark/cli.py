@@ -78,6 +78,7 @@ def run_render_many(
     run_id: str | None = None,
     agg: str = "mean",
     kernel_params: dict | None = None,
+    fill_voids: str | None = None,
 ) -> dict:
     """Fan-out: N algorithms from ONE scan+geoparse. The reference
     runs one algorithm per invocation (re-reading the COG each time);
@@ -92,7 +93,8 @@ def run_render_many(
     try:
         return {
             a: run_render(spark, pages_path, out_root, a, zoom, agg=agg,
-                          run_id=run_id, _pts=pts, kernel_params=kernel_params)
+                          run_id=run_id, _pts=pts, kernel_params=kernel_params,
+                          fill_voids=fill_voids)
             for a in algorithms
         }
     finally:
@@ -111,6 +113,7 @@ def run_render(
     run_id: str | None = None,
     _pts=None,
     kernel_params: dict | None = None,
+    fill_voids: str | None = None,
 ) -> dict:
     """The reference's primary command (``fujishadergpu in out
     --algorithm X --radii ... --agg ...``) end-to-end: geoparse ->
@@ -140,12 +143,22 @@ def run_render(
     else:
         pg = spark.read.parquet(pages_path)
         pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
+    surface = None
+    if fill_voids:
+        if radii:
+            raise ValueError("--fill-voids applies to the single-radius tile path")
+        from .operators.void_fill import build_void_fill_surface
+
+        # one bounded pre-pass -> broadcast membrane (A21; the
+        # reference's prepare-stage enclosed-void repair)
+        surface = build_void_fill_surface(pts, zoom, mode=fill_voids)
     if radii:
         t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
                            weights=tuple(weights) if weights else None,
                            agg=agg, output="grid", **kernel_params)
     else:
-        t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True, **kernel_params)
+        t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True,
+                        fill_surface=surface, **kernel_params)
 
     # A9/A11 stats pre-pass: robust [p1, p99] broadcast into the encode
     # UDF. The kernel output is persisted so the pre-pass action and
@@ -256,6 +269,10 @@ def main(argv=None):
     r.add_argument("--agg", default="mean", choices=["mean", "min", "max", "sum", "stack"])
     r.add_argument("--params", default=None,
                    help="JSON dict of kernel params (validated against the declared surface)")
+    r.add_argument("--fill-voids", default=None, choices=["enclosed", "all"],
+                   help="fill zero-density voids from a coarse push-pull membrane before "
+                        "the kernel (enclosed: only holes inside the data footprint; "
+                        "the reference prepare-stage repair)")
     r.add_argument("--run-id", default=None)
 
     args = ap.parse_args(argv)
@@ -285,7 +302,7 @@ def main(argv=None):
                     raise SystemExit("--radii/--weights apply to single-algorithm renders")
                 many = run_render_many(
                     spark, args.pages, args.out, algos, args.zoom, args.run_id,
-                    agg=args.agg, kernel_params=kparams,
+                    agg=args.agg, kernel_params=kparams, fill_voids=args.fill_voids,
                 )
                 for a, s in many.items():
                     print(f"render {a}: {s}")
@@ -293,6 +310,7 @@ def main(argv=None):
                 s = run_render(
                     spark, args.pages, args.out, algos[0], args.zoom,
                     radii, weights, args.agg, args.run_id, kernel_params=kparams,
+                    fill_voids=args.fill_voids,
                 )
                 print(f"render {algos[0]}: {s}")
     finally:

@@ -344,6 +344,7 @@ def tile_kernel(
     weight_col: str | None = None,
     log_scale: bool = True,
     skip_empty_core: bool = False,
+    fill_surface=None,
     **kernel_params,
 ) -> DataFrame:
     """Rasterize + stencil: one row per tile (z, x, y, result 256²).
@@ -356,6 +357,11 @@ def tile_kernel(
 
     skip_empty_core (A17): drop tiles that own no points (only halo
     spill-ins) before running the kernel.
+
+    fill_surface (A21): a void_fill.VoidFillSurface — zero-count pixels
+    in fillable regions take their broadcast membrane value before
+    log_scale + kernel (applied to the full halo-expanded grid, so the
+    fill is seam-free like everything else).
     """
     fn_kernel, _ = KERNELS[kernel]
     h = kernel_halo(kernel, kernel_params) if halo is None else halo
@@ -376,6 +382,9 @@ def tile_kernel(
                 )
             pdf = pdf.drop(columns=[_CORE_FLAG])
         grid = _accumulate_grid(pdf, z, h, weight_col)
+        if fill_surface is not None:
+            tk = int(pdf["_tk"].iloc[0])
+            grid = fill_surface.apply(grid, tk >> 32, tk & _MASK32, z, h)
         if log_scale:
             grid = np.log1p(grid)
         out = fn_kernel(grid, **kernel_params)
@@ -401,6 +410,7 @@ def tile_kernel_stats(
     weight_col: str | None = None,
     log_scale: bool = True,
     lit_threshold: float = 0.75,
+    fill_surface=None,
     **kernel_params,
 ) -> DataFrame:
     """Like tile_kernel but reduces each tile to scalar stats inside
@@ -418,6 +428,9 @@ def tile_kernel_stats(
         # in float64) — the reference's quantize-before-transfer
         # discipline applied to bandwidth instead of PCIe
         grid = _accumulate_grid(pdf, z, h, weight_col, dtype=np.float32)
+        if fill_surface is not None:
+            tk = int(pdf["_tk"].iloc[0])
+            grid = fill_surface.apply(grid, tk >> 32, tk & _MASK32, z, h).astype(np.float32)
         if log_scale:
             grid = np.log1p(grid)
         out = fn_kernel(grid, **kernel_params)

@@ -944,6 +944,19 @@ def tile_openness_normalized_z5(spark, sf_dir):
     )
 
 
+def tile_hillshade_filled_z5(spark, sf_dir):
+    """A21 void fill under driver smoke: bounded coarse pre-pass ->
+    edge-connectivity split -> push-pull membrane broadcast -> fill ->
+    hillshade (operators/void_fill; the reference's prepare-stage
+    enclosed-void repair, reference io/dem_preprocess.py:573-640)."""
+    from .operators.tile_kernels import tile_kernel_stats
+    from .operators.void_fill import build_void_fill_surface
+
+    p = geo_points(spark, sf_dir)
+    surface = build_void_fill_surface(p, 5, mode="enclosed")
+    return tile_kernel_stats(p, 5, kernel="hillshade", fill_surface=surface).orderBy("x", "y")
+
+
 def multiscale_usm_z5(spark, sf_dir):
     """Multiscale unsharp mask (radii 2/8/64) with the large-radius
     overview rewrite — per-tile stats (the reference's flagship
@@ -1197,6 +1210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "tile_hillshade_z6": tile_hillshade_z6,
+    "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
     "multiscale_usm_z5": multiscale_usm_z5,
     "media_features": media_features,
     "knn_ring_trace": knn_ring_trace,

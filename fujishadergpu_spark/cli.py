@@ -114,6 +114,7 @@ def run_render(
     _pts=None,
     kernel_params: dict | None = None,
     fill_voids: str | None = None,
+    metric_scale: bool = False,
 ) -> dict:
     """The reference's primary command (``fujishadergpu in out
     --algorithm X --radii ... --agg ...``) end-to-end: geoparse ->
@@ -158,7 +159,8 @@ def run_render(
                            agg=agg, output="grid", **kernel_params)
     else:
         t = tile_kernel(pts, zoom, kernel=algorithm, log_scale=True,
-                        fill_surface=surface, **kernel_params)
+                        fill_surface=surface, metric_scale=metric_scale,
+                        **kernel_params)
 
     # A9/A11 stats pre-pass: robust [p1, p99] broadcast into the encode
     # UDF. The kernel output is persisted so the pre-pass action and
@@ -269,6 +271,9 @@ def main(argv=None):
     r.add_argument("--agg", default="mean", choices=["mean", "min", "max", "sum", "stack"])
     r.add_argument("--params", default=None,
                    help="JSON dict of kernel params (validated against the declared surface)")
+    r.add_argument("--metric-scale", action="store_true",
+                   help="per-tile metric (m/px) pixel scales into gradient/ray kernels "
+                        "(hillshade/slope/curvature/aspect/openness)")
     r.add_argument("--fill-voids", default=None, choices=["enclosed", "all"],
                    help="fill zero-density voids from a coarse push-pull membrane before "
                         "the kernel (enclosed: only holes inside the data footprint; "
@@ -310,7 +315,7 @@ def main(argv=None):
                 s = run_render(
                     spark, args.pages, args.out, algos[0], args.zoom,
                     radii, weights, args.agg, args.run_id, kernel_params=kparams,
-                    fill_voids=args.fill_voids,
+                    fill_voids=args.fill_voids, metric_scale=args.metric_scale,
                 )
                 print(f"render {algos[0]}: {s}")
     finally:

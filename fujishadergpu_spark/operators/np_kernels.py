@@ -105,13 +105,18 @@ def np_openness(
     num_directions: int = 16,
     max_distance: int = 32,
     global_stats=None,
+    pixel_scale=(1.0, 1.0),
+    z_factor: float = 1.0,
     **_ignored,
 ) -> np.ndarray:
     """Topographic openness (Yokoyama et al. 2002): per-azimuth horizon
     extreme over ray samples, directional mean of the zenith (positive)
     or nadir (negative) angle, /90°, gamma (reference
     algorithms/_impl_openness.py:31-132). Pads once with the max
-    offset and slices shifted views — same vectorization shape."""
+    offset and slices shifted views — same vectorization shape.
+    pixel_scale makes the per-ray distances anisotropic physical
+    metres (reference _impl_openness.py:107-110); z_factor scales the
+    elevation difference into the same units."""
     h, w = grid.shape
     nan_mask = np.isnan(grid)
     angles = np.linspace(0, 2 * np.pi, num_directions, endpoint=False)
@@ -139,8 +144,13 @@ def np_openness(
                 continue
             shifted = padded_all[D + oy : D + oy + h, D + ox : D + ox + w]
             shifted_valid = padded_valid[D + oy : D + oy + h, D + ox : D + ox + w]
-            dist = max(math.hypot(ox, oy), 1e-9)
-            angle = np.arctan((shifted - grid) / dist)
+            sx, sy = float(pixel_scale[0]), float(pixel_scale[1])
+            if (sx, sy, float(z_factor)) == (1.0, 1.0, 1.0):
+                dist = max(math.hypot(ox, oy), 1e-9)
+                angle = np.arctan((shifted - grid) / dist)
+            else:
+                dist = max(math.hypot(ox * sx, oy * sy), 1e-9)
+                angle = np.arctan((shifted - grid) * (float(z_factor) / dist))
             valid = shifted_valid & ~nan_mask
             if positive:
                 dir_ext = np.where(valid, np.maximum(dir_ext, angle), dir_ext)
@@ -1104,7 +1114,8 @@ def _halo_gauss(sigma: float) -> int:
 EXT_KERNEL_DEFAULTS: dict[str, dict] = {
     "blur": {"scale": 8.0},
     "multiscale_terrain": {"scales": (2.0, 8.0, 32.0), "weights": None, "global_stats": None},
-    "openness": {"openness_type": "positive", "num_directions": 16, "max_distance": 32, "global_stats": None},
+    "openness": {"openness_type": "positive", "num_directions": 16, "max_distance": 32,
+                 "global_stats": None, "pixel_scale": (1.0, 1.0), "z_factor": 1.0},
     "ambient_occlusion": {"num_samples": 16, "radius": 10.0, "intensity": 1.0, "global_stats": None},
     "specular": {"roughness_scale": 20.0, "shininess": 10.0, "roughness_norm_scale": None,
                  "light_azimuth": DEFAULT_AZIMUTH, "light_altitude": DEFAULT_ALTITUDE},

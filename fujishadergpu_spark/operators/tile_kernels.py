@@ -217,15 +217,42 @@ def rasterize_tiles(
 
 # --------------------------- window kernels --------------------------
 
-def np_hillshade(grid: np.ndarray, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> np.ndarray:
+def np_metric_gradient(
+    grid: np.ndarray,
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    z_factor: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(gy, gx) per METRIC spacing: gradient / (m per pixel), scaled by
+    z_factor (vertical exaggeration) — the reference's sign-aware
+    metric derivative (reference algorithms/_nan_utils.py:50-74,
+    io/raster_info.py pixel scales). Unit spacing (1, 1) is the exact
+    pre-metric behavior."""
+    gy, gx = np.gradient(grid)
+    sx, sy = float(pixel_scale[0]), float(pixel_scale[1])
+    zf = float(z_factor)
+    if (sx, sy, zf) != (1.0, 1.0, 1.0):
+        gx = gx * (zf / sx)
+        gy = gy * (zf / sy)
+    return gy, gx
+
+
+def np_hillshade(
+    grid: np.ndarray,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    z_factor: float = 1.0,
+) -> np.ndarray:
     """Lambertian hillshade of a 2-D field (classic Horn formula).
 
     Same semantics as the reference's local hillshade (reference
     algorithms/_impl_hillshade.py:20-54: gradient -> surface normal ->
     clamped dot product with the light vector), implemented fresh on
-    np.gradient. Output in [0, 1].
+    np.gradient. Output in [0, 1]. pixel_scale carries per-tile metric
+    m/px spacings into the gradient (reference
+    core/tile_processor.py:910-932).
     """
-    gy, gx = np.gradient(grid)
+    gy, gx = np_metric_gradient(grid, pixel_scale, z_factor)
     az = math.radians(azimuth_deg)
     alt = math.radians(altitude_deg)
     slope = np.arctan(np.hypot(gx, gy))
@@ -234,10 +261,16 @@ def np_hillshade(grid: np.ndarray, azimuth_deg: float = 315.0, altitude_deg: flo
     return np.clip(shade, 0.0, 1.0)
 
 
-def np_slope(grid: np.ndarray, unit: str = "degree") -> np.ndarray:
+def np_slope(
+    grid: np.ndarray,
+    unit: str = "degree",
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    z_factor: float = 1.0,
+) -> np.ndarray:
     """Slope magnitude in degree / percent / radian (reference
-    algorithms/_impl_slope.py:19-35's unit switch)."""
-    gy, gx = np.gradient(grid)
+    algorithms/_impl_slope.py:19-35's unit switch), metric when
+    pixel_scale is given."""
+    gy, gx = np_metric_gradient(grid, pixel_scale, z_factor)
     rad = np.arctan(np.hypot(gx, gy))
     if unit == "degree":
         return np.degrees(rad)
@@ -248,19 +281,31 @@ def np_slope(grid: np.ndarray, unit: str = "degree") -> np.ndarray:
     raise ValueError(f"unknown slope unit {unit!r} (degree/percent/radian)")
 
 
-def np_curvature(grid: np.ndarray, mode: str = "planform") -> np.ndarray:
+def np_curvature(
+    grid: np.ndarray,
+    mode: str = "planform",
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    z_factor: float = 1.0,
+) -> np.ndarray:
     """Second-order surface curvature (reference
     algorithms/_impl_curvature.py:19-57 semantics: mean / gaussian /
     planform / profile from the Hessian + gradient, fresh NumPy
-    implementation).
+    implementation). pixel_scale puts the Hessian in metric units
+    (1/m curvatures).
 
     planform curvature is zero along straight contours (a parabolic
     cylinder has zero planform curvature — the reference's analytic
     fixture, tests/test_curvature_analytic.py).
     """
-    gy, gx = np.gradient(grid)
+    gy, gx = np_metric_gradient(grid, pixel_scale, z_factor)
+    sx, sy = float(pixel_scale[0]), float(pixel_scale[1])
     gyy, gyx = np.gradient(gy)
     gxy, gxx = np.gradient(gx)
+    if (sx, sy) != (1.0, 1.0):
+        gyy = gyy / sy
+        gyx = gyx / sx
+        gxy = gxy / sy
+        gxx = gxx / sx
     p = gx * gx + gy * gy
     eps = 1e-12
     if mode == "mean":
@@ -281,17 +326,24 @@ def np_curvature(grid: np.ndarray, mode: str = "planform") -> np.ndarray:
     raise ValueError(f"unknown curvature mode {mode}")
 
 
-def np_curvature_display(grid: np.ndarray, mode: str = "mean") -> np.ndarray:
+def np_curvature_display(
+    grid: np.ndarray,
+    mode: str = "mean",
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    z_factor: float = 1.0,
+) -> np.ndarray:
     """Display-ready curvature: tanh(100c) -> [0,1] + gamma (the
     reference's visualization transform, _impl_curvature.py:55-58);
     np_curvature returns the raw quantitative field."""
-    c = np_curvature(grid, mode)
+    c = np_curvature(grid, mode, pixel_scale, z_factor)
     return np.power((np.tanh(c * 100.0) + 1.0) / 2.0, 1 / 2.2)
 
 
-def np_aspect(grid: np.ndarray) -> np.ndarray:
+def np_aspect(
+    grid: np.ndarray, pixel_scale: tuple[float, float] = (1.0, 1.0)
+) -> np.ndarray:
     """Downslope direction in degrees [0, 360) (0 = north)."""
-    gy, gx = np.gradient(grid)
+    gy, gx = np_metric_gradient(grid, pixel_scale)
     return np.degrees(np.arctan2(-gx, gy)) % 360.0
 
 
@@ -300,13 +352,21 @@ from .np_kernels import EXT_KERNEL_DEFAULTS, EXT_KERNELS  # noqa: E402  (registr
 # §2.D declared per-kernel parameter defaults (reference
 # get_default_params contract); the local kernels' surfaces first
 KERNEL_DEFAULTS: dict[str, dict] = {
-    "hillshade": {"azimuth_deg": 315.0, "altitude_deg": 45.0},
-    "slope": {"unit": "degree"},
-    "curvature": {"mode": "planform"},
-    "curvature_display": {"mode": "mean"},
-    "aspect": {},
+    "hillshade": {"azimuth_deg": 315.0, "altitude_deg": 45.0,
+                  "pixel_scale": (1.0, 1.0), "z_factor": 1.0},
+    "slope": {"unit": "degree", "pixel_scale": (1.0, 1.0), "z_factor": 1.0},
+    "curvature": {"mode": "planform", "pixel_scale": (1.0, 1.0), "z_factor": 1.0},
+    "curvature_display": {"mode": "mean", "pixel_scale": (1.0, 1.0), "z_factor": 1.0},
+    "aspect": {"pixel_scale": (1.0, 1.0)},
     **EXT_KERNEL_DEFAULTS,
 }
+
+# kernels that consume per-tile METRIC pixel scales (gradient spacing /
+# ray distances); tile_kernel(metric_scale=True) injects pixel_scale
+# per tile for exactly these (reference core/tile_processor.py:910-932)
+METRIC_SCALE_KERNELS = frozenset(
+    {"hillshade", "slope", "curvature", "curvature_display", "aspect", "openness"}
+)
 
 KERNELS = {
     "hillshade": (np_hillshade, 1),  # name -> (fn, halo depth | halo(params))
@@ -322,6 +382,29 @@ KERNELS = {
     # fractal_anomaly (reference algorithms/dask_registry.py:27-49)
     **EXT_KERNELS,
 }
+
+
+def tile_pixel_scales(tile_y: int, z: int) -> tuple[float, float]:
+    """(m/px x, m/px y) at a tile's center latitude — the per-tile
+    geographic pixel scales the reference injects into every kernel
+    (reference io/raster_info.py:38-99, core/tile_processor.py:910-932),
+    from the shared WGS84 metres-per-degree series.
+
+    On the WebMercator grid: deg-lon per pixel is constant 360/n_px;
+    deg-lat per pixel is (360/n_px)·cos(lat) (the exact inverse-mercator
+    derivative), so the two scales come out near-isotropic — mercator
+    is conformal — but not identical, exactly like the reference's
+    per-axis series approach."""
+    from ..functions.spatial import meters_per_degree
+
+    n_px = (1 << z) * TILE_PX
+    yn = (tile_y + 0.5) * TILE_PX / n_px  # tile-center in normalized y
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * yn))))
+    m_lon, m_lat = meters_per_degree(lat)
+    deg_per_px = 360.0 / n_px
+    sx = m_lon * deg_per_px
+    sy = m_lat * deg_per_px * math.cos(math.radians(lat))
+    return sx, sy
 
 
 def kernel_halo(kernel: str, params: dict | None = None) -> int:
@@ -345,9 +428,19 @@ def tile_kernel(
     log_scale: bool = True,
     skip_empty_core: bool = False,
     fill_surface=None,
+    metric_scale: bool = False,
     **kernel_params,
 ) -> DataFrame:
     """Rasterize + stencil: one row per tile (z, x, y, result 256²).
+
+    metric_scale=True injects per-tile (m/px x, m/px y) pixel scales
+    into the kernel (METRIC_SCALE_KERNELS only) so gradients and ray
+    distances are metric — the reference's geographic-CRS handling
+    (reference core/tile_processor.py:910-932). Like the reference,
+    the scales are a per-tile center-latitude scalar, so metric
+    outputs are exactly seam-free in x but only approximately so
+    across y tile boundaries (adjacent tile rows differ by the
+    latitude step's cos factor — the documented approximation).
 
     The grouped-map UDF receives the halo-expanded grid, applies the
     kernel, and crops the core — seam-free by the same construction as
@@ -364,6 +457,14 @@ def tile_kernel(
     fill is seam-free like everything else).
     """
     fn_kernel, _ = KERNELS[kernel]
+    if metric_scale:
+        if kernel not in METRIC_SCALE_KERNELS:
+            raise ValueError(
+                f"kernel {kernel!r} does not consume metric pixel scales; "
+                f"supported: {sorted(METRIC_SCALE_KERNELS)}"
+            )
+        if "pixel_scale" in kernel_params:
+            raise ValueError("pass either metric_scale=True or an explicit pixel_scale, not both")
     h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
     if skip_empty_core:
@@ -381,19 +482,22 @@ def tile_kernel(
                     }
                 )
             pdf = pdf.drop(columns=[_CORE_FLAG])
+        tk = int(pdf["_tk"].iloc[0])
         grid = _accumulate_grid(pdf, z, h, weight_col)
         if fill_surface is not None:
-            tk = int(pdf["_tk"].iloc[0])
             grid = fill_surface.apply(grid, tk >> 32, tk & _MASK32, z, h)
         if log_scale:
             grid = np.log1p(grid)
-        out = fn_kernel(grid, **kernel_params)
+        params = kernel_params
+        if metric_scale:
+            params = dict(kernel_params, pixel_scale=tile_pixel_scales(tk & _MASK32, z))
+        out = fn_kernel(grid, **params)
         core = out[h : h + TILE_PX, h : h + TILE_PX] if h else out
         return pd.DataFrame(
             {
                 "z": [z],
-                "x": [int(pdf["_tk"].iloc[0]) >> 32],
-                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
+                "x": [tk >> 32],
+                "y": [tk & _MASK32],
                 "result": [core.ravel()],
             }
         )
@@ -411,6 +515,7 @@ def tile_kernel_stats(
     log_scale: bool = True,
     lit_threshold: float = 0.75,
     fill_surface=None,
+    metric_scale: bool = False,
     **kernel_params,
 ) -> DataFrame:
     """Like tile_kernel but reduces each tile to scalar stats inside
@@ -419,6 +524,11 @@ def tile_kernel_stats(
     consumed — the reference's quantize-on-GPU-before-transfer
     discipline (reference core/tile_processor.py:983-996)."""
     fn_kernel, _ = KERNELS[kernel]
+    if metric_scale and kernel not in METRIC_SCALE_KERNELS:
+        raise ValueError(
+            f"kernel {kernel!r} does not consume metric pixel scales; "
+            f"supported: {sorted(METRIC_SCALE_KERNELS)}"
+        )
     h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
 
@@ -427,19 +537,22 @@ def tile_kernel_stats(
         # halving memory traffic is free accuracy-wise (sums are done
         # in float64) — the reference's quantize-before-transfer
         # discipline applied to bandwidth instead of PCIe
+        tk = int(pdf["_tk"].iloc[0])
         grid = _accumulate_grid(pdf, z, h, weight_col, dtype=np.float32)
         if fill_surface is not None:
-            tk = int(pdf["_tk"].iloc[0])
             grid = fill_surface.apply(grid, tk >> 32, tk & _MASK32, z, h).astype(np.float32)
         if log_scale:
             grid = np.log1p(grid)
-        out = fn_kernel(grid, **kernel_params)
+        params = kernel_params
+        if metric_scale:
+            params = dict(kernel_params, pixel_scale=tile_pixel_scales(tk & _MASK32, z))
+        out = fn_kernel(grid, **params)
         core = out[h : h + TILE_PX, h : h + TILE_PX] if h else out
         return pd.DataFrame(
             {
                 "z": [z],
-                "x": [int(pdf["_tk"].iloc[0]) >> 32],
-                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
+                "x": [tk >> 32],
+                "y": [tk & _MASK32],
                 "shade_sum": [float(core.sum(dtype=np.float64))],
                 "shade_max": [float(core.max())],
                 "lit_pixels": [int((core > lit_threshold).sum())],

@@ -944,6 +944,19 @@ def tile_openness_normalized_z5(spark, sf_dir):
     )
 
 
+def tile_hillshade_metric_z6(spark, sf_dir):
+    """Metric pixel scales under driver smoke: per-tile (m/px) spacings
+    from the WGS84 series feed the hillshade gradient (z_factor lifts
+    the log-density relief back into visible range at km-per-pixel
+    scales) — reference io/raster_info.py:38-99 semantics."""
+    from .operators.tile_kernels import tile_kernel_stats
+
+    p = geo_points(spark, sf_dir)
+    return tile_kernel_stats(
+        p, 6, kernel="hillshade", metric_scale=True, z_factor=2000.0
+    ).orderBy("x", "y")
+
+
 def tile_hillshade_filled_z5(spark, sf_dir):
     """A21 void fill under driver smoke: bounded coarse pre-pass ->
     edge-connectivity split -> push-pull membrane broadcast -> fill ->
@@ -1211,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "tile_hillshade_z6": tile_hillshade_z6,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
+    "tile_hillshade_metric_z6": tile_hillshade_metric_z6,
     "multiscale_usm_z5": multiscale_usm_z5,
     "media_features": media_features,
     "knn_ring_trace": knn_ring_trace,

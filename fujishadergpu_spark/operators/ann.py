@@ -78,27 +78,35 @@ def train_centroids(
     corpus: DataFrame, m: int, id_col: str = "vec_id", emb_col: str = "embedding",
     iters: int = 2, sample_target: int = 65536,
 ) -> np.ndarray:
-    """Deterministic k-means-lite: seed centroids from a strided id
-    sample, refine with ``iters`` Lloyd steps over a BOUNDED
-    deterministic hash sample (~sample_target rows, materialized once)
-    — training never rescans the corpus per iteration, so the pre-pass
-    cost is O(sample) regardless of corpus size (the standard IVF
-    practice; round 1 ran each Lloyd step over all dim x N exploded
-    rows). Assignment via pandas-UDF matmul, means via groupBy on the
-    posexploded embedding — aggregation JVM-side."""
-    total = corpus.count()
-    stride = max(1, total // m)
-    cents = np.stack(
-        corpus.filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col).limit(m)
-        .select(emb_col).toPandas()[emb_col].to_numpy()
-    ).astype(np.float64)
-    mod = max(1, total // sample_target)
+    """Deterministic k-means-lite over a BOUNDED sample, ONE corpus
+    pass total: TakeOrdered on the id hash keeps the sample_target
+    lowest-hash rows (per-partition top-K heaps + one merge — no full
+    sort, no corpus.count() pre-scan; round 2 opened with a full count
+    solely to size a stride). Seeds are the sample's m lowest-hash
+    rows; ``iters`` Lloyd steps refine over the materialized sample, so
+    training cost is O(sample) regardless of corpus size. Assignment
+    via pandas-UDF matmul, means via groupBy on the posexploded
+    embedding — aggregation JVM-side."""
+    hkey = F.xxhash64(F.col(id_col))
     sample = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
-        .select(emb_col)
-        .localCheckpoint()  # materialize once; Lloyd steps reuse it
+        corpus.select(F.col(emb_col), hkey.alias("_hk"))
+        .orderBy("_hk").limit(sample_target)
+        .localCheckpoint()  # materialize once; seeds + Lloyd steps reuse it
     )
+    # greedy max-min (k-center) seeding over a bounded sub-sample:
+    # deterministic, and spreads seeds across the vector space (random
+    # hash seeds can clump -> poor buckets -> recall loss)
+    sub = np.stack(
+        sample.orderBy("_hk").limit(min(4096, sample_target)).toPandas()[emb_col].to_numpy()
+    ).astype(np.float64)
+    sn = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    dmin = 1.0 - sn @ sn[0]
+    for _ in range(1, min(m, len(sub))):
+        nxt = int(np.argmax(dmin))
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, 1.0 - sn @ sn[nxt])
+    cents = sub[chosen]
     for _ in range(iters):
         assign = assign_bucket_udf(cents)
         assigned = sample.select(F.col(emb_col), assign(F.col(emb_col)).alias("_b"))
@@ -127,6 +135,89 @@ def assign_bucket_udf(centroids: np.ndarray):
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     return assign
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the IVF index on disk: vectors partitioned into
+    ``_b=<bucket>/`` directories plus the tiny centroid table. A probe
+    then reads ONLY the probed buckets' files — real partition pruning
+    at the scan (the 10^12-row posture the bucket equi-join of
+    ``ivf_topk`` only approximates in-memory). Returns the centroids."""
+    if centroids is None:
+        centroids = train_centroids(corpus, m, id_col, emb_col)
+    assign = assign_bucket_udf(centroids)
+    bucketed = corpus.select(
+        F.col(id_col), F.col(emb_col), assign(F.col(emb_col)).alias("_b")
+    )
+    bucketed.write.mode("overwrite").partitionBy("_b").parquet(f"{path}/vectors")
+    corpus.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "_b int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a written IVF index with file-level partition pruning.
+
+    The query batch is collected (the ANN search pattern: queries are
+    tiny vs the corpus — for corpus-sized query sets use ``ivf_topk``'s
+    equi-join instead); its union of probed buckets becomes a LITERAL
+    ``_b IN (...)`` predicate, which Catalyst turns into
+    PartitionFilters on the parquet scan — only the probed bucket
+    directories are read (plan-pinned in tests/test_ann.py).
+    """
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("_b").collect()
+    centroids = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents_rows])
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qpdf = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(emb_col).alias("_qemb")
+    ).toPandas()
+    qm = np.stack(qpdf["_qemb"].to_numpy()).astype(np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qm @ cn.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qpdf["_qid"].iloc[i]), [float(v) for v in qpdf["_qemb"].iloc[i]], int(b))
+        for i in range(len(qpdf))
+        for b in order[i]
+    ]
+    q = spark.createDataFrame(probe_rows, "_qid long, _qemb array<float>, _b int")
+    buckets = sorted({int(b) for b in order.ravel()})
+    vec = spark.read.parquet(f"{path}/vectors").filter(F.col("_b").isin(buckets))
+    j = F.broadcast(q).join(
+        vec.select(F.col(id_col).alias("_nid"), F.col(emb_col).alias("_nemb"), "_b"), "_b"
+    )
+    if exclude_self:
+        j = j.filter(F.col("_nid") != F.col("_qid"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_nid"))
+    return (
+        j.withColumn("_cos", cosine_col(F.col("_qemb"), F.col("_nemb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_nid").alias("neighbor_id"),
+            "rank",
+            F.col("_cos").alias("cosine"),
+        )
+    )
 
 
 def ivf_topk(

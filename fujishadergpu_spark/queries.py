@@ -866,6 +866,29 @@ def ann_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def ann_ivf_index_probe(spark, sf_dir):
+    """IVF index materialized on disk (vectors partitioned into
+    _b=<bucket>/ dirs) + partition-PRUNED probe: the scan reads only
+    the probed buckets' files (plan- and metric-pinned in
+    tests/test_ann.py; rows-only here)."""
+    import os
+    import tempfile
+
+    from .operators.ann import ivf_probe_topk, write_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_index_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_ivf_index(e, path, m=8)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_probe_topk(spark, path, q, k=5, nprobe=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 def tile_hillshade_z6(spark, sf_dir):
     """Grouped-map window kernel over halo-exchanged 256² tiles —
     per-tile scalar stats computed inside the UDF (no 65k-element
@@ -1222,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": doc_fingerprints,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_index_probe": ann_ivf_index_probe,
     "tile_hillshade_z6": tile_hillshade_z6,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,

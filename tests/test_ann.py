@@ -78,3 +78,44 @@ def test_ivf_recall_vs_brute_force(spark):
     hits = sum(len(truth[k_] & got.get(k_, set())) for k_ in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.8, f"IVF recall {hits / total:.2f}"
+
+
+def test_ivf_index_partition_pruning(spark, emb, emb_np, tmp_path):
+    """The written IVF index must prune at the SCAN: probing reads only
+    the probed _b=<bucket> directories (PartitionFilters in the plan,
+    strictly fewer input files than the full index), and recall vs
+    brute force stays >= 0.8."""
+    ids, mat = emb_np
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, path, m=8)
+    q = emb.filter("vec_id % 50 = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    out = ann.ivf_probe_topk(spark, path, q, k=5, nprobe=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "_b" in pf.group(1), f"no partition filter in plan:\n{plan[:2000]}"
+
+    # file-level proof via the scan's execution metrics (inputFiles()
+    # lists the whole relation and ignores pruning): a 2-bucket filter
+    # must read strictly fewer files than the full index holds
+    n_all = len(spark.read.parquet(f"{path}/vectors").inputFiles())
+    probed = spark.read.parquet(f"{path}/vectors").filter(F.col("_b").isin([0, 1]))
+    probed.collect()
+    leaves = probed._jdf.queryExecution().executedPlan().collectLeaves()
+    n_read = sum(
+        leaves.apply(i).metrics().apply("numFiles").value()
+        for i in range(leaves.length())
+        if leaves.apply(i).metrics().contains("numFiles")
+    )
+    assert 0 < n_read < n_all, f"scan read {n_read} of {n_all} files — no pruning"
+
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exp = _oracle_topk(ids, mat, sorted(got), 5)
+    hits = sum(len(got[q_] & set(exp[q_])) for q_ in got)
+    total = sum(len(exp[q_]) for q_ in got)
+    assert hits / total >= 0.8, f"index-probe recall {hits / total:.2f}"
+    assert len(got) == len(exp)

@@ -139,6 +139,25 @@ def run_render(
             f"unknown params {sorted(unknown)} for {algorithm!r}; "
             f"declared surface: {sorted(KERNEL_DEFAULTS[algorithm])}"
         )
+    # kernels whose normalization wants a GLOBAL stat: running without
+    # one falls back to per-block stats, which seam at tile boundaries
+    # (reference hoists these to a global pre-pass for exactly this
+    # reason, reference algorithms/_norm_stats.py:301-350). The render
+    # still applies a global [p1,p99] stretch after the kernel, but the
+    # kernel-internal normalization remains per-block — surface that.
+    if (
+        "global_stats" in KERNEL_DEFAULTS[algorithm]
+        and kernel_params.get("global_stats") is None
+    ):
+        import warnings
+
+        warnings.warn(
+            f"render {algorithm!r}: no global_stats injected — the kernel's internal "
+            f"normalization uses per-block stats and may seam at tile boundaries; "
+            f"pass --params '{{\"global_stats\": [lo, scale]}}' (from a stats pre-pass) "
+            f"for seam-free output",
+            stacklevel=2,
+        )
     if _pts is not None:
         pts = _pts  # shared persisted upstream (run_render_many)
     else:

@@ -835,6 +835,35 @@ def doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", textfn.fingerprint_udf("text").alias("fingerprint")).orderBy("doc_id")
 
 
+def doc_fingerprint_distinct(spark, sf_dir):
+    """The fingerprint CONTRACT under the hash gate: a 64-bit content
+    fingerprint must be injective on the corpus (distinct fingerprints
+    == distinct texts) and group exactly like the text itself (max/sum
+    of per-fingerprint group sizes == per-text group sizes). The
+    oracle computes the same stats grouping by RAW text — any
+    collision, instability, or normalization drift diverges the row."""
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select(textfn.fingerprint_udf("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("c"))
+    )
+    return g.agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.max("c").alias("max_group"),
+    )
+
+
+DOC_FP_DISTINCT_SQL = """
+WITH g AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text)
+SELECT COUNT(*) AS n_distinct,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       MAX(c) AS max_group
+FROM g
+"""
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Banded-sketch near-dup with planted near-duplicates: the raw
     table's max pairwise cosine is ~0.51 at every SF, so without
@@ -993,6 +1022,22 @@ def tile_hillshade_filled_z5(spark, sf_dir):
     return tile_kernel_stats(p, 5, kernel="hillshade", fill_surface=surface).orderBy("x", "y")
 
 
+def tile_ao_normalized_z5(spark, sf_dir):
+    """Second stats-injected kernel entry (ambient_occlusion through
+    the A9/A11 pre-pass->inject pipeline) — the generic stretch-domain
+    path beyond openness."""
+    from .operators.norm_stats import tile_kernel_normalized
+
+    p = geo_points(spark, sf_dir)
+    t = tile_kernel_normalized(p, 5, "ambient_occlusion", radius=8.0)
+    return (
+        t.select("z", "x", "y", F.explode("result").alias("v"))
+        .groupBy("z", "x", "y")
+        .agg(F.sum("v").alias("stretched_sum"))
+        .orderBy("x", "y")
+    )
+
+
 def multiscale_usm_z5(spark, sf_dir):
     """Multiscale unsharp mask (radii 2/8/64) with the large-radius
     overview rewrite — per-tile stats (the reference's flagship
@@ -1084,11 +1129,25 @@ FROM p ORDER BY c_custkey
 
 
 def media_features(spark, sf_dir):
+    """Multimodal plumbing under the hash gate: the (media_id, kind,
+    feature-dim) contract of the mapInPandas decode path is
+    SQL-stateable (kind cycles by id mod 3, the stub emits a fixed
+    32-dim vector), so a broken Arrow batch shape / dropped row /
+    mis-keyed kind diverges the hash. The feature VALUES stay a
+    decode-stub detail (pytest-covered)."""
     media = synthetic_media(spark, 500)
     f = extract_features(media)
     return f.select(
         "media_id", "kind", F.size("features").cast("long").alias("dim")
     ).orderBy("media_id")
+
+
+MEDIA_FEATURES_SQL = """
+SELECT r.range AS media_id,
+       CASE (r.range % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(32 AS BIGINT) AS dim
+FROM range(500) r ORDER BY media_id
+"""
 
 
 def knn_ring_trace(spark, sf_dir):
@@ -1243,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_docs": dedup_simhash_docs,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "doc_fingerprint_distinct": doc_fingerprint_distinct,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -1253,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": media_features,
     "knn_ring_trace": knn_ring_trace,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
+    "tile_ao_normalized_z5": tile_ao_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
     # one driver entry per ported stencil algorithm (rows-only; the
     # bit-exact oracle is the tiled==whole pytest matrix)
@@ -1301,6 +1362,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
+    "doc_fingerprint_distinct": DOC_FP_DISTINCT_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
     "ann_topk_cosine": ANN_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }

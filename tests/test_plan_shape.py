@@ -94,3 +94,16 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
     ex = plan[plan.index("Exchange hashpartitioning"):]
     head = ex[: ex.index("\n")]
     assert "_h" in head and "text" not in head
+
+
+def test_halo_census_single_shuffle(spark, points_df):
+    """The hash-oracle census operators ride the same one-Exchange
+    halo transport as the kernels (16-byte packed rows)."""
+    from fujishadergpu_spark.operators.tile_kernels import tile_box_total, tile_halo_census
+
+    for df in (tile_halo_census(points_df, 6, 3), tile_box_total(points_df, 6, 2)):
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        ex = plan[plan.index("Exchange hashpartitioning"):]
+        head = ex[: ex.index("\n")]
+        assert "_tk" in head and "lat" not in head and "url" not in head

@@ -164,6 +164,8 @@ def run_render(
         pg = spark.read.parquet(pages_path)
         pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
     surface = None
+    if metric_scale and radii:
+        raise ValueError("--metric-scale applies to the single-radius tile path")
     if fill_voids:
         if radii:
             raise ValueError("--fill-voids applies to the single-radius tile path")

@@ -79,22 +79,30 @@ def run_render_many(
     agg: str = "mean",
     kernel_params: dict | None = None,
     fill_voids: str | None = None,
+    metric_scale: bool = False,
 ) -> dict:
     """Fan-out: N algorithms from ONE scan+geoparse. The reference
     runs one algorithm per invocation (re-reading the COG each time);
     on Spark the shared upstream persists (MEMORY_AND_DISK — the A14
     persist-or-stream decision, safe under spill) and each algorithm
-    reuses it."""
+    reuses it. The void-fill surface (if requested) is likewise built
+    once and shared — it depends only on (points, zoom)."""
     from pyspark import StorageLevel
 
     pg = spark.read.parquet(pages_path)
     pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    surface = None
+    if fill_voids:
+        from .operators.void_fill import build_void_fill_surface
+
+        surface = build_void_fill_surface(pts, zoom, mode=fill_voids)
     try:
         return {
             a: run_render(spark, pages_path, out_root, a, zoom, agg=agg,
                           run_id=run_id, _pts=pts, kernel_params=kernel_params,
-                          fill_voids=fill_voids)
+                          fill_voids=fill_voids, _surface=surface,
+                          metric_scale=metric_scale)
             for a in algorithms
         }
     finally:
@@ -115,6 +123,7 @@ def run_render(
     kernel_params: dict | None = None,
     fill_voids: str | None = None,
     metric_scale: bool = False,
+    _surface=None,
 ) -> dict:
     """The reference's primary command (``fujishadergpu in out
     --algorithm X --radii ... --agg ...``) end-to-end: geoparse ->
@@ -163,17 +172,18 @@ def run_render(
     else:
         pg = spark.read.parquet(pages_path)
         pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
-    surface = None
+    surface = _surface
     if metric_scale and radii:
         raise ValueError("--metric-scale applies to the single-radius tile path")
     if fill_voids:
         if radii:
             raise ValueError("--fill-voids applies to the single-radius tile path")
-        from .operators.void_fill import build_void_fill_surface
+        if surface is None:
+            from .operators.void_fill import build_void_fill_surface
 
-        # one bounded pre-pass -> broadcast membrane (A21; the
-        # reference's prepare-stage enclosed-void repair)
-        surface = build_void_fill_surface(pts, zoom, mode=fill_voids)
+            # one bounded pre-pass -> broadcast membrane (A21; the
+            # reference's prepare-stage enclosed-void repair)
+            surface = build_void_fill_surface(pts, zoom, mode=fill_voids)
     if radii:
         t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
                            weights=tuple(weights) if weights else None,
@@ -197,7 +207,16 @@ def run_render(
     # recomputing it on a resumed run would quantize the remaining
     # tiles on a (slightly) different scale than the already-committed
     # ones — seams at resume boundaries. First run wins.
-    stats_path = f"{out_root}/_stats_render_{algorithm}_z{zoom}"
+    # the stats key must cover EVERYTHING that changes the output value
+    # distribution (agg incl. stack, radii/weights, kernel params,
+    # fill/metric options) — a rerun with a different config must NOT
+    # quantize on another config's persisted (lo, scale)
+    import hashlib
+
+    cfg = repr((agg, radii, weights, sorted(kernel_params.items()),
+                fill_voids, metric_scale))
+    cfg_tag = hashlib.sha256(cfg.encode()).hexdigest()[:10]
+    stats_path = f"{out_root}/_stats_render_{algorithm}_z{zoom}_{cfg_tag}"
     # only a genuinely-missing stats file falls through to recompute;
     # any other read failure (FS fault, corrupt footer, permissions)
     # must propagate — silently recomputing percentile_approx would

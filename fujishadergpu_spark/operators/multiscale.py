@@ -163,7 +163,11 @@ def multiscale_usm(
     coarse_cols: dict[int, str] = {}
     for s in sorted({s for s in large.values()}):
         r_cs = [r >> s for r, rs in large.items() if rs == s]
-        h_c = max(r_cs) + 1
+        # the max_s=z cap can leave a coarse radius > 255 at extreme
+        # (low-zoom, huge-radius) configs; clamp like spatial_mode does
+        # — the SAT clips edge windows, so the clamped run is
+        # approximate only in that degenerate regime instead of raising
+        h_c = min(max(r_cs) + 1, TILE_PX - 1)
         coarse = rasterize_tiles(points, z - s, halo=h_c)
 
         def mk_smooth(r_cs=tuple(r_cs), h_c=h_c, s=s):

@@ -503,7 +503,68 @@ def tile_kernel(
         )
 
     schema = "z int, x long, y long, result array<double>"
-    return pts.groupBy("_tk").applyInPandas(fn, schema)
+    out = pts.groupBy("_tk").applyInPandas(fn, schema)
+    if fill_surface is None:
+        return out
+    return out.unionByName(
+        _synth_filled_tiles(
+            points, pts, z, h, fill_surface, log_scale, metric_scale,
+            fn_kernel, kernel_params, schema, stats=False,
+        )
+    )
+
+
+def _synth_filled_tiles(
+    points, pts, z, h, fill_surface, log_scale, metric_scale,
+    fn_kernel, kernel_params, schema, stats, lit_threshold=0.75,
+):
+    """Kernel output for fillable tiles that own NO points (core or
+    halo): such tiles have no shuffle rows, so no group ever forms and
+    the membrane would silently not materialize there (whole-tile
+    enclosed voids). Candidates come from the broadcast surface
+    (driver-enumerated, bounded), minus the tiles the point path
+    already produced — deterministic, partition-independent."""
+    spark = points.sparkSession
+    tks = fill_surface.fillable_tile_keys(z)
+    if tks.size == 0:
+        return spark.createDataFrame([], schema)
+    cand = spark.createDataFrame(pd.DataFrame({"_tk": tks}))
+    present = pts.select("_tk").distinct()
+    missing = cand.join(present, "_tk", "left_anti").repartition(
+        max(2, spark.sparkContext.defaultParallelism)
+    )
+
+    def fn_missing(it):
+        for pdf in it:
+            cols: dict[str, list] = (
+                {"z": [], "x": [], "y": [], "shade_sum": [], "shade_max": [], "lit_pixels": []}
+                if stats
+                else {"z": [], "x": [], "y": [], "result": []}
+            )
+            for tk in pdf["_tk"].astype("int64"):
+                tk = int(tk)
+                tx, ty = tk >> 32, tk & _MASK32
+                w_ = TILE_PX + 2 * h
+                grid = fill_surface.apply(np.zeros((w_, w_)), tx, ty, z, h)
+                if log_scale:
+                    grid = np.log1p(grid)
+                params = kernel_params
+                if metric_scale:
+                    params = dict(kernel_params, pixel_scale=tile_pixel_scales(ty, z))
+                o = fn_kernel(grid, **params)
+                core = o[h : h + TILE_PX, h : h + TILE_PX] if h else o
+                cols["z"].append(z)
+                cols["x"].append(tx)
+                cols["y"].append(ty)
+                if stats:
+                    cols["shade_sum"].append(float(core.sum(dtype=np.float64)))
+                    cols["shade_max"].append(float(core.max()))
+                    cols["lit_pixels"].append(int((core > lit_threshold).sum()))
+                else:
+                    cols["result"].append(core.ravel())
+            yield pd.DataFrame(cols)
+
+    return missing.mapInPandas(fn_missing, schema)
 
 
 def tile_kernel_stats(
@@ -524,11 +585,14 @@ def tile_kernel_stats(
     consumed — the reference's quantize-on-GPU-before-transfer
     discipline (reference core/tile_processor.py:983-996)."""
     fn_kernel, _ = KERNELS[kernel]
-    if metric_scale and kernel not in METRIC_SCALE_KERNELS:
-        raise ValueError(
-            f"kernel {kernel!r} does not consume metric pixel scales; "
-            f"supported: {sorted(METRIC_SCALE_KERNELS)}"
-        )
+    if metric_scale:
+        if kernel not in METRIC_SCALE_KERNELS:
+            raise ValueError(
+                f"kernel {kernel!r} does not consume metric pixel scales; "
+                f"supported: {sorted(METRIC_SCALE_KERNELS)}"
+            )
+        if "pixel_scale" in kernel_params:
+            raise ValueError("pass either metric_scale=True or an explicit pixel_scale, not both")
     h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
 
@@ -560,7 +624,15 @@ def tile_kernel_stats(
         )
 
     schema = "z int, x long, y long, shade_sum double, shade_max double, lit_pixels long"
-    return pts.groupBy("_tk").applyInPandas(fn, schema)
+    out = pts.groupBy("_tk").applyInPandas(fn, schema)
+    if fill_surface is None:
+        return out
+    return out.unionByName(
+        _synth_filled_tiles(
+            points, pts, z, h, fill_surface, log_scale, metric_scale,
+            fn_kernel, kernel_params, schema, stats=True, lit_threshold=lit_threshold,
+        )
+    )
 
 
 # ------------------- halo-contract census operators ------------------
@@ -595,6 +667,34 @@ def tile_halo_census(points: DataFrame, z: int, halo: int) -> DataFrame:
         )
 
     return pts.groupBy("_tk").applyInPandas(fn, "z int, x long, y long, win_pts long, core_pts long")
+
+
+def tile_weighted_census(
+    points: DataFrame, z: int, halo: int, weight_col: str
+) -> DataFrame:
+    """Per tile: halo-window and core SUMS of an integer weight column
+    — puts the weighted-rasterization path (sorted-order float
+    accumulation, _accumulate_grid's weight branch) under the exact
+    hash gate: integer-valued weights accumulate exactly in float64,
+    so the sums cast to BIGINT bit-stably on any engine."""
+    pts = _packed_tiles(points, z, halo, weight_col)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = _accumulate_grid(pdf, z, halo, weight_col)
+        core = grid[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else grid
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "x": [int(pdf["_tk"].iloc[0]) >> 32],
+                "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
+                "win_weight": [int(grid.sum())],
+                "core_weight": [int(core.sum())],
+            }
+        )
+
+    return pts.groupBy("_tk").applyInPandas(
+        fn, "z int, x long, y long, win_weight long, core_weight long"
+    )
 
 
 def tile_box_total(points: DataFrame, z: int, r: int) -> DataFrame:

@@ -80,6 +80,33 @@ class VoidFillSurface:
         self._bc_fill = bc_fill
         self._bc_fillable = bc_fillable
 
+    def fillable_tile_keys(self, z: int) -> np.ndarray:
+        """Packed (tx<<32)+ty keys of EVERY z-level tile intersecting a
+        fillable coarse cell — the fill's output domain. A tile with no
+        points produces no shuffle rows and hence no group, so the
+        consumer must synthesize these tiles or whole-tile voids stay
+        unrepaired. Driver memory is the (2^z)² tile mask — bounded by
+        the z <= zc+10 guard (16M bools at the limit)."""
+        if z < self.zc:
+            raise ValueError(f"fill surface built at zc={self.zc} cannot serve z={z} < zc")
+        if z - self.zc > 10:
+            raise ValueError(
+                f"fillable-tile synthesis bounded at z <= zc+10 (z={z}, zc={self.zc}); "
+                f"rebuild the surface at a finer zc"
+            )
+        fillable = self._bc_fillable.value
+        s = z - self.zc
+        n_c = fillable.shape[0]
+        if s <= 8:
+            k = 256 >> s  # coarse pixels per fine tile (>= 1)
+            nt = n_c // k  # == 2^z
+            pooled = fillable.reshape(nt, k, nt, k).any(axis=(1, 3))
+        else:
+            rep = 1 << (s - 8)  # fine tiles per coarse pixel
+            pooled = np.repeat(np.repeat(fillable, rep, axis=0), rep, axis=1)
+        ys, xs = np.nonzero(pooled)
+        return (xs.astype(np.int64) << 32) + ys.astype(np.int64)
+
     def apply(self, grid: np.ndarray, tile_x: int, tile_y: int, z: int, halo: int) -> np.ndarray:
         if z < self.zc:
             raise ValueError(f"fill surface built at zc={self.zc} cannot serve z={z} < zc")

@@ -490,22 +490,26 @@ def _grid_sql(z: int) -> tuple[str, str]:
     return gx, gy
 
 
-def _halo_neighbors_sql(z: int, h: int) -> str:
+def _halo_neighbors_sql(z: int, h: int, carry: str | None = None) -> str:
     """CTE skeleton: every (point, tile) pair where the point's global
     pixel lies in the tile's halo-h window — the SQL re-statement of
     explode_to_tiles' 9-neighbor duplication rule (x wraps at the
     antimeridian, y clips at the world edge). Exposes the point's
-    position (lx, ly) in the paired tile's core-pixel frame."""
+    position (lx, ly) in the paired tile's core-pixel frame. ``carry``
+    is an optional pts-level expression carried through as column
+    ``w`` (per-point weights)."""
     gx, gy = _grid_sql(z)
     nt = 1 << z
+    cg = f"({carry}) AS w, " if carry else ""
+    cn = "g.w, " if carry else ""
     return f"""
 g AS (
-  SELECT {gx} // 256 AS tx, {gy} // 256 AS ty,
+  SELECT {cg}{gx} // 256 AS tx, {gy} // 256 AS ty,
          {gx} % 256 AS pxl, {gy} % 256 AS pyl
   FROM pts
 ),
 n AS (
-  SELECT ((g.tx + d.dx) % {nt} + {nt}) % {nt} AS x,
+  SELECT {cn}((g.tx + d.dx) % {nt} + {nt}) % {nt} AS x,
          g.ty + d.dy AS y,
          g.pxl - d.dx * 256 AS lx,
          g.pyl - d.dy * 256 AS ly
@@ -570,6 +574,29 @@ WITH {PTS_SQL},
 SELECT {z} AS z, x, y,
        CAST(SUM(({ox}) * ({oy})) AS BIGINT) AS box_total,
        CAST(SUM(CASE WHEN lx BETWEEN 0 AND 255 AND ly BETWEEN 0 AND 255 THEN 1 ELSE 0 END) AS BIGINT) AS core_pts
+FROM n GROUP BY x, y ORDER BY x, y
+"""
+
+
+def tile_weighted_census_z6(spark, sf_dir):
+    """The weighted-rasterization path (sorted-order accumulation of a
+    weight column inside _accumulate_grid) under the hash gate:
+    integer-valued weights sum exactly in float64, so per-tile
+    window/core weight totals are engine-stable BIGINTs."""
+    from .operators.tile_kernels import tile_weighted_census
+
+    p = geo_points(spark, sf_dir).withColumn(
+        "w", (F.col("id") % 7 + 1).cast("double")
+    )
+    return tile_weighted_census(p, 6, 4, "w").orderBy("x", "y")
+
+
+TILE_WEIGHTED_CENSUS_SQL = f"""
+WITH {PTS_SQL},
+{_halo_neighbors_sql(6, 4, carry="id % 7 + 1")}
+SELECT 6 AS z, x, y,
+       CAST(SUM(w) AS BIGINT) AS win_weight,
+       CAST(SUM(CASE WHEN lx BETWEEN 0 AND 255 AND ly BETWEEN 0 AND 255 THEN w ELSE 0 END) AS BIGINT) AS core_weight
 FROM n GROUP BY x, y ORDER BY x, y
 """
 
@@ -759,18 +786,26 @@ def dedup_minhash_docs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, "doc_id", threshold=0.5).orderBy("id_a", "id_b")
 
 
-# ground truth for minhash_lsh_pairs: exact Jaccard over distinct char
-# 5-grams via an inverted-index self-join (shared-shingle counts), with
-# the same short-text space padding as _shingle_hashes
+# ground truth for minhash_lsh_pairs: exact Jaccard over distinct
+# 5-BYTE grams via an inverted-index self-join (shared-shingle counts),
+# with the same short-text space padding as _shingle_hashes. Shingling
+# runs over hex(encode(text)) — 2 hex chars per byte — because
+# _shingle_hashes slides over UTF-8 BYTES; char-based SQL grams would
+# silently diverge on any multibyte document (DuckDB has no blob
+# slicing, and hex 10-grams are distinct iff the byte 5-grams are)
 DEDUP_MINHASH_SQL = """
-WITH sh AS (
+WITH base AS (
   SELECT doc_id,
-         list_distinct([t[i : i + 4] for i in generate_series(1, length(t) - 4)]) AS s
-  FROM (
-    SELECT doc_id,
-           CASE WHEN length(text) < 5 THEN text || repeat(' ', 5 - length(text)) ELSE text END AS t
-    FROM documents
-  )
+         CASE WHEN octet_length(encode(text)) < 5
+              THEN hex(encode(text)) || repeat('20', 5 - octet_length(encode(text)))
+              ELSE hex(encode(text)) END AS hx,
+         greatest(octet_length(encode(text)), 5) AS nb
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([substring(hx, 2*i - 1, 10) for i in generate_series(1, nb - 4)]) AS s
+  FROM base
 ),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 ix AS (
@@ -900,15 +935,18 @@ def ann_ivf_index_probe(spark, sf_dir):
     _b=<bucket>/ dirs) + partition-PRUNED probe: the scan reads only
     the probed buckets' files (plan- and metric-pinned in
     tests/test_ann.py; rows-only here)."""
+    import hashlib
     import os
     import tempfile
 
     from .operators.ann import ivf_probe_topk, write_ivf_index
 
     e = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(), f"ivf_index_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # deterministic digest (builtin hash() is salted per process) plus
+    # the pid so concurrent gate runs never overwrite each other's
+    # bucket files mid-probe
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}_{os.getpid()}")
     write_ivf_index(e, path, m=8)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1286,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_halo_census_z6": tile_halo_census_z6,
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,
     "tile_box_total_z6": tile_box_total_z6,
+    "tile_weighted_census_z6": tile_weighted_census_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "geo_pip_zones": geo_pip_zones,
@@ -1351,6 +1390,7 @@ ORACLES: dict[str, str] = {
     "tile_halo_census_z6": TILE_HALO_CENSUS_Z6_SQL,
     "tile_halo_census_deep_z5": TILE_HALO_CENSUS_DEEP_Z5_SQL,
     "tile_box_total_z6": TILE_BOX_TOTAL_Z6_SQL,
+    "tile_weighted_census_z6": TILE_WEIGHTED_CENSUS_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,
     "geo_pip_zones": GEO_PIP_SQL,

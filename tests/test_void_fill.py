@@ -91,6 +91,43 @@ def test_enclosed_hole_filled_exterior_preserved(spark, ring_points):
     assert set(filled) == set(raw)  # the Spark path ran with the surface
 
 
+def test_whole_tile_voids_are_synthesized(spark, ring_points):
+    """A tile with NO points produces no shuffle rows and no group —
+    before the fix, whole-tile enclosed voids silently vanished from
+    the output. At z=6 the ring's 24°-wide hole spans several full
+    tiles; they must appear, kernel-evaluated over the membrane."""
+    from fujishadergpu_spark.functions.tiles import np_tile_pixel
+
+    z = 6
+    surface = build_void_fill_surface(ring_points, z, mode="enclosed")
+    out = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in tile_kernel(
+            ring_points, z, kernel="hillshade", fill_surface=surface
+        ).collect()
+    }
+    present = {
+        (r["x"], r["y"]) for r in rasterize_tiles(ring_points, z).collect()
+    }
+    synthesized = set(out) - present
+    assert synthesized, "no point-free fillable tiles were materialized"
+    # the hole's center tile is point-free and must be in the output
+    cx, cy, _, _ = np_tile_pixel(np.array([20.0]), np.array([30.0]), z)
+    center = (int(cx[0]), int(cy[0]))
+    assert center not in present and center in out
+    assert np.isfinite(out[center]).all()
+    # stats path synthesizes the same tile set
+    stats_keys = {
+        (r["x"], r["y"])
+        for r in __import__(
+            "fujishadergpu_spark.operators.tile_kernels", fromlist=["tile_kernel_stats"]
+        ).tile_kernel_stats(
+            ring_points, z, kernel="hillshade", fill_surface=surface
+        ).collect()
+    }
+    assert stats_keys == set(out)
+
+
 def test_fill_is_partition_invariant(spark, ring_points):
     surface = build_void_fill_surface(ring_points, Z, mode="enclosed")
 
@@ -127,4 +164,11 @@ def test_render_fill_voids_e2e(spark, ring_points, tmp_path):
     s = run_render(spark, src, out, "hillshade", zoom=Z, fill_voids="enclosed")
     assert s["keys_processed"] > 0
     back = spark.read.parquet(f"{out}/tiles_hillshade_z{Z}")
-    assert back.count() == s["keys_processed"] or back.count() > 0
+    # keys_processed counts lineage BUCKETS (hash buckets of tiles),
+    # not tiles: assert tiles exist AND bucket accounting is exact
+    n_tiles = back.count()
+    n_buckets = back.select(
+        F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(64))
+    ).distinct().count()
+    assert n_tiles > 0
+    assert n_buckets == s["keys_processed"]

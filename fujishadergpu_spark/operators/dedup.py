@@ -237,6 +237,82 @@ def minhash_lsh_pairs(
     )
 
 
+# -------------------------- n-gram Jaccard ----------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity join, fully JVM-side.
+
+    The inverted-index pattern: each document's DISTINCT word n-grams
+    explode to (gram-hash, id) rows (16 bytes — the gram text never
+    enters the wide shuffle), the self-join on the gram groups shared
+    grams per pair, and jaccard = i / (na + nb − i) filters at
+    ``threshold``. No sketches, no recall loss: this is the exact
+    ground truth minhash_lsh_pairs approximates, priced for corpora
+    where the pair blowup is tolerable.
+
+    Scale control: a gram occurring in more than ``max_df`` documents
+    contributes df² pair rows (boilerplate n-grams go quadratic —
+    the same hot-bucket failure mode as LSH). ``max_df`` drops such
+    grams BEFORE the self-join; the result is then a documented
+    under-count for pairs whose overlap was carried by dropped grams
+    (true near-dup pairs share many rare grams too, so the practical
+    recall cost mirrors minhash's bucket cap). None = exact.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+    )
+    # token-less docs are excluded BEFORE gram construction: they would
+    # otherwise all share one empty gram and pair O(E²) (same policy as
+    # simhash_signatures; route empty docs through exact_dedup)
+    toked = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    # n-gram i = tokens[i..i+n-1] joined by single spaces; distinct
+    # set; docs shorter than n yield their whole token list as one gram
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_t") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)),
+        )
+    )
+    base = toked.select("_id", grams.alias("_g"))
+    sizes = base.select("_id", F.size("_g").alias("_n"))
+    ex = base.select("_id", F.explode("_g").alias("_gram")).select(
+        "_id", F.xxhash64("_gram").alias("_gh")
+    )
+    if max_df is not None:
+        ex = ex.join(
+            ex.groupBy("_gh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df),
+            "_gh",
+        ).drop("_df")
+    l, r = ex.alias("l"), ex.alias("r")
+    ix = (
+        l.join(r, (F.col("l._gh") == F.col("r._gh")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("_i"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    out = (
+        ix.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
 # ------------------------------ simhash -------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -823,6 +823,47 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_ngram_jaccard_docs(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join (inverted index,
+    fully JVM — the ground truth minhash approximates), hash-checked
+    against an identically-defined DuckDB twin: same whitespace
+    tokenization, same gram slicing (short docs -> one whole-doc
+    gram), same int/int division."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_NGRAM_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t != '') AS w
+  FROM documents
+),
+toked AS (SELECT doc_id, w FROM base WHERE len(w) > 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i + 1 : i + 3], ' ')
+                        for i in generate_series(0, greatest(len(w) - 3, 0))]) AS s
+  FROM toked
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ix AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ix.id_a, ix.id_b,
+       CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) AS jaccard
+FROM ix
+JOIN (SELECT doc_id, len(s) AS na FROM sh) sa ON sa.doc_id = ix.id_a
+JOIN (SELECT doc_id, len(s) AS nb FROM sh) sb ON sb.doc_id = ix.id_b
+WHERE CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_simhash_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
@@ -1338,6 +1379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_acctbal": quantize_acctbal,
     # rows-only (non-SQL-expressible)
     "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
@@ -1402,6 +1444,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "doc_fingerprint_distinct": DOC_FP_DISTINCT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "ann_topk_cosine": ANN_SQL,

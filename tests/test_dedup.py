@@ -153,3 +153,64 @@ def test_jaccard_batch_matches_per_pair_reference():
         union = sa.size + sb.size - inter
         want[k] = inter / union if union else 1.0
     np.testing.assert_array_equal(got, want)
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, "doc_id", n=3, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 100000)] == 1.0          # exact dup: identical gram sets
+    assert (1, 100001) in got               # one-token change stays above 0.4
+    assert all(j >= 0.4 for j in got.values())
+
+
+def test_ngram_jaccard_exactness_vs_python(spark):
+    """The inverted-index join must equal a brute-force python oracle
+    (including the short-doc whole-text gram rule)."""
+    texts = {
+        1: "a b c d e f",
+        2: "a b c d e g",
+        3: "x y",                 # shorter than n -> one gram "x y"
+        4: "x y",                 # identical short doc
+        5: "completely different tokens here now",
+        6: "",                    # token-less: excluded
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.01).collect()
+    }
+
+    def gramset(t):
+        w = t.split()
+        if not w:
+            return None
+        if len(w) <= 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = gramset(texts[a]), gramset(texts[b])
+        if sa is None or sb is None:
+            continue
+        i = len(sa & sb)
+        if i and i / len(sa | sb) >= 0.01:
+            want[(a, b)] = i / len(sa | sb)
+    assert got == want
+    assert not any(6 in p for p in got)  # empty doc never pairs
+
+
+def test_ngram_jaccard_max_df_caps_boilerplate(spark):
+    """A gram present in every document is dropped before the
+    self-join with max_df; rare-gram pairs survive."""
+    boiler = "the same boilerplate header text appears everywhere in all"
+    rows = [(i, boiler) for i in range(50)]
+    rows += [(100, "rare unique alpha beta gamma delta"),
+             (101, "rare unique alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.3, max_df=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)

@@ -629,6 +629,24 @@ ORDER BY p.id, z.zone_id
 """
 
 
+def geo_pip_zones_salted(spark, sf_dir):
+    """The skew-handling path under the hash gate: forced sort-merge
+    join + 4-way probe salting (build rows replicated 4x, probes
+    bucketed by xxhash64) must produce EXACTLY the rows of the
+    broadcast path — same oracle as geo_pip_zones, so a salting bug
+    (dropped/duplicated bucket) diverges the hash."""
+    p = geo_points(spark, sf_dir)
+    z = _zones(spark, sf_dir)
+    return (
+        pip_join(
+            p, z, res=5, polygon_id_col="zone_id",
+            broadcast_build=False, salt=4, point_salt_col="id",
+        )
+        .select("id", "zone_id")
+        .orderBy("id", "zone_id")
+    )
+
+
 def geo_knn_k5(spark, sf_dir):
     p = geo_points(spark, sf_dir)
     q = p.filter(F.col("id") % 20 == 0)
@@ -1369,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "geo_pip_zones": geo_pip_zones,
+    "geo_pip_zones_salted": geo_pip_zones_salted,
     "geo_knn_k5": geo_knn_k5,
     # documents / embeddings
     "doc_token_counts": doc_token_counts,
@@ -1436,6 +1455,7 @@ ORACLES: dict[str, str] = {
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
+    "geo_pip_zones_salted": GEO_PIP_SQL,
     "geo_knn_k5": GEO_KNN_SQL,
     "knn_ring_trace": KNN_RING_TRACE_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,

@@ -107,3 +107,15 @@ def test_halo_census_single_shuffle(spark, points_df):
         ex = plan[plan.index("Exchange hashpartitioning"):]
         head = ex[: ex.index("\n")]
         assert "_tk" in head and "lat" not in head and "url" not in head
+
+
+def test_ngram_jaccard_shuffles_hashes_not_text(spark):
+    """The n-gram similarity join's wide exchanges must carry (gram
+    hash, id) — never gram strings or document text."""
+    from fujishadergpu_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(d, "doc_id", threshold=0.4))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        head = m.group(1)
+        assert "_gram" not in head and "text" not in head, head

@@ -264,9 +264,17 @@ def ngram_jaccard_pairs(
     under-count for pairs whose overlap was carried by dropped grams
     (true near-dup pairs share many rare grams too, so the practical
     recall cost mirrors minhash's bucket cap). None = exact.
+
+    Jaccard denominators always use the FULL distinct-gram counts.
+    The exploded gram table is localCheckpoint'ed so the tokenize/
+    gram-build scan runs once, not once per downstream consumer
+    (self-join sides, size lookups, df cap). Tokenization splits on
+    the literal class [ \\t\\r\\n]+ — identical in Java regex and
+    DuckDB's RE2, unlike \\s+ whose whitespace sets differ (\\x0B),
+    which would silently diverge the DuckDB oracle twin.
     """
     toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda t: t != ""
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\r\n]+"), lambda t: t != ""
     )
     # token-less docs are excluded BEFORE gram construction: they would
     # otherwise all share one empty gram and pair O(E²) (same policy as
@@ -283,10 +291,14 @@ def ngram_jaccard_pairs(
         )
     )
     base = toked.select("_id", grams.alias("_g"))
-    sizes = base.select("_id", F.size("_g").alias("_n"))
-    ex = base.select("_id", F.explode("_g").alias("_gram")).select(
-        "_id", F.xxhash64("_gram").alias("_gh")
+    ex = (
+        base.select("_id", F.explode("_g").alias("_gram"))
+        .select("_id", F.xxhash64("_gram").alias("_gh"))
+        .localCheckpoint(eager=False)  # one tokenize+gram scan total
     )
+    # full distinct-gram counts (pre-cap — Jaccard denominators), from
+    # the checkpointed rows so nothing upstream re-executes
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_df is not None:
         ex = ex.join(
             ex.groupBy("_gh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df),

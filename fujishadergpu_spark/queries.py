@@ -856,7 +856,7 @@ def dedup_ngram_jaccard_docs(spark, sf_dir):
 DEDUP_NGRAM_SQL = """
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t != '') AS w
+         list_filter(string_split_regex(COALESCE(text, ''), '[ \\t\\r\\n]+'), t -> t != '') AS w
   FROM documents
 ),
 toked AS (SELECT doc_id, w FROM base WHERE len(w) > 0),

@@ -116,6 +116,8 @@ def test_ngram_jaccard_shuffles_hashes_not_text(spark):
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(ngram_jaccard_pairs(d, "doc_id", threshold=0.4))
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        head = m.group(1)
-        assert "_gram" not in head and "text" not in head, head
+    # full-line slices (not a paren-bounded regex, which truncates at
+    # the first nested ')' and could miss a column listed after one)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_gram" not in line and "text" not in line, line

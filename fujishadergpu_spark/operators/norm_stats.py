@@ -60,11 +60,105 @@ def _check_stretch_domain(kernel: str, kernel_params: dict) -> None:
             f"its global_stats parameter is not a post-output [lo, lo+scale] stretch, so "
             f"injecting pooled output percentiles would mis-normalize. Supported: "
             f"{sorted(STATS_STRETCH_KERNELS)} (structure_tensor only for st_output="
-            f"'coherence', scale_drift only for drift_output='magnitude')."
+            f"'coherence', scale_drift only for drift_output='magnitude'); kernels with a "
+            f"bespoke raw-stat pre-pass (kernel_raw_stats) route automatically via "
+            f"tile_kernel_normalized."
         )
 
 
-def stretch(col: Column, lo: float, scale: float) -> Column:
+# Per-kernel RAW-field pre-passes — the reference's per-algorithm
+# _norm_stats dispatch (reference algorithms/_norm_stats.py:29-61) for
+# kernels whose global_stats lives in a DIFFERENT domain than their
+# output: each spec names the raw field whose global percentile IS the
+# kernel's stat, and how the pooled value injects into kernel params.
+# The field functions are the same ones the kernels' per-block
+# fallbacks use, so pre-pass and fallback can never drift.
+def _raw_stats_specs() -> dict:
+    from .np_kernels import frangi_energy_field, specular_roughness_field
+
+    return {
+        # c = p95(S)/2 over the structure-energy field
+        # (reference _impl_frangi.py:154-162)
+        "frangi": {
+            "field": lambda g, p: frangi_energy_field(g, p.get("radii", (2.0, 4.0, 8.0, 16.0))),
+            "p": 95.0,
+            "inject": lambda v: {"global_stats": (0.0, max(0.5 * v, 1e-12))},
+        },
+        # roughness_norm_scale = p95 of the raw windowed-std roughness
+        # (reference _impl_specular.py:228-308)
+        "specular": {
+            "field": lambda g, p: specular_roughness_field(g, p.get("roughness_scale", 20.0)),
+            "p": 95.0,
+            "inject": lambda v: {"roughness_norm_scale": max(v, 1e-9)},
+        },
+    }
+
+
+def kernel_raw_stats(
+    points: DataFrame,
+    z: int,
+    kernel: str,
+    sample_mod: int = 4,
+    log_scale: bool = True,
+    **kernel_params,
+) -> float:
+    """Pooled raw-field percentile over a deterministic tile sample,
+    with the A10 central-window fallback — the per-algorithm analog of
+    kernel_global_stats for non-stretch-domain kernels."""
+    spec = _raw_stats_specs().get(kernel)
+    if spec is None:
+        raise ValueError(
+            f"no raw-stat extractor for kernel {kernel!r}; "
+            f"available: {sorted(_raw_stats_specs())}"
+        )
+    pts = _owning_tile(points, z)
+    sampled = pts.filter(F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0).drop("_otx", "_oty")
+    v = _pool_field(sampled, z, kernel, spec, log_scale, kernel_params)
+    if v is not None:
+        return v
+    center = pts.agg(F.avg("_otx").alias("cx"), F.avg("_oty").alias("cy")).first()
+    if center is None or center["cx"] is None:
+        return 0.0
+    cx, cy = int(center["cx"]), int(center["cy"])
+    central = pts.filter(
+        (F.abs(F.col("_otx") - cx) <= 2) & (F.abs(F.col("_oty") - cy) <= 2)
+    ).drop("_otx", "_oty")
+    v = _pool_field(central, z, kernel, spec, log_scale, kernel_params)
+    return v if v is not None else 0.0
+
+
+def _pool_field(points, z, kernel, spec, log_scale, kernel_params):
+    """percentile_approx of the kernel's raw field over core pixels of
+    halo-expanded sampled tiles."""
+    import numpy as np
+    import pandas as pd
+
+    from .tile_kernels import kernel_halo, rasterize_tiles
+
+    h = kernel_halo(kernel, kernel_params)
+    tiles = rasterize_tiles(points, z, halo=h, log_scale=log_scale)
+    field_fn, params = spec["field"], dict(kernel_params)
+    w = TILE_PX + 2 * h
+
+    def ffn(it):
+        for pdf in it:
+            out = []
+            for g in pdf["grid"]:
+                gg = np.asarray(g, dtype=np.float64).reshape(w, w)
+                f = field_fn(gg, params)
+                core = f[h : h + TILE_PX, h : h + TILE_PX] if h else f
+                out.append(core[np.isfinite(core)].ravel())
+            yield pd.DataFrame({"v": np.concatenate(out) if out else np.empty(0)})
+
+    row = (
+        tiles.mapInPandas(ffn, "v double")
+        .agg(F.percentile_approx("v", spec["p"] / 100.0, 10000).alias("p"))
+        .first()
+    )
+    if row is None or row["p"] is None:
+        return None
+    v = float(row["p"])
+    return v if v > 1e-12 else None
     """A11 display stretch: max((v - lo) / scale, 0) — p99 maps to 1,
     the bright tail passes through unclipped (reference
     _global_stats.py:173-174)."""
@@ -146,9 +240,24 @@ def tile_kernel_normalized(
     """Stats pre-pass + stats-injected kernel run: the reference's
     seam-free normalization pipeline (pre-pass -> broadcast -> every
     tile normalizes identically). The stats land in the kernel's
-    ``global_stats`` kwarg, so the per-tile UDF does no data-dependent
-    normalization of its own. Stretch-domain kernels only
-    (STATS_STRETCH_KERNELS)."""
+    declared stat parameter, so the per-tile UDF does no
+    data-dependent normalization of its own.
+
+    Two routes, mirroring the reference's per-algorithm dispatch:
+    stretch-domain kernels (STATS_STRETCH_KERNELS) pool the output's
+    own percentiles into ``global_stats``; raw-stat kernels (frangi,
+    specular) pool their RAW field's percentile and inject it in that
+    kernel's domain (structure-energy c, roughness p95). Anything
+    else raises."""
+    if kernel in _raw_stats_specs():
+        spec = _raw_stats_specs()[kernel]
+        v = kernel_raw_stats(
+            points, z, kernel, sample_mod=sample_mod, log_scale=log_scale,
+            **kernel_params,
+        )
+        inj = spec["inject"](v)
+        return tile_kernel(points, z, kernel=kernel, log_scale=log_scale,
+                           **dict(kernel_params, **inj))
     _check_stretch_domain(kernel, kernel_params)
     stats = kernel_global_stats(
         points, z, kernel, lo_p=lo_p, hi_p=hi_p, sample_mod=sample_mod,

@@ -220,6 +220,30 @@ def np_ambient_occlusion(
 
 # ----------------------------- specular -------------------------------
 
+def specular_roughness_field(
+    grid: np.ndarray, roughness_scale: float = 20.0, nan_mask: np.ndarray | None = None
+) -> np.ndarray:
+    """RAW windowed-std roughness (pre-normalization) — the field whose
+    global p95 is specular's roughness_norm_scale stat (reference
+    _impl_specular.py:228-308's pre-pass field). Shared by np_specular
+    and the norm_stats raw-stat pre-pass so the two can never drift."""
+    if nan_mask is None:
+        nan_mask = np.isnan(grid)
+    kernel_size = max(3, int(roughness_scale))
+    from .np_filters import uniform_filter as _uf
+
+    if nan_mask.any():
+        filled = np.where(nan_mask, 0.0, grid)
+        valid = (~nan_mask).astype(np.float64)
+        mw = _uf(valid, kernel_size, mode="constant")
+        mean_f = np.where(mw > 0, _uf(filled * valid, kernel_size, mode="constant") / np.maximum(mw, 1e-300), 0.0)
+        mean_sq = np.where(mw > 0, _uf((filled ** 2) * valid, kernel_size, mode="constant") / np.maximum(mw, 1e-300), 0.0)
+    else:
+        mean_f = _uf(grid, kernel_size, mode="constant")
+        mean_sq = _uf(grid ** 2, kernel_size, mode="constant")
+    return np.sqrt(np.maximum(mean_sq - mean_f ** 2, 0.0))
+
+
 def np_specular(
     grid: np.ndarray,
     roughness_scale: float = 20.0,
@@ -240,21 +264,7 @@ def np_specular(
     n_y = -dy * inv_norm
     n_z = inv_norm
 
-    kernel_size = max(3, int(roughness_scale))
-    if nan_mask.any():
-        filled = np.where(nan_mask, 0.0, grid)
-        valid = (~nan_mask).astype(np.float64)
-        from .np_filters import uniform_filter as _uf
-
-        mw = _uf(valid, kernel_size, mode="constant")
-        mean_f = np.where(mw > 0, _uf(filled * valid, kernel_size, mode="constant") / np.maximum(mw, 1e-300), 0.0)
-        mean_sq = np.where(mw > 0, _uf((filled ** 2) * valid, kernel_size, mode="constant") / np.maximum(mw, 1e-300), 0.0)
-    else:
-        from .np_filters import uniform_filter as _uf
-
-        mean_f = _uf(grid, kernel_size, mode="constant")
-        mean_sq = _uf(grid ** 2, kernel_size, mode="constant")
-    roughness = np.sqrt(np.maximum(mean_sq - mean_f ** 2, 0.0))
+    roughness = specular_roughness_field(grid, roughness_scale, nan_mask)
     rv = roughness[~nan_mask] if nan_mask.any() else roughness
     if rv.size:
         if roughness_norm_scale is not None and float(roughness_norm_scale) > 1e-9:
@@ -467,6 +477,20 @@ def _hessian_eigen(filled: np.ndarray, sigma: float):
     return np.where(swap, e2, e1), np.where(swap, e1, e2)
 
 
+def frangi_energy_field(grid: np.ndarray, radii=(2.0, 4.0, 8.0, 16.0), **_ignored) -> np.ndarray:
+    """RAW structure energy S = max over scales of the Hessian
+    Frobenius norm — the field whose global p95/2 is frangi's c stat
+    (reference _impl_frangi.py:154-162). Shared by np_frangi's
+    fallback and the norm_stats raw-stat pre-pass."""
+    filled, nan_mask = nan_filled(grid)
+    rs = sorted({max(1, int(round(float(r)))) for r in radii})
+    s_max = np.zeros(grid.shape, dtype=np.float64)
+    for r in rs:
+        l1, l2 = _hessian_eigen(filled, max(0.8, r / 2.0))
+        s_max = np.maximum(s_max, np.sqrt(l1 * l1 + l2 * l2))
+    return restore_nan(s_max, nan_mask)
+
+
 def np_frangi(
     grid: np.ndarray,
     radii=(2.0, 4.0, 8.0, 16.0),
@@ -486,11 +510,8 @@ def np_frangi(
     if global_stats is not None and float(global_stats[1]) > 1e-12:
         c = float(global_stats[1])
     else:
-        s_max = np.zeros(grid.shape, dtype=np.float64)
-        for r in rs:
-            l1, l2 = _hessian_eigen(filled, max(0.8, r / 2.0))
-            s_max = np.maximum(s_max, np.sqrt(l1 * l1 + l2 * l2))
-        valid = s_max[~nan_mask]
+        s_all = frangi_energy_field(grid, radii)
+        valid = s_all[~np.isnan(s_all)]
         c = 0.5 * float(np.percentile(valid, 95.0)) if valid.size else 1.0
         if c <= 1e-12:
             c = 1.0

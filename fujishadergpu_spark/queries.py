@@ -1135,6 +1135,22 @@ def tile_ao_normalized_z5(spark, sf_dir):
     )
 
 
+def tile_frangi_normalized_z5(spark, sf_dir):
+    """Per-algorithm RAW-stat pre-pass route (the reference's
+    _norm_stats dispatch): frangi's structure-energy c = p95(S)/2
+    pooled over sampled tiles, injected in frangi's own domain."""
+    from .operators.norm_stats import tile_kernel_normalized
+
+    p = geo_points(spark, sf_dir)
+    t = tile_kernel_normalized(p, 5, "frangi", radii=(2.0, 4.0, 8.0))
+    return (
+        t.select("z", "x", "y", F.explode("result").alias("v"))
+        .groupBy("z", "x", "y")
+        .agg(F.sum("v").alias("vessel_sum"))
+        .orderBy("x", "y")
+    )
+
+
 def multiscale_usm_z5(spark, sf_dir):
     """Multiscale unsharp mask (radii 2/8/64) with the large-radius
     overview rewrite — per-tile stats (the reference's flagship
@@ -1414,6 +1430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ring_trace": knn_ring_trace,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
     "tile_ao_normalized_z5": tile_ao_normalized_z5,
+    "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
     # one driver entry per ported stencil algorithm (rows-only; the
     # bit-exact oracle is the tiled==whole pytest matrix)

@@ -24,7 +24,6 @@ Z = 4
 def test_generic_stats_rejects_non_stretch_kernels(points_df):
     for kernel, params in [
         ("hillshade", {}),               # no global_stats param at all
-        ("frangi", {}),                  # structure-energy c domain
         ("phase_congruency", {}),        # noise-median domain
         ("tv_decomposition", {}),        # texture tanh-scale domain
         ("fractal_anomaly", {}),         # (mean, std) domain
@@ -36,6 +35,81 @@ def test_generic_stats_rejects_non_stretch_kernels(points_df):
             ns.tile_kernel_normalized(points_df, Z, kernel, **params)
         with pytest.raises(ValueError, match="stretch-domain"):
             ns.kernel_global_stats(points_df, Z, kernel, **params)
+    # frangi/specular route via the RAW-stat pre-pass in
+    # tile_kernel_normalized, but the OUTPUT-percentile pooler still
+    # rejects them (their global stat is not output-domain)
+    for kernel in ("frangi", "specular"):
+        with pytest.raises(ValueError, match="stretch-domain"):
+            ns.kernel_global_stats(points_df, Z, kernel)
+
+
+def test_raw_stats_match_numpy_oracle(spark, points_df):
+    """kernel_raw_stats(frangi) pools the structure-energy field's p95
+    over sampled tiles — compare against an exact NumPy pool over the
+    identical tile set (sample_mod=1)."""
+    from fujishadergpu_spark.operators.np_kernels import frangi_energy_field
+    from fujishadergpu_spark.operators.tile_kernels import (
+        kernel_halo,
+        rasterize_tiles,
+    )
+    from fujishadergpu_spark.functions.tiles import TILE_PX
+
+    radii = (2.0, 4.0)
+    h = kernel_halo("frangi", {"radii": radii})
+    pool = []
+    for r in rasterize_tiles(points_df, Z, halo=h, log_scale=True).collect():
+        g = np.asarray(r["grid"]).reshape(TILE_PX + 2 * h, TILE_PX + 2 * h)
+        f = frangi_energy_field(g, radii)
+        core = f[h : h + TILE_PX, h : h + TILE_PX]
+        pool.append(core[np.isfinite(core)].ravel())
+    pool = np.concatenate(pool)
+    want = float(np.percentile(pool, 95.0))
+    got = ns.kernel_raw_stats(points_df, Z, "frangi", sample_mod=1, radii=radii)
+    span = float(pool.max() - pool.min())
+    assert abs(got - want) <= 0.02 * max(span, 1e-12)
+
+
+def test_raw_stat_injection_is_exact(spark, points_df):
+    """tile_kernel_normalized(frangi/specular) must equal a manual run
+    with the pre-pass value injected in that kernel's own domain —
+    bit-for-bit (same kernel call, same params)."""
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel
+
+    radii = (2.0, 4.0)
+    c_stat = ns.kernel_raw_stats(points_df, Z, "frangi", sample_mod=1, radii=radii)
+    manual = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in tile_kernel(
+            points_df, Z, kernel="frangi", radii=radii,
+            global_stats=(0.0, max(0.5 * c_stat, 1e-12)),
+        ).collect()
+    }
+    routed = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in ns.tile_kernel_normalized(
+            points_df, Z, "frangi", sample_mod=1, radii=radii
+        ).collect()
+    }
+    assert manual.keys() == routed.keys() and manual
+    for k in manual:
+        np.testing.assert_array_equal(routed[k], manual[k])
+
+    p95 = ns.kernel_raw_stats(points_df, Z, "specular", sample_mod=1)
+    manual_s = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in tile_kernel(
+            points_df, Z, kernel="specular", roughness_norm_scale=max(p95, 1e-9)
+        ).collect()
+    }
+    routed_s = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in ns.tile_kernel_normalized(
+            points_df, Z, "specular", sample_mod=1
+        ).collect()
+    }
+    assert manual_s.keys() == routed_s.keys() and manual_s
+    for k in manual_s:
+        np.testing.assert_array_equal(routed_s[k], manual_s[k])
 
 
 def test_injection_is_exact_stretch_of_raw_output(spark, points_df):

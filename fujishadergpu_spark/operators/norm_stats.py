@@ -73,25 +73,71 @@ def _check_stretch_domain(kernel: str, kernel_params: dict) -> None:
 # kernel's stat, and how the pooled value injects into kernel params.
 # The field functions are the same ones the kernels' per-block
 # fallbacks use, so pre-pass and fallback can never drift.
+def _p95_agg(vdf):
+    row = vdf.agg(F.percentile_approx("v", 0.95, 10000).alias("p")).first()
+    if row is None or row["p"] is None:
+        return None
+    v = float(row["p"])
+    return v if v > 1e-12 else None
+
+
+def _grad_stats_agg(vdf):
+    """(base=p50, range=p90−p50, mean) of the gradient field — npr's
+    threshold triple (reference _impl_npr_edges.py:276-379)."""
+    row = vdf.agg(
+        F.percentile_approx("v", [0.5, 0.9], 10000).alias("p"),
+        F.avg("v").alias("m"),
+    ).first()
+    if row is None or row["p"] is None or row["m"] is None or float(row["m"]) <= 1e-12:
+        return None
+    base, p90 = float(row["p"][0]), float(row["p"][1])
+    return (base, p90 - base, float(row["m"]))
+
+
 def _raw_stats_specs() -> dict:
-    from .np_kernels import frangi_energy_field, specular_roughness_field
+    from .np_kernels import (
+        frangi_energy_field,
+        npr_gradient_field,
+        specular_roughness_field,
+    )
 
     return {
         # c = p95(S)/2 over the structure-energy field
         # (reference _impl_frangi.py:154-162)
         "frangi": {
             "field": lambda g, p: frangi_energy_field(g, p.get("radii", (2.0, 4.0, 8.0, 16.0))),
-            "p": 95.0,
+            "agg": _p95_agg,
             "inject": lambda v: {"global_stats": (0.0, max(0.5 * v, 1e-12))},
+            "default": 0.0,
         },
         # roughness_norm_scale = p95 of the raw windowed-std roughness
         # (reference _impl_specular.py:228-308)
         "specular": {
             "field": lambda g, p: specular_roughness_field(g, p.get("roughness_scale", 20.0)),
-            "p": 95.0,
+            "agg": _p95_agg,
             "inject": lambda v: {"roughness_norm_scale": max(v, 1e-9)},
+            "default": 0.0,
+        },
+        # grad_stats = (p50, p90−p50, mean) of the smoothed Sobel
+        # magnitude (reference _impl_npr_edges.py:276-379); the default
+        # triple matches the kernel's own degenerate fallback
+        "npr_edges": {
+            "field": lambda g, p: _npr_gmag(npr_gradient_field, g, p),
+            "agg": _grad_stats_agg,
+            "inject": lambda v: {"grad_stats": tuple(v)},
+            "default": (0.1, 0.2, 0.1),
         },
     }
+
+
+def _npr_gmag(field_fn, g, p):
+    import numpy as np
+
+    gmag, _, _, nan_mask = field_fn(g, p.get("edge_sigma", 1.0))
+    if nan_mask.any():
+        gmag = gmag.copy()
+        gmag[nan_mask] = np.nan
+    return gmag
 
 
 def kernel_raw_stats(
@@ -101,10 +147,11 @@ def kernel_raw_stats(
     sample_mod: int = 4,
     log_scale: bool = True,
     **kernel_params,
-) -> float:
-    """Pooled raw-field percentile over a deterministic tile sample,
-    with the A10 central-window fallback — the per-algorithm analog of
-    kernel_global_stats for non-stretch-domain kernels."""
+):
+    """Pooled raw-field stat(s) over a deterministic tile sample, with
+    the A10 central-window fallback — the per-algorithm analog of
+    kernel_global_stats for non-stretch-domain kernels. Returns a
+    float (frangi/specular) or the kernel's stat tuple (npr_edges)."""
     spec = _raw_stats_specs().get(kernel)
     if spec is None:
         raise ValueError(
@@ -118,13 +165,13 @@ def kernel_raw_stats(
         return v
     center = pts.agg(F.avg("_otx").alias("cx"), F.avg("_oty").alias("cy")).first()
     if center is None or center["cx"] is None:
-        return 0.0
+        return spec["default"]
     cx, cy = int(center["cx"]), int(center["cy"])
     central = pts.filter(
         (F.abs(F.col("_otx") - cx) <= 2) & (F.abs(F.col("_oty") - cy) <= 2)
     ).drop("_otx", "_oty")
     v = _pool_field(central, z, kernel, spec, log_scale, kernel_params)
-    return v if v is not None else 0.0
+    return v if v is not None else spec["default"]
 
 
 def _pool_field(points, z, kernel, spec, log_scale, kernel_params):
@@ -150,15 +197,7 @@ def _pool_field(points, z, kernel, spec, log_scale, kernel_params):
                 out.append(core[np.isfinite(core)].ravel())
             yield pd.DataFrame({"v": np.concatenate(out) if out else np.empty(0)})
 
-    row = (
-        tiles.mapInPandas(ffn, "v double")
-        .agg(F.percentile_approx("v", spec["p"] / 100.0, 10000).alias("p"))
-        .first()
-    )
-    if row is None or row["p"] is None:
-        return None
-    v = float(row["p"])
-    return v if v > 1e-12 else None
+    return spec["agg"](tiles.mapInPandas(ffn, "v double"))
     """A11 display stretch: max((v - lo) / scale, 0) — p99 maps to 1,
     the bright tail passes through unclipped (reference
     _global_stats.py:173-174)."""

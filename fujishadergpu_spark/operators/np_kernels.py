@@ -321,6 +321,27 @@ def np_atmospheric_scattering(grid: np.ndarray, scattering_strength: float = 0.5
 
 # ---------------------------- npr edges --------------------------------
 
+def npr_gradient_field(grid: np.ndarray, edge_sigma: float = 1.0):
+    """(gmag, dx, dy, nan_mask): the smoothed Sobel gradient — the raw
+    field whose (p50, p90−p50, mean) are npr_edges' grad_stats
+    (reference _impl_npr_edges.py:276-379's pre-pass field). Shared by
+    the kernel and the norm_stats raw-stat pre-pass."""
+    nan_mask = np.isnan(grid)
+    sigma = float(edge_sigma)
+    if nan_mask.any():
+        work = np.where(nan_mask, np.nanmean(grid), grid)
+    else:
+        work = np.asarray(grid, dtype=np.float64)
+    smoothed = gaussian_filter(work, sigma) if sigma > 0.1 else work
+
+    sobel_x = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float64) / 8.0
+    sobel_y = sobel_x.T
+    dx = convolve2d(smoothed, sobel_x)
+    dy = convolve2d(smoothed, sobel_y)
+    gmag = np.sqrt(dx * dx + dy * dy)
+    return gmag, dx, dy, nan_mask
+
+
 def np_npr_edges(
     grid: np.ndarray,
     edge_sigma: float = 1.0,
@@ -335,19 +356,7 @@ def np_npr_edges(
     algorithms/_impl_npr_edges.py:26-195, y-down diagonal pairing).
     grad_stats=(base, range, mean) injects the global threshold
     (per-block percentile fallback seams)."""
-    nan_mask = np.isnan(grid)
-    sigma = float(edge_sigma)
-    if nan_mask.any():
-        work = np.where(nan_mask, np.nanmean(grid), grid)
-    else:
-        work = np.asarray(grid, dtype=np.float64)
-    smoothed = gaussian_filter(work, sigma) if sigma > 0.1 else work
-
-    sobel_x = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float64) / 8.0
-    sobel_y = sobel_x.T
-    dx = convolve2d(smoothed, sobel_x)
-    dy = convolve2d(smoothed, sobel_y)
-    gmag = np.sqrt(dx * dx + dy * dy)
+    gmag, dx, dy, nan_mask = npr_gradient_field(grid, edge_sigma)
 
     if grad_stats is not None:
         base, rng, gmean = (float(v) for v in grad_stats[:3])

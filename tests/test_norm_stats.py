@@ -94,6 +94,24 @@ def test_raw_stat_injection_is_exact(spark, points_df):
     for k in manual:
         np.testing.assert_array_equal(routed[k], manual[k])
 
+    gstats = ns.kernel_raw_stats(points_df, Z, "npr_edges", sample_mod=1)
+    assert len(gstats) == 3 and gstats[1] >= 0 and gstats[2] > 0
+    manual_n = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in tile_kernel(
+            points_df, Z, kernel="npr_edges", grad_stats=tuple(gstats)
+        ).collect()
+    }
+    routed_n = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in ns.tile_kernel_normalized(
+            points_df, Z, "npr_edges", sample_mod=1
+        ).collect()
+    }
+    assert manual_n.keys() == routed_n.keys() and manual_n
+    for k in manual_n:
+        np.testing.assert_array_equal(routed_n[k], manual_n[k])
+
     p95 = ns.kernel_raw_stats(points_df, Z, "specular", sample_mod=1)
     manual_s = {
         (r["x"], r["y"]): np.asarray(r["result"])

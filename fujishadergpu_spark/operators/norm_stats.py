@@ -158,6 +158,11 @@ def kernel_raw_stats(
             f"no raw-stat extractor for kernel {kernel!r}; "
             f"available: {sorted(_raw_stats_specs())}"
         )
+    return _staged_pool(points, z, kernel, spec, sample_mod, log_scale, kernel_params)
+
+
+def _staged_pool(points, z, kernel, spec, sample_mod, log_scale, kernel_params):
+    """Sampled pool -> A10 central-window fallback -> spec default."""
     pts = _owning_tile(points, z)
     sampled = pts.filter(F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0).drop("_otx", "_oty")
     v = _pool_field(sampled, z, kernel, spec, log_scale, kernel_params)
@@ -172,6 +177,68 @@ def kernel_raw_stats(
     ).drop("_otx", "_oty")
     v = _pool_field(central, z, kernel, spec, log_scale, kernel_params)
     return v if v is not None else spec["default"]
+
+
+def _relief_agg(vdf):
+    row = vdf.agg(F.percentile_approx("v", [0.10, 0.75], 10000).alias("p")).first()
+    if row is None or row["p"] is None:
+        return None
+    p10, p75 = float(row["p"][0]), float(row["p"][1])
+    return (p10, p75) if p75 > p10 else None
+
+
+def _median_dev_agg(vdf):
+    """(median, p99|v − median|) — fractal's global_stats pair; the
+    pooled field is checkpointed so the two aggregates scan it once."""
+    v = vdf.localCheckpoint(eager=False)
+    r1 = v.agg(F.percentile_approx("v", 0.5, 10000).alias("m")).first()
+    if r1 is None or r1["m"] is None:
+        return None
+    med = float(r1["m"])
+    r2 = v.agg(F.percentile_approx(F.abs(F.col("v") - med), 0.99, 10000).alias("d")).first()
+    if r2 is None or r2["d"] is None:
+        return None
+    dev = float(r2["d"])
+    return (med, dev) if dev > 1e-6 else None
+
+
+def fractal_global_stats(
+    points: DataFrame,
+    z: int,
+    sample_mod: int = 4,
+    log_scale: bool = True,
+    **kernel_params,
+) -> dict:
+    """Fractal anomaly's ORDERED two-stage pre-pass (the reference runs
+    its stats in dependency order — fractal relief BEFORE norm stats,
+    reference core/dask_processor.py:1327, _impl_fractal_anomaly.py:
+    359-445): stage 1 pools the relief field's (p10, p75); stage 2
+    pools the FEATURE field — computed WITH those relief stats — for
+    (median, p99|dev|). Returns the kernel-param dict to inject."""
+    from .np_kernels import fractal_feature_field, fractal_roughness_field
+
+    relief_spec = {
+        "field": lambda g, p: fractal_roughness_field(g, **p),
+        "agg": _relief_agg,
+        "default": (0.0, 1.0),
+    }
+    p10, p75 = _staged_pool(
+        points, z, "fractal_anomaly", relief_spec, sample_mod, log_scale, kernel_params
+    )
+    kp2 = dict(kernel_params, relief_p10=p10, relief_p75=p75)
+    feat_spec = {
+        "field": lambda g, p: fractal_feature_field(g, **p),
+        "agg": _median_dev_agg,
+        "default": (0.0, 1.0),
+    }
+    med, dev = _staged_pool(
+        points, z, "fractal_anomaly", feat_spec, sample_mod, log_scale, kp2
+    )
+    return {
+        "relief_p10": p10,
+        "relief_p75": p75,
+        "global_stats": (med, max(dev, 1e-6)),
+    }
 
 
 def _pool_field(points, z, kernel, spec, log_scale, kernel_params):
@@ -288,6 +355,12 @@ def tile_kernel_normalized(
     specular) pool their RAW field's percentile and inject it in that
     kernel's domain (structure-energy c, roughness p95). Anything
     else raises."""
+    if kernel == "fractal_anomaly":
+        inj = fractal_global_stats(
+            points, z, sample_mod=sample_mod, log_scale=log_scale, **kernel_params
+        )
+        return tile_kernel(points, z, kernel=kernel, log_scale=log_scale,
+                           **dict(kernel_params, **inj))
     if kernel in _raw_stats_specs():
         spec = _raw_stats_specs()[kernel]
         v = kernel_raw_stats(

@@ -1004,6 +1004,54 @@ def np_visual_saliency(
 
 # --------------------------- fractal anomaly ----------------------------
 
+def _fractal_sigmas(grid: np.ndarray, rs: list, nan_mask: np.ndarray) -> list:
+    """Per-scale detrended roughness sigmas (shared by the kernel, the
+    relief field, and the feature field)."""
+    sigmas = []
+    for r in rs:
+        sigma = max(0.8, (r * 3.0) / 6.0)
+        if nan_mask.any():
+            trend, _ = nan_gaussian(grid, sigma)
+            residual = grid - trend
+            energy, _ = nan_gaussian(np.where(nan_mask, 0.0, residual) ** 2, sigma)
+        else:
+            trend = gaussian_filter(grid, sigma)
+            residual = grid - trend
+            energy = gaussian_filter(residual ** 2, sigma)
+        sigmas.append(np.sqrt(np.maximum(energy, 1e-8)))
+    return sigmas
+
+
+def fractal_roughness_field(
+    grid: np.ndarray, radii=(4.0, 8.0, 16.0, 32.0, 64.0), **_ignored
+) -> np.ndarray:
+    """Mean per-scale roughness — the RELIEF field whose global
+    (p10, p75) are fractal_anomaly's relief_conf stats (reference
+    _impl_fractal_anomaly.py:359-445's relief pre-pass field)."""
+    nan_mask = np.isnan(grid)
+    sigmas = _fractal_sigmas(grid, [float(r) for r in radii], nan_mask)
+    return restore_nan(sum(sigmas) / len(sigmas), nan_mask)
+
+
+def fractal_feature_field(
+    grid: np.ndarray,
+    radii=(4.0, 8.0, 16.0, 32.0, 64.0),
+    weights=None,
+    relief_p10: float | None = None,
+    relief_p75: float | None = None,
+    smoothing_sigma: float = 1.2,
+    detail_boost: float = 0.35,
+    **_ignored,
+) -> np.ndarray:
+    """The pre-normalization FEATURE field — global (median, p99|dev|)
+    over this field are fractal_anomaly's global_stats (the second,
+    relief-dependent stage of the reference's ordered pre-pass)."""
+    feature, _, _, nan_mask = _fractal_core(
+        grid, radii, weights, relief_p10, relief_p75, smoothing_sigma, detail_boost
+    )
+    return restore_nan(feature, nan_mask)
+
+
 def np_fractal_anomaly(
     grid: np.ndarray,
     radii=(4.0, 8.0, 16.0, 32.0, 64.0),
@@ -1024,20 +1072,34 @@ def np_fractal_anomaly(
     robustly normalized feature (reference
     _impl_fractal_anomaly.py:32-222). Seam-free with injected
     global_stats=(median, p99|dev|) + relief_p10/p75."""
+    feature, alpha, relief_conf, nan_mask = _fractal_core(
+        grid, radii, weights, relief_p10, relief_p75, smoothing_sigma, detail_boost
+    )
+    if global_stats is not None and float(global_stats[1]) > 1e-6:
+        mean_g, std_g = float(global_stats[0]), float(global_stats[1])
+        result = (feature - mean_g) / std_g
+        thr = max(0.05, float(despeckle_threshold))
+        med = median3x3(result)
+        thr_map = thr * (0.7 + 1.1 * alpha)
+        mask = (np.abs(result - med) > thr_map) & (alpha < float(despeckle_alpha_max)) & (relief_conf < 0.45)
+        result = np.where(mask, med, result)
+    else:
+        result = feature
+    return restore_nan(result, nan_mask)
+
+
+def _fractal_core(
+    grid: np.ndarray,
+    radii,
+    weights,
+    relief_p10,
+    relief_p75,
+    smoothing_sigma,
+    detail_boost,
+):
     nan_mask = np.isnan(grid)
     rs = [float(r) for r in radii]
-    sigmas = []
-    for r in rs:
-        sigma = max(0.8, (r * 3.0) / 6.0)
-        if nan_mask.any():
-            trend, _ = nan_gaussian(grid, sigma)
-            residual = grid - trend
-            energy, _ = nan_gaussian(np.where(nan_mask, 0.0, residual) ** 2, sigma)
-        else:
-            trend = gaussian_filter(grid, sigma)
-            residual = grid - trend
-            energy = gaussian_filter(residual ** 2, sigma)
-        sigmas.append(np.sqrt(np.maximum(energy, 1e-8)))
+    sigmas = _fractal_sigmas(grid, rs, nan_mask)
     n_sc = len(sigmas)
 
     lsig = [np.log(np.maximum(s, 1e-5)) for s in sigmas]
@@ -1089,18 +1151,7 @@ def np_fractal_anomaly(
             feat_smooth = gaussian_filter(raw, smooth)
     alpha = 0.50 + 0.50 * (np.clip((r2 - 0.35) / 0.6, 0.0, 1.0) * relief_conf)
     feature = alpha * raw + (1.0 - alpha) * feat_smooth
-
-    if global_stats is not None and float(global_stats[1]) > 1e-6:
-        mean_g, std_g = float(global_stats[0]), float(global_stats[1])
-        result = (feature - mean_g) / std_g
-        thr = max(0.05, float(despeckle_threshold))
-        med = median3x3(result)
-        thr_map = thr * (0.7 + 1.1 * alpha)
-        mask = (np.abs(result - med) > thr_map) & (alpha < float(despeckle_alpha_max)) & (relief_conf < 0.45)
-        result = np.where(mask, med, result)
-    else:
-        result = feature
-    return restore_nan(result, nan_mask)
+    return feature, alpha, relief_conf, nan_mask
 
 
 

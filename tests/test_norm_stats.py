@@ -26,7 +26,6 @@ def test_generic_stats_rejects_non_stretch_kernels(points_df):
         ("hillshade", {}),               # no global_stats param at all
         ("phase_congruency", {}),        # noise-median domain
         ("tv_decomposition", {}),        # texture tanh-scale domain
-        ("fractal_anomaly", {}),         # (mean, std) domain
         ("multiscale_terrain", {}),      # pre-gamma detail band
         ("structure_tensor", {"st_output": "orientation"}),  # mode-gated
         ("scale_drift", {"drift_output": "divergence"}),
@@ -35,10 +34,11 @@ def test_generic_stats_rejects_non_stretch_kernels(points_df):
             ns.tile_kernel_normalized(points_df, Z, kernel, **params)
         with pytest.raises(ValueError, match="stretch-domain"):
             ns.kernel_global_stats(points_df, Z, kernel, **params)
-    # frangi/specular route via the RAW-stat pre-pass in
-    # tile_kernel_normalized, but the OUTPUT-percentile pooler still
-    # rejects them (their global stat is not output-domain)
-    for kernel in ("frangi", "specular"):
+    # frangi/specular/npr_edges/fractal_anomaly route via their RAW
+    # pre-passes in tile_kernel_normalized, but the OUTPUT-percentile
+    # pooler still rejects them (their global stat is not
+    # output-domain)
+    for kernel in ("frangi", "specular", "npr_edges", "fractal_anomaly"):
         with pytest.raises(ValueError, match="stretch-domain"):
             ns.kernel_global_stats(points_df, Z, kernel)
 
@@ -199,3 +199,30 @@ def test_degenerate_everywhere_returns_zero_stats(spark):
     )
     got = ns.kernel_global_stats(spark_pts, Z, "openness", sample_mod=1)
     assert got == (0.0, 0.0)
+
+
+def test_fractal_two_stage_pre_pass_is_exact(spark, points_df):
+    """fractal_anomaly's ordered pre-pass: stage-1 relief (p10, p75)
+    feeds the stage-2 feature pool, and the routed run equals a manual
+    run with the returned params injected — bit-for-bit."""
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel
+
+    radii = (4.0, 8.0, 16.0, 32.0, 64.0)
+    inj = ns.fractal_global_stats(points_df, Z, sample_mod=1, radii=radii)
+    assert inj["relief_p75"] > inj["relief_p10"]
+    assert inj["global_stats"][1] > 0
+    manual = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in tile_kernel(
+            points_df, Z, kernel="fractal_anomaly", radii=radii, **inj
+        ).collect()
+    }
+    routed = {
+        (r["x"], r["y"]): np.asarray(r["result"])
+        for r in ns.tile_kernel_normalized(
+            points_df, Z, "fractal_anomaly", sample_mod=1, radii=radii
+        ).collect()
+    }
+    assert manual.keys() == routed.keys() and manual
+    for k in manual:
+        np.testing.assert_array_equal(routed[k], manual[k])

@@ -104,18 +104,26 @@ def _raw_stats_specs() -> dict:
     return {
         # c = p95(S)/2 over the structure-energy field
         # (reference _impl_frangi.py:154-162)
+        # injection floors sit strictly ABOVE the kernels' `>` gates
+        # (np_frangi checks > 1e-12, np_specular > 1e-9): a boundary or
+        # degenerate-default injection must still be CONSUMED — falling
+        # through to the per-block fallback would seam exactly the
+        # tiles the pre-pass exists to protect
         "frangi": {
             "field": lambda g, p: frangi_energy_field(g, p.get("radii", (2.0, 4.0, 8.0, 16.0))),
             "agg": _p95_agg,
-            "inject": lambda v: {"global_stats": (0.0, max(0.5 * v, 1e-12))},
+            "inject": lambda v: {"global_stats": (0.0, max(0.5 * v, 2e-12))},
             "default": 0.0,
         },
         # roughness_norm_scale = p95 of the raw windowed-std roughness
-        # (reference _impl_specular.py:228-308)
+        # (reference _impl_specular.py:228-308); NaN-masked so the pool
+        # matches the kernel's own roughness[~nan_mask] percentile
         "specular": {
-            "field": lambda g, p: specular_roughness_field(g, p.get("roughness_scale", 20.0)),
+            "field": lambda g, p: _mask_like(
+                specular_roughness_field(g, p.get("roughness_scale", 20.0)), g
+            ),
             "agg": _p95_agg,
-            "inject": lambda v: {"roughness_norm_scale": max(v, 1e-9)},
+            "inject": lambda v: {"roughness_norm_scale": max(v, 2e-9)},
             "default": 0.0,
         },
         # grad_stats = (p50, p90−p50, mean) of the smoothed Sobel
@@ -131,13 +139,21 @@ def _raw_stats_specs() -> dict:
 
 
 def _npr_gmag(field_fn, g, p):
+    gmag, _, _, nan_mask = field_fn(g, p.get("edge_sigma", 1.0))
+    return _mask_like(gmag, g, nan_mask)
+
+
+def _mask_like(field, grid, nan_mask=None):
+    """NaN out the field wherever the source grid is NaN, so pooled
+    stats match the kernels' own valid-only percentiles."""
     import numpy as np
 
-    gmag, _, _, nan_mask = field_fn(g, p.get("edge_sigma", 1.0))
+    if nan_mask is None:
+        nan_mask = np.isnan(grid)
     if nan_mask.any():
-        gmag = gmag.copy()
-        gmag[nan_mask] = np.nan
-    return gmag
+        field = field.copy()
+        field[nan_mask] = np.nan
+    return field
 
 
 def kernel_raw_stats(
@@ -162,7 +178,13 @@ def kernel_raw_stats(
 
 
 def _staged_pool(points, z, kernel, spec, sample_mod, log_scale, kernel_params):
-    """Sampled pool -> A10 central-window fallback -> spec default."""
+    """Sampled pool -> A10 central-window fallback -> spec default.
+
+    NOTE: kernel_global_stats carries its own copy of this
+    sample/centroid/±2-tile policy (it pools KERNEL OUTPUT via
+    tile_kernel, not a raw field via rasterize+mapInPandas, and its
+    A10 test pins exact equality with _pool_stats) — keep the two
+    policies in sync if either changes."""
     pts = _owning_tile(points, z)
     sampled = pts.filter(F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0).drop("_otx", "_oty")
     v = _pool_field(sampled, z, kernel, spec, log_scale, kernel_params)
@@ -217,40 +239,64 @@ def fractal_global_stats(
     (median, p99|dev|). Returns the kernel-param dict to inject."""
     from .np_kernels import fractal_feature_field, fractal_roughness_field
 
+    from .tile_kernels import kernel_halo, rasterize_tiles
+
     relief_spec = {
         "field": lambda g, p: fractal_roughness_field(g, **p),
         "agg": _relief_agg,
-        "default": (0.0, 1.0),
     }
-    p10, p75 = _staged_pool(
-        points, z, "fractal_anomaly", relief_spec, sample_mod, log_scale, kernel_params
-    )
-    kp2 = dict(kernel_params, relief_p10=p10, relief_p75=p75)
     feat_spec = {
         "field": lambda g, p: fractal_feature_field(g, **p),
         "agg": _median_dev_agg,
-        "default": (0.0, 1.0),
     }
-    med, dev = _staged_pool(
-        points, z, "fractal_anomaly", feat_spec, sample_mod, log_scale, kp2
+    h = kernel_halo("fractal_anomaly", kernel_params)
+    pts = _owning_tile(points, z)
+    sampled = pts.filter(
+        F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0
+    ).drop("_otx", "_oty")
+    # ONE rasterization serves both stages (checkpointed): the two
+    # pools read the same sampled windows, like the reference computing
+    # all fractal stats from one set of stratified reads
+    tiles = rasterize_tiles(sampled, z, halo=h, log_scale=log_scale).localCheckpoint(eager=False)
+    relief = _pool_tiles(tiles, h, relief_spec, kernel_params)
+    if relief is None:
+        # A10 central-window fallback, again rasterized once
+        center = pts.agg(F.avg("_otx").alias("cx"), F.avg("_oty").alias("cy")).first()
+        if center is not None and center["cx"] is not None:
+            cx, cy = int(center["cx"]), int(center["cy"])
+            central = pts.filter(
+                (F.abs(F.col("_otx") - cx) <= 2) & (F.abs(F.col("_oty") - cy) <= 2)
+            ).drop("_otx", "_oty")
+            tiles = rasterize_tiles(central, z, halo=h, log_scale=log_scale).localCheckpoint(eager=False)
+            relief = _pool_tiles(tiles, h, relief_spec, kernel_params)
+    p10, p75 = relief if relief is not None else (0.0, 1.0)
+    feat = _pool_tiles(
+        tiles, h, feat_spec, dict(kernel_params, relief_p10=p10, relief_p75=p75)
     )
+    med, dev = feat if feat is not None else (0.0, 1.0)
     return {
         "relief_p10": p10,
         "relief_p75": p75,
-        "global_stats": (med, max(dev, 1e-6)),
+        # floor strictly above np_fractal_anomaly's > 1e-6 gate so the
+        # injection is always consumed (seam-free even when degenerate)
+        "global_stats": (med, max(dev, 2e-6)),
     }
 
 
 def _pool_field(points, z, kernel, spec, log_scale, kernel_params):
-    """percentile_approx of the kernel's raw field over core pixels of
+    """spec agg of the kernel's raw field over core pixels of
     halo-expanded sampled tiles."""
-    import numpy as np
-    import pandas as pd
-
     from .tile_kernels import kernel_halo, rasterize_tiles
 
     h = kernel_halo(kernel, kernel_params)
     tiles = rasterize_tiles(points, z, halo=h, log_scale=log_scale)
+    return _pool_tiles(tiles, h, spec, kernel_params)
+
+
+def _pool_tiles(tiles, h, spec, kernel_params):
+    import numpy as np
+    import pandas as pd
+
     field_fn, params = spec["field"], dict(kernel_params)
     w = TILE_PX + 2 * h
 
@@ -265,6 +311,9 @@ def _pool_field(points, z, kernel, spec, log_scale, kernel_params):
             yield pd.DataFrame({"v": np.concatenate(out) if out else np.empty(0)})
 
     return spec["agg"](tiles.mapInPandas(ffn, "v double"))
+
+
+def stretch(col: Column, lo: float, scale: float) -> Column:
     """A11 display stretch: max((v - lo) / scale, 0) — p99 maps to 1,
     the bright tail passes through unclipped (reference
     _global_stats.py:173-174)."""

@@ -45,11 +45,16 @@ from .np_kernels import _halo_gauss
 from .tile_kernels import KERNELS, kernel_halo, rasterize_tiles
 
 # kernels whose response takes the radius as a named param; everything
-# else uses the pre-smooth convention (sigma = radius/2)
+# else uses the pre-smooth convention (sigma = radius/2). specular's
+# radius drives its roughness WINDOW — the reference keeps specular's
+# per-radius loop bespoke for exactly this (the coarse path then runs
+# with the 2^s-rescaled window, reference _impl_specular.py:146-191)
+# instead of the generic pre-smooth.
 SPATIAL_RADIUS_KW: dict[str, str] = {
     "openness": "max_distance",
     "ambient_occlusion": "radius",
     "blur": "scale",
+    "specular": "roughness_scale",
 }
 
 # intrinsically multi-scale kernels: their result is undefined at a

@@ -59,6 +59,9 @@ def _world_oracle(pdf, z, kernel, radii, agg="mean", threshold=24.0, **params):
 @pytest.mark.parametrize("kernel,params", [
     ("hillshade", {}),                 # pre-smooth convention
     ("openness", {"num_directions": 8}),  # own radius param (max_distance)
+    # bespoke per-radius roughness window incl. the coarse 2^s rescale
+    # (reference _impl_specular.py:146-191)
+    ("specular", {"roughness_norm_scale": 1.0}),
 ])
 def test_spatial_kernel_matches_world_oracle(spark, points_df, kernel, params):
     pdf = points_df.toPandas()

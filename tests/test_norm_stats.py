@@ -207,20 +207,24 @@ def test_fractal_two_stage_pre_pass_is_exact(spark, points_df):
     run with the returned params injected — bit-for-bit."""
     from fujishadergpu_spark.operators.tile_kernels import tile_kernel
 
-    radii = (4.0, 8.0, 16.0, 32.0, 64.0)
-    inj = ns.fractal_global_stats(points_df, Z, sample_mod=1, radii=radii)
+    # small zoom + short radius bank: the exactness contract under test
+    # is routing/injection, not large-sigma numerics (the 5-radius bank
+    # at Z=4 cost ~227 s of pure gaussian passes)
+    zf = 3
+    radii = (4.0, 8.0, 16.0)
+    inj = ns.fractal_global_stats(points_df, zf, sample_mod=1, radii=radii)
     assert inj["relief_p75"] > inj["relief_p10"]
     assert inj["global_stats"][1] > 0
     manual = {
         (r["x"], r["y"]): np.asarray(r["result"])
         for r in tile_kernel(
-            points_df, Z, kernel="fractal_anomaly", radii=radii, **inj
+            points_df, zf, kernel="fractal_anomaly", radii=radii, **inj
         ).collect()
     }
     routed = {
         (r["x"], r["y"]): np.asarray(r["result"])
         for r in ns.tile_kernel_normalized(
-            points_df, Z, "fractal_anomaly", sample_mod=1, radii=radii
+            points_df, zf, "fractal_anomaly", sample_mod=1, radii=radii
         ).collect()
     }
     assert manual.keys() == routed.keys() and manual

@@ -604,9 +604,11 @@ FROM n GROUP BY x, y ORDER BY x, y
 tile_halo_census_z6 = _halo_census_query(6, 3)
 tile_halo_census_deep_z5 = _halo_census_query(5, 96)
 tile_box_total_z6 = _box_total_query(6, 2)
+tile_box_total_wide_z5 = _box_total_query(5, 8)
 TILE_HALO_CENSUS_Z6_SQL = _halo_census_sql(6, 3)
 TILE_HALO_CENSUS_DEEP_Z5_SQL = _halo_census_sql(5, 96)
 TILE_BOX_TOTAL_Z6_SQL = _box_total_sql(6, 2)
+TILE_BOX_TOTAL_WIDE_Z5_SQL = _box_total_sql(5, 8)
 
 
 def geo_pip_zones(spark, sf_dir):
@@ -1399,6 +1401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_halo_census_z6": tile_halo_census_z6,
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,
     "tile_box_total_z6": tile_box_total_z6,
+    "tile_box_total_wide_z5": tile_box_total_wide_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
@@ -1468,6 +1471,7 @@ ORACLES: dict[str, str] = {
     "tile_halo_census_z6": TILE_HALO_CENSUS_Z6_SQL,
     "tile_halo_census_deep_z5": TILE_HALO_CENSUS_DEEP_Z5_SQL,
     "tile_box_total_z6": TILE_BOX_TOTAL_Z6_SQL,
+    "tile_box_total_wide_z5": TILE_BOX_TOTAL_WIDE_Z5_SQL,
     "tile_weighted_census_z6": TILE_WEIGHTED_CENSUS_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,

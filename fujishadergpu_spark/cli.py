@@ -80,6 +80,7 @@ def run_render_many(
     kernel_params: dict | None = None,
     fill_voids: str | None = None,
     metric_scale: bool = False,
+    fill_zc: int | None = None,
 ) -> dict:
     """Fan-out: N algorithms from ONE scan+geoparse. The reference
     runs one algorithm per invocation (re-reading the COG each time);
@@ -96,13 +97,13 @@ def run_render_many(
     if fill_voids:
         from .operators.void_fill import build_void_fill_surface
 
-        surface = build_void_fill_surface(pts, zoom, mode=fill_voids)
+        surface = build_void_fill_surface(pts, zoom, zc=fill_zc, mode=fill_voids)
     try:
         return {
             a: run_render(spark, pages_path, out_root, a, zoom, agg=agg,
                           run_id=run_id, _pts=pts, kernel_params=kernel_params,
                           fill_voids=fill_voids, _surface=surface,
-                          metric_scale=metric_scale)
+                          metric_scale=metric_scale, fill_zc=fill_zc)
             for a in algorithms
         }
     finally:
@@ -123,6 +124,7 @@ def run_render(
     kernel_params: dict | None = None,
     fill_voids: str | None = None,
     metric_scale: bool = False,
+    fill_zc: int | None = None,
     _surface=None,
 ) -> dict:
     """The reference's primary command (``fujishadergpu in out
@@ -183,7 +185,7 @@ def run_render(
 
             # one bounded pre-pass -> broadcast membrane (A21; the
             # reference's prepare-stage enclosed-void repair)
-            surface = build_void_fill_surface(pts, zoom, mode=fill_voids)
+            surface = build_void_fill_surface(pts, zoom, zc=fill_zc, mode=fill_voids)
     if radii:
         t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
                            weights=tuple(weights) if weights else None,
@@ -213,10 +215,21 @@ def run_render(
     # quantize on another config's persisted (lo, scale)
     import hashlib
 
-    cfg = repr((agg, radii, weights, sorted(kernel_params.items()),
-                fill_voids, metric_scale))
-    cfg_tag = hashlib.sha256(cfg.encode()).hexdigest()[:10]
+    cfg_tuple = (agg, radii, weights, sorted(kernel_params.items()),
+                 fill_voids, metric_scale, fill_zc)
+    cfg_tag = hashlib.sha256(repr(cfg_tuple).encode()).hexdigest()[:10]
     stats_path = f"{out_root}/_stats_render_{algorithm}_z{zoom}_{cfg_tag}"
+    # pre-cfg-tag runs persisted stats at the untagged path; a resume
+    # across that upgrade must keep quantizing on the SAME (lo, scale)
+    # or the remaining tiles seam at the resume boundary. The untagged
+    # path only ever held default-config stats, so only the default
+    # config may adopt it.
+    _default_cfg = ("mean", None, None, [], None, False, None)
+    legacy_stats_path = (
+        f"{out_root}/_stats_render_{algorithm}_z{zoom}"
+        if cfg_tuple == _default_cfg
+        else None
+    )
     # only a genuinely-missing stats file falls through to recompute;
     # any other read failure (FS fault, corrupt footer, permissions)
     # must propagate — silently recomputing percentile_approx would
@@ -225,15 +238,17 @@ def run_render(
     # exists to prevent; same narrow catch as plans/lineage.py)
     from pyspark.errors import AnalysisException
 
-    def _read_stats():
+    def _read_stats(path):
         try:
-            return spark.read.parquet(stats_path).first()
+            return spark.read.parquet(path).first()
         except AnalysisException as e:
             if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
                 return None
             raise
 
-    srow = _read_stats()
+    srow = _read_stats(stats_path)
+    if srow is None and legacy_stats_path is not None:
+        srow = _read_stats(legacy_stats_path)
     if srow is not None:
         lo, scale = float(srow["lo"]), float(srow["scale"])
     else:
@@ -318,6 +333,10 @@ def main(argv=None):
                    help="fill zero-density voids from a coarse push-pull membrane before "
                         "the kernel (enclosed: only holes inside the data footprint; "
                         "the reference prepare-stage repair)")
+    r.add_argument("--fill-zc", type=int, default=None,
+                   help="coarse zoom of the void-fill membrane surface (default: "
+                        "max(2, zoom-10), capped so the driver grid stays bounded; "
+                        "pass explicitly to opt into a finer/costlier surface)")
     r.add_argument("--run-id", default=None)
 
     args = ap.parse_args(argv)
@@ -345,9 +364,22 @@ def main(argv=None):
             if len(algos) > 1:
                 if radii or weights:
                     raise SystemExit("--radii/--weights apply to single-algorithm renders")
+                if args.metric_scale:
+                    # fail the whole invocation up front rather than
+                    # mid-fan-out (tile_kernel would raise on the first
+                    # non-metric kernel after others already rendered)
+                    from .operators.tile_kernels import METRIC_SCALE_KERNELS
+
+                    bad = [a for a in algos if a not in METRIC_SCALE_KERNELS]
+                    if bad:
+                        raise SystemExit(
+                            f"--metric-scale: {bad} do not consume metric pixel scales; "
+                            f"supported: {sorted(METRIC_SCALE_KERNELS)}"
+                        )
                 many = run_render_many(
                     spark, args.pages, args.out, algos, args.zoom, args.run_id,
                     agg=args.agg, kernel_params=kparams, fill_voids=args.fill_voids,
+                    metric_scale=args.metric_scale, fill_zc=args.fill_zc,
                 )
                 for a, s in many.items():
                     print(f"render {a}: {s}")
@@ -356,6 +388,7 @@ def main(argv=None):
                     spark, args.pages, args.out, algos[0], args.zoom,
                     radii, weights, args.agg, args.run_id, kernel_params=kparams,
                     fill_voids=args.fill_voids, metric_scale=args.metric_scale,
+                    fill_zc=args.fill_zc,
                 )
                 print(f"render {algos[0]}: {s}")
     finally:

@@ -465,6 +465,14 @@ def tile_kernel(
             )
         if "pixel_scale" in kernel_params:
             raise ValueError("pass either metric_scale=True or an explicit pixel_scale, not both")
+    if skip_empty_core and fill_surface is not None:
+        # the skip path returns empty for groups holding only halo
+        # spill-ins, and _synth_filled_tiles excludes those tiles as
+        # "present" — the membrane would silently never materialize
+        # for exactly the tiles whose window holds only neighbors'
+        # points. The combination is contradictory (skip wants to drop
+        # sparse tiles, fill wants to repair them), so refuse it.
+        raise ValueError("skip_empty_core=True cannot be combined with fill_surface")
     h = kernel_halo(kernel, kernel_params) if halo is None else halo
     pts = _packed_tiles(points, z, h, weight_col)
     if skip_empty_core:

@@ -154,7 +154,18 @@ def build_void_fill_surface(
         raise ValueError(f"unknown void-fill mode {mode!r} (enclosed/all)")
     from .tile_kernels import rasterize_tiles
 
-    zc = min(z, 2) if zc is None else zc
+    if zc is None:
+        # default keeps fillable_tile_keys' z <= zc+10 guard always
+        # satisfiable, so --fill-voids works at any zoom the driver
+        # grid can afford. The grid is (2^zc * 256)^2 float64 —
+        # zc=4 is ~134 MB; beyond that the caller must opt in
+        # explicitly (pass zc / --fill-zc) to confirm the driver cost.
+        zc = max(2, z - 10)
+        if zc > 4:
+            raise ValueError(
+                f"auto zc={zc} for z={z} implies a {(1 << zc) * TILE_PX}^2 driver grid "
+                f"(> 134 MB); pass zc explicitly (CLI: --fill-zc) to confirm"
+            )
     if zc > z:
         raise ValueError(f"zc={zc} must be <= z={z}")
     n_px = (1 << zc) * TILE_PX

@@ -1003,11 +1003,13 @@ def ann_ivf_index_probe(spark, sf_dir):
     from .operators.ann import ivf_probe_topk, write_ivf_index
 
     e = _t(spark, sf_dir, "embeddings")
-    # deterministic digest (builtin hash() is salted per process) plus
-    # the pid so concurrent gate runs never overwrite each other's
-    # bucket files mid-probe
+    # content-keyed path (deterministic digest — builtin hash() is
+    # salted per process): reruns overwrite the same index instead of
+    # leaking one bucketed corpus copy per gate run (write_ivf_index
+    # writes mode=overwrite). Gate runs are sequential per repo, so no
+    # pid component is needed.
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}_{os.getpid()}")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
     write_ivf_index(e, path, m=8)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -74,3 +74,48 @@ def test_render_cli_end_to_end(spark, tmp_path):
     assert dn.min() >= 1  # density rasters have no NoData -> DN 0 unused
     s2 = run_render(spark, src, out, algorithm="hillshade", zoom=5)
     assert s2["skipped"]  # lineage resume
+
+
+def test_render_many_forwards_metric_scale_and_fill_zc(spark, pages_path, monkeypatch):
+    """Advice r3: --metric-scale was silently dropped on the
+    multi-algorithm fan-out path. Pin the forwarding by capturing
+    run_render's kwargs (no render executed — everything upstream of
+    the fake is lazy)."""
+    import fujishadergpu_spark.cli as cli
+
+    seen = {}
+
+    def fake_run_render(spark_, pages_path_, out_root, algorithm, zoom, **kw):
+        seen[algorithm] = kw
+        return {"stage": algorithm}
+
+    monkeypatch.setattr(cli, "run_render", fake_run_render)
+    cli.run_render_many(
+        spark, pages_path, "/nonexistent_out", ["hillshade", "slope"],
+        zoom=5, metric_scale=True, fill_zc=3,
+    )
+    assert set(seen) == {"hillshade", "slope"}
+    for kw in seen.values():
+        assert kw["metric_scale"] is True
+        assert kw["fill_zc"] == 3
+
+
+def test_render_adopts_legacy_untagged_stats(spark, pages_path, tmp_path):
+    """Advice r3: a default-config render resumed across the cfg-tag
+    upgrade must quantize on the legacy persisted (lo, scale), not
+    recompute — otherwise the remaining tiles seam at the resume
+    boundary."""
+    import numpy as np
+
+    from fujishadergpu_spark.cli import run_render
+
+    out = str(tmp_path / "legacy")
+    # plant legacy stats whose scale crushes every value to DN 1
+    spark.createDataFrame([(0.0, 1e12)], "lo double, scale double").coalesce(1) \
+        .write.parquet(f"{out}/_stats_render_hillshade_z5")
+    run_render(spark, pages_path, out, "hillshade", 5)
+    tiles = spark.read.parquet(f"{out}/tiles_hillshade_z5").collect()
+    assert tiles
+    for r in tiles:
+        dn = np.frombuffer(r["dn"], dtype=np.uint8)
+        assert set(np.unique(dn)) <= {0, 1}  # planted scale honored

@@ -172,3 +172,37 @@ def test_render_fill_voids_e2e(spark, ring_points, tmp_path):
     ).distinct().count()
     assert n_tiles > 0
     assert n_buckets == s["keys_processed"]
+
+
+def test_deep_zoom_default_zc_bounded(spark, ring_points):
+    """Advice r3: --fill-voids at z>12 used to hard-fail inside
+    fillable_tile_keys with advice the CLI user couldn't follow. The
+    default zc now tracks max(2, z-10) so the guard always holds, and
+    auto-derivation refuses (with the --fill-zc pointer) once the
+    driver grid would exceed the bounded budget."""
+    import pytest
+
+    from fujishadergpu_spark.operators.void_fill import build_void_fill_surface
+
+    s = build_void_fill_surface(ring_points, 13, mode="enclosed")
+    assert s.zc == 3
+    assert s.fillable_tile_keys(13) is not None  # guard holds by construction
+    with pytest.raises(ValueError, match="--fill-zc"):
+        build_void_fill_surface(ring_points, 15, mode="enclosed")
+    # explicit zc opts in / overrides
+    s2 = build_void_fill_surface(ring_points, 5, zc=2, mode="enclosed")
+    assert s2.zc == 2
+
+
+def test_skip_empty_core_rejects_fill_surface(spark, ring_points):
+    """Advice r3: the combination silently dropped fillable tiles whose
+    window held only halo spill-ins; it is now refused at plan time."""
+    import pytest
+
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel
+    from fujishadergpu_spark.operators.void_fill import build_void_fill_surface
+
+    surface = build_void_fill_surface(ring_points, 5, mode="enclosed")
+    with pytest.raises(ValueError, match="skip_empty_core"):
+        tile_kernel(ring_points, 5, kernel="hillshade",
+                    skip_empty_core=True, fill_surface=surface)

@@ -282,6 +282,81 @@ def multiscale_usm(
     return joined.mapInPandas(lambda it: (finish(pdf) for pdf in it), schema)
 
 
+def overview_box_total(
+    points: DataFrame,
+    z: int,
+    r: int,
+    overview_threshold: int = 16,
+) -> DataFrame:
+    """The large-radius overview rewrite in the EXACT integer domain —
+    the hash-oracle companion of multiscale_usm's coarse path (r3
+    verdict #2; reference analog algorithms/_nan_utils.py:328-524).
+
+    Runs the REAL s>=1 machinery end-to-end — _plan_scales radius→
+    factor, independent coarse rasterization at z−s with halo, per-
+    coarse-tile SAT windowing, the 1-px crop ring, broadcast join on
+    the ancestor key, coarse_sample_coords + np_bilinear_sample — but
+    in the box-TOTAL domain instead of box-mean: coarse window totals
+    are integers, bilinear weights at dyadic pixel-center offsets are
+    exact in IEEE-754 (multiples of 2^-(2s+2)), so the per-tile sum of
+    upsampled totals ×4^(s+1) is an exact BIGINT on any engine and any
+    summation order. Output: (z, x, y, up_total_q, core_pts).
+    """
+    small, large = _plan_scales([int(r)], overview_threshold, max_s=z)
+    if not large:
+        raise ValueError(
+            f"r={r} <= overview_threshold={overview_threshold} takes the small-radius "
+            f"path; this oracle exercises the s>=1 coarse rewrite"
+        )
+    s = large[int(r)]
+    r_c = int(r) >> s
+    h_c = min(r_c + 1, TILE_PX - 1)
+    fine = rasterize_tiles(points, z, halo=0)
+    coarse = rasterize_tiles(points, z - s, halo=h_c)
+
+    def bt_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"x": pdf["x"], "y": pdf["y"], "bt": []}
+        w_ = TILE_PX + 2 * h_c
+        for g in pdf["grid"]:
+            gg = np.asarray(g, dtype=np.float64).reshape(w_, w_)
+            bt = np_box_total(gg, r_c)
+            out["bt"].append(bt[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1].ravel())
+        return pd.DataFrame(out)
+
+    btc = (
+        coarse.select("x", "y", "grid")
+        .repartition(max(2, points.sparkSession.sparkContext.defaultParallelism), "x", "y")
+        .groupBy("x", "y")
+        .applyInPandas(bt_fn, "x long, y long, bt array<double>")
+    )
+    ren = btc.select(F.col("x").alias("_cx"), F.col("y").alias("_cy"), "bt")
+    joined = fine.join(
+        F.broadcast(ren),
+        (F.shiftright(fine["x"], s) == ren["_cx"]) & (F.shiftright(fine["y"], s) == ren["_cy"]),
+        "left",
+    )
+    qscale = float(1 << (2 * s + 2))
+
+    def finish(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "up_total_q": [], "core_pts": []}
+            for _, row in pdf.iterrows():
+                g = np.asarray(row["grid"], dtype=np.float64).reshape(TILE_PX, TILE_PX)
+                # the ancestor always exists: the fine tile's own points
+                # sit inside the ancestor's core
+                bt = np.asarray(row["bt"], dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
+                cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
+                up = np_bilinear_sample(bt, cy[:, None], cx[None, :])
+                rows["z"].append(z)
+                rows["x"].append(int(row["x"]))
+                rows["y"].append(int(row["y"]))
+                rows["up_total_q"].append(int(round(float(up.sum()) * qscale)))
+                rows["core_pts"].append(int(g.sum()))
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(finish, "z int, x long, y long, up_total_q long, core_pts long")
+
+
 def global_abs_p99(tiles_grid_df: DataFrame, value_col: str = "usm", sample_mod: int = 4) -> float:
     """Sampled global |p99| — the stats pre-pass -> broadcast pattern
     (reference algorithms/_norm_stats.py:176-350): sample a stable

@@ -597,6 +597,87 @@ FROM n GROUP BY x, y ORDER BY x, y
 """
 
 
+def tile_overview_box_total_z5(spark, sf_dir):
+    """The large-radius OVERVIEW REWRITE (the engine's signature
+    optimization) under the exact-integer hash gate: r=64 at z=5 takes
+    the s=2 coarse path — independent rasterization at z−2, SAT window
+    totals, 1-px crop ring, broadcast ancestor join, bilinear upsample
+    at dyadic pixel centers — and Σ(upsampled total)·4^(s+1) per tile
+    is an exact BIGINT (see operators/multiscale.overview_box_total).
+    The DuckDB twin regroups the pixel sum into separable 1-D weight
+    profiles; both computations are rounding-free, so any transport or
+    alignment drift (crop ring, sample coords, wrap) diverges the hash."""
+    from .operators.multiscale import overview_box_total
+
+    p = geo_points(spark, sf_dir)
+    return overview_box_total(p, 5, 64).orderBy("x", "y")
+
+
+def _overview_box_total_sql(z: int, r: int, overview_threshold: int = 16) -> str:
+    from .operators.multiscale import _plan_scales
+
+    _, large = _plan_scales([int(r)], overview_threshold, max_s=z)
+    s = large[int(r)]
+    r_c = int(r) >> s
+    p2 = 1 << s
+    ncpx = (1 << (z - s)) * 256
+    qscale = float(1 << (2 * s + 2))
+    gx, gy = _grid_sql(z)
+    # cxw = (world_fine_px + 0.5)/2^s - 0.5 (world coarse coords; the
+    # local crop frame of the UDF differs by an integer shift and never
+    # clamps, so the world formulation is identical). All weights are
+    # exact dyadics; every partial sum below is exact in float64.
+    cxw = f"((t.tx * 256 + ij.i + 0.5) / {float(p2)} - 0.5)"
+    cyw = f"((t.ty * 256 + ij.i + 0.5) / {float(p2)} - 0.5)"
+    return f"""
+WITH {PTS_SQL},
+pg AS (SELECT {gx} AS gx, {gy} AS gy FROM pts),
+cc AS (SELECT gx // {p2} AS cgx, gy // {p2} AS cgy, COUNT(*) AS n FROM pg GROUP BY 1, 2),
+ft AS (SELECT gx // 256 AS tx, gy // 256 AS ty, COUNT(*) AS core_pts FROM pg GROUP BY 1, 2),
+ij AS (SELECT range AS i FROM range(256)),
+wx AS (
+  SELECT tx, ((a % {ncpx}) + {ncpx}) % {ncpx} AS a, SUM(w) AS w FROM (
+    SELECT t.tx,
+           CAST(floor({cxw}) AS BIGINT) + d.o AS a,
+           CASE WHEN d.o = 0 THEN 1.0 - ({cxw} - floor({cxw}))
+                ELSE {cxw} - floor({cxw}) END AS w
+    FROM (SELECT DISTINCT tx FROM ft) t
+    CROSS JOIN ij CROSS JOIN (VALUES (0), (1)) d(o)
+  ) GROUP BY 1, 2
+),
+wy AS (
+  SELECT ty, a, SUM(w) AS w FROM (
+    SELECT t.ty,
+           CAST(floor({cyw}) AS BIGINT) + d.o AS a,
+           CASE WHEN d.o = 0 THEN 1.0 - ({cyw} - floor({cyw}))
+                ELSE {cyw} - floor({cyw}) END AS w
+    FROM (SELECT DISTINCT ty FROM ft) t
+    CROSS JOIN ij CROSS JOIN (VALUES (0), (1)) d(o)
+  ) GROUP BY 1, 2
+),
+wxw AS (
+  SELECT w.tx, c.cgx, SUM(w.w) AS ww
+  FROM (SELECT DISTINCT cgx FROM cc) c JOIN wx w
+    ON LEAST((c.cgx - w.a + {ncpx}) % {ncpx}, (w.a - c.cgx + {ncpx}) % {ncpx}) <= {r_c}
+  GROUP BY 1, 2
+),
+wyw AS (
+  SELECT w.ty, c.cgy, SUM(w.w) AS ww
+  FROM (SELECT DISTINCT cgy FROM cc) c JOIN wy w ON abs(c.cgy - w.a) <= {r_c}
+  GROUP BY 1, 2
+)
+SELECT {z} AS z, f.tx AS x, f.ty AS y,
+       CAST(round(SUM(cc.n * xw.ww * yw.ww) * {qscale}) AS BIGINT) AS up_total_q,
+       CAST(f.core_pts AS BIGINT) AS core_pts
+FROM ft f
+JOIN wxw xw ON xw.tx = f.tx
+JOIN cc ON cc.cgx = xw.cgx
+JOIN wyw yw ON yw.ty = f.ty AND yw.cgy = cc.cgy
+GROUP BY f.tx, f.ty, f.core_pts
+ORDER BY x, y
+"""
+
+
 def tile_weighted_census_z6(spark, sf_dir):
     """The weighted-rasterization path (sorted-order accumulation of a
     weight column inside _accumulate_grid) under the hash gate:
@@ -1450,6 +1531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,
     "tile_box_total_z6": tile_box_total_z6,
     "tile_box_total_wide_z5": tile_box_total_wide_z5,
+    "tile_overview_box_total_z5": tile_overview_box_total_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
@@ -1526,6 +1608,7 @@ ORACLES: dict[str, str] = {
     "tile_halo_census_deep_z5": TILE_HALO_CENSUS_DEEP_Z5_SQL,
     "tile_box_total_z6": TILE_BOX_TOTAL_Z6_SQL,
     "tile_box_total_wide_z5": TILE_BOX_TOTAL_WIDE_Z5_SQL,
+    "tile_overview_box_total_z5": _overview_box_total_sql(5, 64),
     "tile_weighted_census_z6": TILE_WEIGHTED_CENSUS_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,

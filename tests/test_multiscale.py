@@ -116,3 +116,55 @@ def test_global_p99_runs(spark, points_df):
     g = multiscale_usm(points_df, Z, radii=(2, 8), output="grid")
     p = global_abs_p99(g, "usm", sample_mod=1)
     assert p is not None and p >= 0.0
+
+
+def test_overview_box_total_matches_world_oracle_exactly(spark, points_df):
+    """The exact-integer companion of the overview rewrite (r3 verdict
+    #2): per-tile Σ of bilinearly-upsampled coarse box TOTALS ×4^(s+1)
+    must equal a whole-world NumPy oracle EXACTLY (==, not approx) —
+    every step is dyadic-rational in float64, so tiled-with-crop-ring
+    and whole-world computations cannot differ by even one ulp unless
+    the transport/alignment contract drifts."""
+    from fujishadergpu_spark.operators.multiscale import (
+        np_box_total,
+        overview_box_total,
+    )
+
+    z, r = 3, 64
+    s, r_c = 2, 16
+    pdf = points_df.toPandas()
+    n = (1 << z) * TILE_PX
+    gx, gy, px, py = np_tile_pixel(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), z)
+    idx = (gy * TILE_PX + py) * n + (gx * TILE_PX + px)
+    world = np.bincount(idx, minlength=n * n).astype(np.float64).reshape(n, n)
+    nc = n >> s
+    coarse = world.reshape(nc, 1 << s, nc, 1 << s).sum(axis=(1, 3))
+    # world box totals with the UDF's boundary semantics: x wraps at
+    # the antimeridian, y windows reach into zero rows beyond the world
+    pad = r_c + 1
+    P = np.zeros((nc + 2 * pad, nc + 2 * pad))
+    P[pad:-pad, pad:-pad] = coarse
+    P[pad:-pad, :pad] = coarse[:, -pad:]
+    P[pad:-pad, -pad:] = coarse[:, :pad]
+    btp = np_box_total(P, r_c)
+    btring = btp[pad - 1 : pad + nc + 1, pad - 1 : pad + nc + 1]  # world coords -1..nc
+    p = np.arange(n)
+    c = (p + 0.5) / (1 << s) - 0.5 + 1.0  # +1 for the ring offset
+    up = np_bilinear_sample(btring, c[:, None], c[None, :])
+    got = {(t["x"], t["y"]): (t["up_total_q"], t["core_pts"])
+           for t in overview_box_total(points_df, z, r).collect()}
+    assert got
+    qscale = 1 << (2 * s + 2)
+    for (tx, ty), (q, cp) in got.items():
+        sl = up[ty * TILE_PX : (ty + 1) * TILE_PX, tx * TILE_PX : (tx + 1) * TILE_PX]
+        want = int(round(float(sl.sum()) * qscale))
+        assert q == want, (tx, ty, q, want)
+        assert cp == int(world[ty * TILE_PX : (ty + 1) * TILE_PX,
+                               tx * TILE_PX : (tx + 1) * TILE_PX].sum())
+
+
+def test_overview_box_total_rejects_small_radius(spark, points_df):
+    from fujishadergpu_spark.operators.multiscale import overview_box_total
+
+    with pytest.raises(ValueError, match="small-radius"):
+        overview_box_total(points_df, 3, 8)

@@ -139,43 +139,57 @@ def run_render(
     from .operators.spatial_mode import spatial_kernel
     from .operators.tile_kernels import KERNELS, tile_kernel
 
-    if algorithm not in KERNELS:
-        raise KeyError(f"unknown algorithm {algorithm!r}; registered: {sorted(KERNELS)}")
     kernel_params = dict(kernel_params or {})
-    from .operators.tile_kernels import KERNEL_DEFAULTS
+    if algorithm == "topousm":
+        # the reference's flagship topousm_fast: multiscale USM with
+        # the overview rewrite, ALWAYS normalized to a symmetric
+        # (-p99, 2*p99) stretch of |USM| (reference
+        # algorithms/_normalization.py:22-41) — no per-block stats
+        # anywhere, so no seam warning applies
+        if kernel_params:
+            raise KeyError("topousm takes --radii/--weights/--agg, not --params")
+        if fill_voids or metric_scale:
+            raise ValueError("--fill-voids/--metric-scale apply to the stencil tile path")
+    else:
+        if algorithm not in KERNELS:
+            raise KeyError(
+                f"unknown algorithm {algorithm!r}; registered: "
+                f"{sorted(KERNELS) + ['topousm']}"
+            )
+        from .operators.tile_kernels import KERNEL_DEFAULTS
 
-    unknown = set(kernel_params) - set(KERNEL_DEFAULTS[algorithm])
-    if unknown:
-        raise KeyError(
-            f"unknown params {sorted(unknown)} for {algorithm!r}; "
-            f"declared surface: {sorted(KERNEL_DEFAULTS[algorithm])}"
-        )
-    # kernels whose normalization wants a GLOBAL stat: running without
-    # one falls back to per-block stats, which seam at tile boundaries
-    # (reference hoists these to a global pre-pass for exactly this
-    # reason, reference algorithms/_norm_stats.py:301-350). The render
-    # still applies a global [p1,p99] stretch after the kernel, but the
-    # kernel-internal normalization remains per-block — surface that.
-    if (
-        "global_stats" in KERNEL_DEFAULTS[algorithm]
-        and kernel_params.get("global_stats") is None
-    ):
-        import warnings
+        unknown = set(kernel_params) - set(KERNEL_DEFAULTS[algorithm])
+        if unknown:
+            raise KeyError(
+                f"unknown params {sorted(unknown)} for {algorithm!r}; "
+                f"declared surface: {sorted(KERNEL_DEFAULTS[algorithm])}"
+            )
+        # kernels whose normalization wants a GLOBAL stat: running without
+        # one falls back to per-block stats, which seam at tile boundaries
+        # (reference hoists these to a global pre-pass for exactly this
+        # reason, reference algorithms/_norm_stats.py:301-350). The render
+        # still applies a global [p1,p99] stretch after the kernel, but the
+        # kernel-internal normalization remains per-block — surface that.
+        if (
+            "global_stats" in KERNEL_DEFAULTS[algorithm]
+            and kernel_params.get("global_stats") is None
+        ):
+            import warnings
 
-        warnings.warn(
-            f"render {algorithm!r}: no global_stats injected — the kernel's internal "
-            f"normalization uses per-block stats and may seam at tile boundaries; "
-            f"pass --params '{{\"global_stats\": [lo, scale]}}' (from a stats pre-pass) "
-            f"for seam-free output",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"render {algorithm!r}: no global_stats injected — the kernel's internal "
+                f"normalization uses per-block stats and may seam at tile boundaries; "
+                f"pass --params '{{\"global_stats\": [lo, scale]}}' (from a stats pre-pass) "
+                f"for seam-free output",
+                stacklevel=2,
+            )
     if _pts is not None:
         pts = _pts  # shared persisted upstream (run_render_many)
     else:
         pg = spark.read.parquet(pages_path)
         pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
     surface = _surface
-    if metric_scale and radii:
+    if metric_scale and radii and algorithm != "topousm":
         raise ValueError("--metric-scale applies to the single-radius tile path")
     if fill_voids:
         if radii:
@@ -186,7 +200,16 @@ def run_render(
             # one bounded pre-pass -> broadcast membrane (A21; the
             # reference's prepare-stage enclosed-void repair)
             surface = build_void_fill_surface(pts, zoom, zc=fill_zc, mode=fill_voids)
-    if radii:
+    if algorithm == "topousm":
+        from .operators.multiscale import multiscale_usm
+
+        t = multiscale_usm(
+            pts, zoom,
+            radii=tuple(int(r) for r in radii) if radii else None,
+            weights=tuple(weights) if weights else None,
+            agg=agg, output="grid",
+        ).withColumnRenamed("usm", "result")
+    elif radii:
         t = spatial_kernel(pts, zoom, algorithm, radii=tuple(radii),
                            weights=tuple(weights) if weights else None,
                            agg=agg, output="grid", **kernel_params)
@@ -251,6 +274,18 @@ def run_render(
         srow = _read_stats(legacy_stats_path)
     if srow is not None:
         lo, scale = float(srow["lo"]), float(srow["scale"])
+    elif algorithm == "topousm":
+        # symmetric ±|p99| stretch — the reference applies this to
+        # topousm output unconditionally (zero relief maps to mid-gray
+        # DN, ridges/valleys symmetric around it)
+        from .operators.multiscale import global_abs_p99
+
+        p99 = global_abs_p99(t, "result")
+        p99 = float(p99) if p99 is not None and p99 > 1e-12 else 1.0
+        lo, scale = -p99, 2.0 * p99
+        spark.createDataFrame([(lo, scale)], "lo double, scale double").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stats_path)
     else:
         sampled = t.filter(F.pmod(F.xxhash64("x", "y"), F.lit(4)) == 0)
         row = (
@@ -319,7 +354,9 @@ def main(argv=None):
     r.add_argument("--pages", required=True)
     r.add_argument("--out", required=True)
     r.add_argument("--algorithm", default="hillshade",
-                   help="registered kernel name; comma list fans out N algorithms from one scan")
+                   help="registered kernel name, or 'topousm' (multiscale USM with the "
+                        "overview rewrite and the reference's symmetric ±p99 stretch); "
+                        "comma list fans out N algorithms from one scan")
     r.add_argument("--zoom", type=int, default=8)
     r.add_argument("--radii", default=None, help="comma list; enables spatial mode")
     r.add_argument("--weights", default=None, help="comma list matching --radii")

@@ -119,3 +119,34 @@ def test_render_adopts_legacy_untagged_stats(spark, pages_path, tmp_path):
     for r in tiles:
         dn = np.frombuffer(r["dn"], dtype=np.uint8)
         assert set(np.unique(dn)) <= {0, 1}  # planted scale honored
+
+
+def test_render_topousm_symmetric_p99_stretch(spark, pages_path, tmp_path):
+    """r3 verdict #6: `render --algorithm topousm` applies the
+    reference's unconditional ±|p99| normalization (reference
+    algorithms/_normalization.py:22-41) — the persisted stats must be
+    exactly symmetric (lo == -scale/2), no seam warning fires, and
+    the quantized tiles use the full signed range around mid-gray."""
+    import glob
+    import warnings
+
+    import numpy as np
+
+    from fujishadergpu_spark.cli import run_render
+
+    out = str(tmp_path / "usm")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning (incl. seam) fails
+        run_render(spark, pages_path, out, "topousm", 5, radii=[2, 8, 64])
+    sdirs = glob.glob(f"{out}/_stats_render_topousm_z5_*")
+    assert len(sdirs) == 1
+    srow = spark.read.parquet(sdirs[0]).first()
+    assert srow["lo"] == -srow["scale"] / 2.0
+    assert srow["scale"] > 0
+    tiles = spark.read.parquet(f"{out}/tiles_topousm_z5").collect()
+    assert tiles
+    dns = np.concatenate([np.frombuffer(r["dn"], dtype=np.uint8) for r in tiles])
+    assert len(dns) % 65536 == 0
+    valid = dns[dns > 0]
+    # symmetric stretch: zero relief -> DN ~128; both halves populated
+    assert (valid < 120).any() and (valid > 136).any()

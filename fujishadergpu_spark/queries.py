@@ -1360,6 +1360,63 @@ FROM p ORDER BY c_custkey
 """
 
 
+def nodata_border_infer_normalize(spark, sf_dir):
+    """The BORDER NoData heuristic under the hash gate (r3 verdict #5;
+    reference io/dem_preprocess.py:191-229): plant a -32767 sentinel
+    on every point within 0.75% of the data bbox edge — ~3% of rows,
+    UNDER the 5% share threshold, so only the border rule can find it.
+    Spark runs the real two-rule union (infer_sentinels_auto), maps the
+    inferred sentinels to NULL, quantizes (NULL -> DN 0); the oracle
+    hardcodes the plant. Over- or under-detection diverges the hash."""
+    from .functions.encoding import infer_sentinels_auto, normalize_nodata, quantize
+
+    m = 0.0075
+    p = geo_points(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), "c_acctbal"
+    )
+    df = p.join(c, "id")
+    bb = df.agg(
+        F.min("lat").alias("lat0"), F.max("lat").alias("lat1"),
+        F.min("lon").alias("lon0"), F.max("lon").alias("lon1"),
+    ).first()
+    mlat, mlon = (bb["lat1"] - bb["lat0"]) * m, (bb["lon1"] - bb["lon0"]) * m
+    in_ring = (
+        (F.col("lat") <= bb["lat0"] + mlat) | (F.col("lat") >= bb["lat1"] - mlat)
+        | (F.col("lon") <= bb["lon0"] + mlon) | (F.col("lon") >= bb["lon1"] - mlon)
+    )
+    planted = df.withColumn(
+        "v",
+        F.when(in_ring, F.lit(-32767.0)).otherwise(
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+        ),
+    )
+    sentinels = infer_sentinels_auto(planted, "v", border_frac=m)
+    out = normalize_nodata(planted, "v", sentinels) if sentinels else planted
+    return out.select(
+        "id", quantize(F.col("v"), 0.0, 10000.0, "uint8").alias("dn")
+    ).orderBy("id")
+
+
+NODATA_BORDER_SQL = f"""
+WITH {PTS_SQL},
+bb AS (SELECT min(lat) AS lat0, max(lat) AS lat1, min(lon) AS lon0, max(lon) AS lon1 FROM pts),
+p AS (
+  SELECT c.c_custkey AS id,
+         CASE WHEN pts.lat <= bb.lat0 + (bb.lat1 - bb.lat0) * 0.0075
+                OR pts.lat >= bb.lat1 - (bb.lat1 - bb.lat0) * 0.0075
+                OR pts.lon <= bb.lon0 + (bb.lon1 - bb.lon0) * 0.0075
+                OR pts.lon >= bb.lon1 - (bb.lon1 - bb.lon0) * 0.0075
+              THEN NULL
+              WHEN c.c_acctbal < 0 THEN NULL
+              ELSE c.c_acctbal END AS v
+  FROM customer c JOIN pts ON pts.id = c.c_custkey CROSS JOIN bb
+)
+SELECT id, {_qsql('v', 0.0, 10000.0, 'uint8')} AS dn
+FROM p ORDER BY id
+"""
+
+
 def media_features(spark, sf_dir):
     """Multimodal plumbing under the hash gate: the (media_id, kind,
     feature-dim) contract of the mapInPandas decode path is
@@ -1530,11 +1587,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_halo_census_z6": tile_halo_census_z6,
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,
     "tile_box_total_z6": tile_box_total_z6,
-    "tile_box_total_wide_z5": tile_box_total_wide_z5,
     "tile_overview_box_total_z5": tile_overview_box_total_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
+    "nodata_border_infer_normalize": nodata_border_infer_normalize,
     "geo_pip_zones": geo_pip_zones,
     "geo_pip_zones_salted": geo_pip_zones_salted,
     "geo_knn_k5": geo_knn_k5,
@@ -1563,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
+    "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
     "tile_ao_normalized_z5": tile_ao_normalized_z5,  # 2nd stretch-domain route (openness covers it)
     "ann_ivf_topk": ann_ivf_topk,  # in-memory variant of the probed on-disk index
     "doc_fingerprints": doc_fingerprints,  # raw dump; the contract is doc_fingerprint_distinct
@@ -1612,6 +1670,7 @@ ORACLES: dict[str, str] = {
     "tile_weighted_census_z6": TILE_WEIGHTED_CENSUS_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,
+    "nodata_border_infer_normalize": NODATA_BORDER_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
     "geo_pip_zones_salted": GEO_PIP_SQL,
     "geo_knn_k5": GEO_KNN_SQL,

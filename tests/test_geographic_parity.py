@@ -1,0 +1,119 @@
+"""Geographic metric parity (r3 verdict #4; reference
+tests/test_geographic_parity.py:46-96): the SAME physical surface —
+an analytic plane prescribed in METERS — placed at the equator and at
+60°N must come back with the SAME metric slope through the real tile
+pipeline (rasterize -> halo exchange -> grouped-map kernel with
+metric_scale=True), even though the mercator pixels at 60°N are half
+the physical size.
+
+The parity is asserted on KERNEL output, not post-render DNs: the
+render's global [p1,p99] stretch deliberately normalizes absolute
+magnitude away, which is exactly the quantity this test must compare
+(the reference's parity test likewise compares the algorithm arrays,
+not the quantized COG).
+
+Documented tolerance: the engine injects ONE (m/px x, m/px y) pair per
+tile at its center latitude (operators/tile_kernels.tile_pixel_scales,
+the y-seam approximation documented there), so within a z=8 tile at
+60°N the true per-row scale drifts by tan(60°)·(1.4°/2·π/180) ≈ ±2%
+around the center value — the asserted band is ±4% per pixel, ±1.5% on
+the tile mean (equator: ±0.5%, where the cos drift is ~0)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.functions.spatial import meters_per_degree
+from fujishadergpu_spark.functions.tiles import TILE_PX
+from fujishadergpu_spark.operators.tile_kernels import tile_kernel, tile_pixel_scales
+
+Z = 8
+N_PX = (1 << Z) * TILE_PX
+SLOPE = 5e-4  # dH/dx in m/m -> analytic slope atan(SLOPE)
+
+
+def _pixel_lat(gy: np.ndarray) -> np.ndarray:
+    yn = (gy + 0.5) / N_PX
+    return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yn))))
+
+
+def _plane_tile_points(spark, tx: int, ty: int, axis: str):
+    """One point per pixel of tile (tx, ty), weighted with H = SLOPE ·
+    (physical metres along `axis`), metres measured with the engine's
+    own WGS84 series at each pixel's TRUE latitude (the physical
+    terrain; the engine then recovers it through its center-latitude
+    scalar approximation)."""
+    i = np.arange(TILE_PX)
+    gx = tx * TILE_PX + i
+    gy = ty * TILE_PX + i
+    lon = (gx + 0.5) / N_PX * 360.0 - 180.0
+    lat = _pixel_lat(gy)
+    per_row = [meters_per_degree(v) for v in lat]  # scalar series, 256 rows
+    m_lon = np.array([p[0] for p in per_row])
+    m_lat = np.array([p[1] for p in per_row])
+    if axis == "x":
+        # metres east of the tile's west edge, along each row's parallel
+        xm = (lon[None, :] - lon[0]) * m_lon[:, None]
+        h = SLOPE * xm
+    else:
+        # metres north of the tile's south edge along the meridian
+        # (trapezoid integral of the per-row metre-per-degree series)
+        dlat = np.diff(lat)
+        seg = -dlat * 0.5 * (m_lat[:-1] + m_lat[1:])  # lat decreases with gy
+        ym = np.concatenate([[0.0], np.cumsum(seg)])
+        h = SLOPE * ym[:, None] + np.zeros((1, TILE_PX))
+    pdf = pd.DataFrame(
+        {
+            "lat": np.repeat(lat, TILE_PX),
+            "lon": np.tile(lon, TILE_PX),
+            "h": h.ravel(),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _recovered_slope(spark, tx, ty, axis, metric=True):
+    pts = _plane_tile_points(spark, tx, ty, axis)
+    t = tile_kernel(
+        pts, Z, kernel="slope", weight_col="h", log_scale=False,
+        metric_scale=metric, unit="degree",
+    )
+    row = t.filter((F.col("x") == tx) & (F.col("y") == ty)).first()
+    g = np.asarray(row["result"]).reshape(TILE_PX, TILE_PX)
+    return g[2:-2, 2:-2]  # interior: skip halo-cliff one-sided diffs
+
+
+def _ty_for_lat(lat_deg: float) -> int:
+    yn = (1.0 - math.log(math.tan(math.radians(lat_deg)) + 1.0 / math.cos(math.radians(lat_deg))) / math.pi) / 2.0
+    return int(yn * (1 << Z))
+
+
+ANALYTIC = math.degrees(math.atan(SLOPE))
+
+
+@pytest.mark.parametrize("axis", ["x", "y"])
+def test_metric_slope_parity_equator_vs_60N(spark, axis):
+    eq = _recovered_slope(spark, 128, _ty_for_lat(0.2), axis)
+    hi = _recovered_slope(spark, 128, _ty_for_lat(60.0), axis)
+    # equator: cos drift within the tile is negligible
+    assert abs(eq.mean() / ANALYTIC - 1) < 0.005, eq.mean()
+    np.testing.assert_allclose(eq, ANALYTIC, rtol=0.01)
+    # 60°N: ±4% per pixel, ±1.5% on the mean (center-latitude scalar)
+    assert abs(hi.mean() / ANALYTIC - 1) < 0.015, hi.mean()
+    np.testing.assert_allclose(hi, ANALYTIC, rtol=0.04)
+
+
+def test_unit_scale_control_shows_the_distortion_metric_removes(spark):
+    """Control: WITHOUT metric scales the same two surfaces disagree by
+    roughly the pixel-size ratio (~2x at 60°N) — the distortion the
+    metric path exists to remove. Guards against metric_scale silently
+    becoming a no-op (parity would then pass only because both runs
+    were identically wrong)."""
+    eq = _recovered_slope(spark, 128, _ty_for_lat(0.2), "x", metric=False)
+    hi = _recovered_slope(spark, 128, _ty_for_lat(60.0), "x", metric=False)
+    ratio = hi.mean() / eq.mean()
+    # 60°N pixels cover ~half the metres -> ~half the per-pixel rise
+    assert ratio < 0.65, ratio

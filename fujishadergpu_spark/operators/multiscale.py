@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tiles import TILE_PX
-from .tile_kernels import rasterize_tiles
+from .tile_kernels import pack_grid, rasterize_tiles, unpack_grid
 
 
 def np_box_total(g: np.ndarray, r: int) -> np.ndarray:
@@ -176,19 +176,17 @@ def multiscale_usm(
                 for r_c in r_cs:
                     rows = []
                     for g in pdf["grid"]:
-                        gg = np.asarray(g, dtype=np.float64).reshape(
-                            TILE_PX + 2 * h_c, TILE_PX + 2 * h_c
-                        )
+                        gg = unpack_grid(g, TILE_PX + 2 * h_c)
                         # coarse counts are block SUMS of the fine
                         # grid; the field is the block MEAN
-                        gg = gg * 0.25 ** s  # asarray over Arrow is read-only
+                        gg = gg * 0.25 ** s  # unpack_grid views are read-only
                         sm = np_box_mean(gg, r_c)
-                        rows.append(sm[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1].ravel())
+                        rows.append(pack_grid(sm[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1]))
                     out[f"sm_{r_c}"] = rows
                 return pd.DataFrame(out)
             return fn
 
-        sm_schema = "x long, y long, " + ", ".join(f"sm_{rc} array<double>" for rc in r_cs)
+        sm_schema = "x long, y long, " + ", ".join(f"sm_{rc} binary" for rc in r_cs)
         smooth_fn = mk_smooth()
         smoothed = coarse.select("x", "y", "grid").repartition(
             max(2, points.sparkSession.sparkContext.defaultParallelism), "x", "y"
@@ -216,9 +214,7 @@ def multiscale_usm(
         payload = []
         # precomputed fine-pixel center coordinates per s
         for _, row in pdf.iterrows():
-            g = np.asarray(row["grid"], dtype=np.float64).reshape(
-                TILE_PX + 2 * halo, TILE_PX + 2 * halo
-            )
+            g = unpack_grid(row["grid"], TILE_PX + 2 * halo)
             core = g[halo : halo + TILE_PX, halo : halo + TILE_PX] if halo else g
             responses = []
             for r in small:
@@ -229,7 +225,7 @@ def multiscale_usm(
                 cg = row[coarse_cols[r]]
                 if cg is None:
                     continue
-                cgrid = np.asarray(cg, dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
+                cgrid = unpack_grid(cg, TILE_PX + 2)
                 cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
                 responses.append((r, core - up))
@@ -318,16 +314,16 @@ def overview_box_total(
         out = {"x": pdf["x"], "y": pdf["y"], "bt": []}
         w_ = TILE_PX + 2 * h_c
         for g in pdf["grid"]:
-            gg = np.asarray(g, dtype=np.float64).reshape(w_, w_)
+            gg = unpack_grid(g, w_)
             bt = np_box_total(gg, r_c)
-            out["bt"].append(bt[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1].ravel())
+            out["bt"].append(pack_grid(bt[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1]))
         return pd.DataFrame(out)
 
     btc = (
         coarse.select("x", "y", "grid")
         .repartition(max(2, points.sparkSession.sparkContext.defaultParallelism), "x", "y")
         .groupBy("x", "y")
-        .applyInPandas(bt_fn, "x long, y long, bt array<double>")
+        .applyInPandas(bt_fn, "x long, y long, bt binary")
     )
     ren = btc.select(F.col("x").alias("_cx"), F.col("y").alias("_cy"), "bt")
     joined = fine.join(
@@ -341,10 +337,10 @@ def overview_box_total(
         for pdf in it:
             rows = {"z": [], "x": [], "y": [], "up_total_q": [], "core_pts": []}
             for _, row in pdf.iterrows():
-                g = np.asarray(row["grid"], dtype=np.float64).reshape(TILE_PX, TILE_PX)
+                g = unpack_grid(row["grid"], TILE_PX)
                 # the ancestor always exists: the fine tile's own points
                 # sit inside the ancestor's core
-                bt = np.asarray(row["bt"], dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
+                bt = unpack_grid(row["bt"], TILE_PX + 2)
                 cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
                 up = np_bilinear_sample(bt, cy[:, None], cx[None, :])
                 rows["z"].append(z)

@@ -297,6 +297,8 @@ def _pool_tiles(tiles, h, spec, kernel_params):
     import numpy as np
     import pandas as pd
 
+    from .tile_kernels import unpack_grid
+
     field_fn, params = spec["field"], dict(kernel_params)
     w = TILE_PX + 2 * h
 
@@ -304,7 +306,7 @@ def _pool_tiles(tiles, h, spec, kernel_params):
         for pdf in it:
             out = []
             for g in pdf["grid"]:
-                gg = np.asarray(g, dtype=np.float64).reshape(w, w)
+                gg = unpack_grid(g, w)
                 f = field_fn(gg, params)
                 core = f[h : h + TILE_PX, h : h + TILE_PX] if h else f
                 out.append(core[np.isfinite(core)].ravel())

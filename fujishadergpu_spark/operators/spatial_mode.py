@@ -42,7 +42,7 @@ from ..functions.tiles import TILE_PX
 from .multiscale import coarse_sample_coords, np_bilinear_sample
 from .np_filters import nan_gaussian, restore_nan
 from .np_kernels import _halo_gauss
-from .tile_kernels import KERNELS, kernel_halo, rasterize_tiles
+from .tile_kernels import KERNELS, kernel_halo, pack_grid, rasterize_tiles, unpack_grid
 
 # kernels whose response takes the radius as a named param; everything
 # else uses the pre-smooth convention (sigma = radius/2). specular's
@@ -213,9 +213,7 @@ def spatial_kernel(
                 for r, rc in rcs:
                     rows = []
                     for g in pdf["grid"]:
-                        gg = np.asarray(g, dtype=np.float64).reshape(
-                            TILE_PX + 2 * h_c, TILE_PX + 2 * h_c
-                        )
+                        gg = unpack_grid(g, TILE_PX + 2 * h_c)
                         # coarse counts are block SUMS; the field is the
                         # block-mean density (then the display transform)
                         gg = gg * 0.25 ** s
@@ -223,14 +221,14 @@ def spatial_kernel(
                             gg = np.log1p(gg)
                         resp = np_spatial_response(gg, kernel, rc, **kernel_params)
                         rows.append(
-                            resp[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1].ravel()
+                            pack_grid(resp[h_c - 1 : h_c + TILE_PX + 1, h_c - 1 : h_c + TILE_PX + 1])
                         )
                     out[rkey[r]] = rows
                 return pd.DataFrame(out)
 
             return fn
 
-        schema = "x long, y long, " + ", ".join(f"{rkey[r]} array<double>" for r, _ in rcs)
+        schema = "x long, y long, " + ", ".join(f"{rkey[r]} binary" for r, _ in rcs)
         resp_df = (
             coarse.select("x", "y", "grid")
             .repartition(max(2, points.sparkSession.sparkContext.defaultParallelism), "x", "y")
@@ -259,9 +257,7 @@ def spatial_kernel(
             out_rows["radius"] = []
         payload = []
         for _, row in pdf.iterrows():
-            g = np.asarray(row["grid"], dtype=np.float64).reshape(
-                TILE_PX + 2 * halo, TILE_PX + 2 * halo
-            )
+            g = unpack_grid(row["grid"], TILE_PX + 2 * halo)
             if log_scale:
                 g = np.log1p(g)
             responses: list[tuple[float, np.ndarray]] = []
@@ -275,7 +271,7 @@ def spatial_kernel(
                 cg = row[coarse_cols[r]]
                 if cg is None:
                     continue
-                cgrid = np.asarray(cg, dtype=np.float64).reshape(TILE_PX + 2, TILE_PX + 2)
+                cgrid = unpack_grid(cg, TILE_PX + 2)
                 cy, cx = coarse_sample_coords(int(row["x"]), int(row["y"]), s)
                 up = np_bilinear_sample(cgrid, cy[:, None], cx[None, :])
                 responses.append((w_by_r[r], up))

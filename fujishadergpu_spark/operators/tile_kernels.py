@@ -183,6 +183,21 @@ def _accumulate_grid(
     return grid.reshape(w, w)
 
 
+def pack_grid(a: np.ndarray) -> bytes:
+    """Grid transport encoding: raw little-endian float64 bytes. One
+    binary cell per row instead of a 65k-element array<double> — the
+    repo's measured allocator lesson (list-columns through Arrow
+    materialize ~65k tiny objects per batch; see README design rules)
+    applied to every internal grid column."""
+    return np.ascontiguousarray(a, dtype=np.float64).tobytes()
+
+
+def unpack_grid(buf: bytes, w: int) -> np.ndarray:
+    """Inverse of pack_grid. Returns a READ-ONLY (w, w) view over the
+    Arrow buffer — zero-copy; consumers that mutate must copy()."""
+    return np.frombuffer(buf, dtype=np.float64).reshape(w, w)
+
+
 def rasterize_tiles(
     points: DataFrame,
     z: int,
@@ -190,11 +205,12 @@ def rasterize_tiles(
     weight_col: str | None = None,
     log_scale: bool = False,
 ) -> DataFrame:
-    """points -> one row per tile: (z, x, y, grid: array<double>).
+    """points -> one row per tile: (z, x, y, grid: binary).
 
-    grid is the flattened (256+2*halo)^2 accumulation raster (counts,
-    or summed weight_col). log_scale applies log1p — the density->
-    elevation transform used before terrain-style kernels.
+    grid is the packed (256+2*halo)^2 float64 accumulation raster
+    (counts, or summed weight_col) — decode with ``unpack_grid``.
+    log_scale applies log1p — the density->elevation transform used
+    before terrain-style kernels.
     """
     pts = _packed_tiles(points, z, halo, weight_col)
 
@@ -207,11 +223,11 @@ def rasterize_tiles(
                 "z": [z],
                 "x": [int(pdf["_tk"].iloc[0]) >> 32],
                 "y": [int(pdf["_tk"].iloc[0]) & _MASK32],
-                "grid": [grid.ravel()],
+                "grid": [pack_grid(grid)],
             }
         )
 
-    schema = "z int, x long, y long, grid array<double>"
+    schema = "z int, x long, y long, grid binary"
     return pts.groupBy("_tk").applyInPandas(fn, schema)
 
 
@@ -751,16 +767,16 @@ def pyramid_level(tiles: DataFrame, agg: str = "sum") -> DataFrame:
         z = int(pdf["z"].iloc[0]) - 1
         px_ = int(pdf["x"].iloc[0]) >> 1
         py_ = int(pdf["y"].iloc[0]) >> 1
-        for _, row in pdf.iterrows():
-            g = np.asarray(row["grid"], dtype=np.float64).reshape(TILE_PX, TILE_PX)
+        for cx_, cy_, buf in zip(pdf["x"], pdf["y"], pdf["grid"]):
+            g = unpack_grid(buf, TILE_PX)
             d = g.reshape(half, 2, half, 2)
             d = d.sum(axis=(1, 3)) if agg == "sum" else d.mean(axis=(1, 3))
-            qx = (int(row["x"]) & 1) * half
-            qy = (int(row["y"]) & 1) * half
+            qx = (int(cx_) & 1) * half
+            qy = (int(cy_) & 1) * half
             parent[qy : qy + half, qx : qx + half] = d
-        return pd.DataFrame({"z": [z], "x": [px_], "y": [py_], "grid": [parent.ravel()]})
+        return pd.DataFrame({"z": [z], "x": [px_], "y": [py_], "grid": [pack_grid(parent)]})
 
-    schema = "z int, x long, y long, grid array<double>"
+    schema = "z int, x long, y long, grid binary"
     return (
         tiles.withColumns({"_px": F.shiftright(F.col("x"), 1), "_py": F.shiftright(F.col("y"), 1)})
         .groupBy("_px", "_py")

@@ -152,7 +152,7 @@ def build_void_fill_surface(
     """
     if mode not in ("enclosed", "all"):
         raise ValueError(f"unknown void-fill mode {mode!r} (enclosed/all)")
-    from .tile_kernels import rasterize_tiles
+    from .tile_kernels import rasterize_tiles, unpack_grid
 
     if zc is None:
         # default keeps fillable_tile_keys' z <= zc+10 guard always
@@ -172,7 +172,7 @@ def build_void_fill_surface(
     world = np.zeros((n_px, n_px), dtype=np.float64)
     # 4^zc tiles at most (zc<=2 -> 16 tiles, ~8 MB) — bounded at any SF
     for r in rasterize_tiles(points, zc).collect():
-        g = np.asarray(r["grid"], dtype=np.float64).reshape(TILE_PX, TILE_PX)
+        g = unpack_grid(r["grid"], TILE_PX)
         world[
             r["y"] * TILE_PX : (r["y"] + 1) * TILE_PX,
             r["x"] * TILE_PX : (r["x"] + 1) * TILE_PX,

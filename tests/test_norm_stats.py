@@ -58,7 +58,7 @@ def test_raw_stats_match_numpy_oracle(spark, points_df):
     h = kernel_halo("frangi", {"radii": radii})
     pool = []
     for r in rasterize_tiles(points_df, Z, halo=h, log_scale=True).collect():
-        g = np.asarray(r["grid"]).reshape(TILE_PX + 2 * h, TILE_PX + 2 * h)
+        g = np.frombuffer(r["grid"]).reshape(TILE_PX + 2 * h, TILE_PX + 2 * h)
         f = frangi_energy_field(g, radii)
         core = f[h : h + TILE_PX, h : h + TILE_PX]
         pool.append(core[np.isfinite(core)].ravel())

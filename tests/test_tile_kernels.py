@@ -53,9 +53,9 @@ def test_rasterize_deterministic_and_correct(spark, points_df):
     pdf = points_df.toPandas()
     world = _global_grid(pdf, Z)
     tiles = rasterize_tiles(points_df, Z).collect()
-    assert sum(np.asarray(t["grid"]).sum() for t in tiles) == len(pdf)
+    assert sum(np.frombuffer(t["grid"]).sum() for t in tiles) == len(pdf)
     for t in tiles:
-        g = np.asarray(t["grid"]).reshape(TILE_PX, TILE_PX)
+        g = np.frombuffer(t["grid"]).reshape(TILE_PX, TILE_PX)
         sl = world[
             t["y"] * TILE_PX : (t["y"] + 1) * TILE_PX, t["x"] * TILE_PX : (t["x"] + 1) * TILE_PX
         ]
@@ -63,7 +63,7 @@ def test_rasterize_deterministic_and_correct(spark, points_df):
     # partition invariance: identical grids from a different layout
     tiles2 = {(t["x"], t["y"]): t["grid"] for t in rasterize_tiles(points_df.repartition(13), Z).collect()}
     for t in tiles:
-        assert list(t["grid"]) == list(tiles2[(t["x"], t["y"])])
+        assert bytes(t["grid"]) == bytes(tiles2[(t["x"], t["y"])])  # bit-identical payloads
 
 
 def test_kernel_seam_free(spark, points_df):
@@ -140,10 +140,9 @@ def test_skip_empty_core_drops_halo_only_tiles(spark):
 def test_pyramid_mass_conservation(spark, points_df):
     base = rasterize_tiles(points_df, Z)
     pyr = build_pyramid(base, Z, 0, agg="sum")
-    sums = (
-        pyr.select("z", F.aggregate("grid", F.lit(0.0), lambda a, b: a + b).alias("s"))
-        .groupBy("z").agg(F.sum("s").alias("total")).collect()
-    )
+    totals = {}
+    for r in pyr.select("z", "grid").collect():
+        totals[r["z"]] = totals.get(r["z"], 0.0) + float(np.frombuffer(r["grid"]).sum())
     n = points_df.count()
-    for r in sums:
-        assert abs(r["total"] - n) < 1e-6, f"mass lost at z={r['z']}"
+    for z_, total in totals.items():
+        assert abs(total - n) < 1e-6, f"mass lost at z={z_}"

@@ -56,7 +56,7 @@ def test_pushpull_preserves_known_and_fills_membrane():
 def test_enclosed_hole_filled_exterior_preserved(spark, ring_points):
     surface = build_void_fill_surface(ring_points, Z, mode="enclosed")
     raw = {
-        (r["x"], r["y"]): np.asarray(r["grid"]).reshape(TILE_PX, TILE_PX)
+        (r["x"], r["y"]): np.frombuffer(r["grid"]).reshape(TILE_PX, TILE_PX)
         for r in rasterize_tiles(ring_points, Z).collect()
     }
     filled = {

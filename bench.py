@@ -53,6 +53,97 @@ def materialize(df) -> int:
     return 0
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def timed_reps(thunk, reps=5):
+    """Raw rep-time list. The host is shared with EXTREME interference
+    (an identical job measured [23.8, 52.4, 10.7, 5.9, 14.4, 44.8,
+    3.1] s back-to-back in round 3): min is the interference-free
+    sample, median bounds how noisy the window was, and the raw list
+    lets a reading carry its own noise gauge."""
+    out = []
+    for _ in range(reps):
+        t0 = time.time()
+        thunk()
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
+def skew_bench(spark, workdir: str):
+    """r3 verdict #10: deliberately hot cell (10% of 1M points on ONE
+    city center) through the non-broadcast SMJ pip path, salted vs
+    unsalted, plus whether AQE's skew splitter engaged on the unsalted
+    run. Outputs must be identical rows (the salted-parity law)."""
+    from pyspark.sql import functions as FF
+
+    from fujishadergpu_spark.sources.pages import BBOX, CITY_LAT, CITY_LON
+
+    src = os.path.join(workdir, "skew_points.parquet")
+    if not os.path.exists(src):
+        n = 1_000_000
+        df = spark.range(n)
+        u = lambda tag: (FF.xxhash64("id", FF.lit(tag)).cast("double") / FF.lit(float(1 << 63)) + 1.0) / 2.0
+        # hot rows jitter within ±0.0005° (same covering cell at any
+        # realistic res) — identical constants would compress ~100:1 in
+        # the shuffle and hide the skew from AQE's compressed-size stats
+        hot = FF.col("id") % 10 == 0
+        lat = FF.when(hot, FF.lit(float(CITY_LAT[0])) + (u("jlat") - 0.5) * 0.001) \
+                .otherwise((u("lat") * 2.0 - 1.0) * BBOX)
+        lon = FF.when(hot, FF.lit(float(CITY_LON[0])) + (u("jlon") - 0.5) * 0.001) \
+                .otherwise((u("lon") * 2.0 - 1.0) * BBOX)
+        df.select("id", lat.alias("lat"), lon.alias("lon")).write.mode("overwrite").parquet(src)
+    pts = spark.read.parquet(src)
+    pol = polygons(spark)
+    idx = PipIndex(pol)
+
+    unsalted = lambda: pip_join(pts, pol, index=idx, broadcast_build=False)
+    salted = lambda: pip_join(pts, pol, index=idx, broadcast_build=False,
+                              salt=8, point_salt_col="id")
+    n_un = unsalted().count()  # warm + row parity
+    n_sa = salted().count()
+    # AQE skew-splitter engagement on the executed unsalted plan. The
+    # default 256 MB skew threshold is sized for cluster-scale
+    # partitions; the bench shuffle is ~16 MB total, so scale the
+    # thresholds with the data (exactly what a 100-TB run leaves at
+    # defaults) to exercise the splitter mechanism itself.
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        # collect() executes THIS DataFrame's QueryExecution (a write
+        # runs a clone whose adaptive plan never finalizes here), so
+        # the executedPlan string carries the real AQE decisions
+        agg = unsalted().groupBy().count()
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    t_un, t_sa = [], []
+    for _ in range(3):  # interleaved so a noise burst hits both arms
+        t0 = time.time(); unsalted().count(); t_un.append(round(time.time() - t0, 3))
+        t0 = time.time(); salted().count(); t_sa.append(round(time.time() - t0, 3))
+    return {
+        "skew_rows_unsalted": n_un,
+        "skew_rows_salted": n_sa,
+        "skew_rows_match": n_un == n_sa,
+        "skew_unsalted_times": t_un,
+        "skew_salted_times": t_sa,
+        "skew_unsalted_sec": min(t_un),
+        "skew_salted_sec": min(t_sa),
+        "aqe_skew_split_engaged": "skew=true" in plan,
+    }
+
+
 def pages_pipeline(spark, n_pages: int, workdir: str) -> tuple[float, float, int, int]:
     """End-to-end pages throughput: synth -> parquet -> geoparse ->
     PIP join -> per-tile hillshade kernel. Returns (pages_sec,
@@ -68,22 +159,6 @@ def pages_pipeline(spark, n_pages: int, workdir: str) -> tuple[float, float, int
     pts = geoparse.geoparse(pg).select(
         F.xxhash64("url").alias("id"), "lat", "lon"
     )
-    # min-of-5 after one warm pass, raw rep times reported: the host is
-    # shared and shows extreme run-to-run interference — round-3
-    # re-measurement of the IDENTICAL pip job back-to-back: [23.8,
-    # 52.4, 10.7, 5.9, 14.4, 44.8, 3.1] s, a 17x spread. min is the
-    # interference-free sample; the published times list lets a reader
-    # judge how noisy the window was (the r01->r02 "regression"
-    # 201k->138k pages/s was exactly this — the same code measures 321k
-    # in a quiet window).
-    def timed_reps(thunk, reps=5):
-        out = []
-        for _ in range(reps):
-            t0 = time.time()
-            thunk()
-            out.append(round(time.time() - t0, 2))
-        return out
-
     n_joined = pip_join(pts, pol, index=idx).count()
     pip_times = timed_reps(lambda: pip_join(pts, pol, index=idx).count())
     n_tiles = tile_kernel_stats(pts, TILE_Z, kernel="hillshade", log_scale=True).count()
@@ -108,14 +183,12 @@ def main():
     materialize(Q.QUERIES["tile_hillshade_z6"](spark, sf_dir).limit(1))
 
     per_query: dict[str, float] = {}
+    query_reps: dict[str, list] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):  # min-of-2 per query (shared-host variance)
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        per_query[name] = round(best, 3)
+        reps = timed_reps(lambda: materialize(fn(spark, sf_dir)), reps=3)
+        query_reps[name] = reps
+        per_query[name] = min(reps)
 
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/fujishader_bench")
     os.makedirs(workdir, exist_ok=True)
@@ -123,22 +196,30 @@ def main():
         spark, N_PAGES, workdir
     )
 
+    skew = skew_bench(spark, workdir)
+
     total = round(sum(per_query.values()), 3)
+    total_median = round(sum(_median(v) for v in query_reps.values()), 3)
     out = {
         "metric": "headline-suite seconds (sf0.1) + pages pipeline throughput",
-        "value": total,
+        "value": total,  # sum of per-query mins (round-comparable series)
+        "value_median": total_median,  # one outlier can't flip this one
         "unit": "sec",
         "queries": per_query,
+        "query_rep_times": query_reps,
         "sf": sf_dir,
         "pages_per_sec": round(pages_sec, 1),
         "tiles_per_sec": round(tiles_sec, 1),
+        "pages_per_sec_median": round(N_PAGES / _median(pip_times), 1),
+        "tiles_per_sec_median": round(n_tiles / _median(tile_times), 1),
         "bench_pages": N_PAGES,
         "bench_tiles": n_tiles,
         "pip_join_rows": n_joined,
         # raw rep times (shared-host noise gauge: a wide spread means
-        # the min is the only trustworthy sample, see pages_pipeline)
+        # the min is the only trustworthy sample, see timed_reps)
         "pip_rep_times": pip_times,
         "tile_rep_times": tile_times,
+        **skew,
     }
     print(json.dumps(out))
     spark.stop()

@@ -141,3 +141,19 @@ def test_repeat_pip_query_issues_no_driver_jobs(spark):
             if si and not si.name.startswith("parquet at"):
                 compute_stages.append(si.name)
     assert compute_stages == [], f"repeat pip query launched compute jobs: {compute_stages}"
+
+
+def test_salted_plan_shape_smj_on_salt_key(spark, points_df):
+    """r3 verdict #10 plan pin: the salted skew path must be a
+    SortMergeJoin whose keys include the salt column (build replicated
+    S ways, probes bucketed) — no broadcast, no cartesian."""
+    from fujishadergpu_spark.sources.polygons import polygons as mkpol
+
+    pol = mkpol(spark)
+    plan = pip_join(
+        points_df, pol, res=5, broadcast_build=False, salt=8, point_salt_col="id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

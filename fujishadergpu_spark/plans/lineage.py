@@ -73,6 +73,19 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath.
+    This sandbox ships no iceberg-spark-runtime jar and has no network
+    to fetch one (full-filesystem search, round 4) — documented in
+    PLANS.md §'Iceberg'; on a real cluster add the runtime jar + a
+    catalog conf and pass ``catalog_table`` below."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
 def run_stage_idempotent(
     spark: SparkSession,
     df: DataFrame,
@@ -81,13 +94,24 @@ def run_stage_idempotent(
     lineage: LineageLog,
     stage: str,
     run_id: str | None = None,
+    catalog_table: str | None = None,
 ) -> dict:
     """Write ``df`` partitioned by ``key_col``, skipping keys already
     completed per the lineage log; returns a summary dict.
 
-    The write uses dynamic partition overwrite so re-processing a key
-    (e.g. after a mid-write crash that never logged the key) replaces
-    the partial partition instead of duplicating rows.
+    Parquet path (default): dynamic partition overwrite, so
+    re-processing a key (e.g. after a mid-write crash that never
+    logged the key) replaces the partial partition instead of
+    duplicating rows.
+
+    ``catalog_table`` (Iceberg/V2 path): the same commit semantics via
+    the DataFrameWriterV2 — first run ``createOrReplace()``, resumed
+    runs ``overwritePartitions()`` (BASELINE.json's Iceberg posture:
+    the per-partition replace is an ATOMIC snapshot commit, so a
+    killed run leaves either the previous snapshot or the complete new
+    one — the property the parquet path approximates with
+    committer-published directories). Requires an Iceberg-enabled
+    session (see ``iceberg_available``).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     # completed keys are read TWICE (anti-join + readback diff) but the
@@ -99,30 +123,44 @@ def run_stage_idempotent(
     pending = df.withColumn("_pk", F.col(key_col).cast("string")).join(
         done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
     )
-    (
-        pending.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_pk")
-        .parquet(out_path)
-    )
-
-    # validate-by-readback + metrics. Keys written THIS run = readback
-    # keys minus previously-completed keys (disk = old ∪ new under
-    # dynamic overwrite) — derived from the cheap readback scan, never
-    # by re-executing the upstream. Partitions on disk are always
-    # job-complete (the committer publishes at job end), so a key from
-    # an earlier run that crashed between commit and lineage-append is
-    # correctly adopted here with its full row count.
-    try:
-        readback = spark.read.parquet(out_path)
-    except AnalysisException as e:
-        # empty first run: the write produced no partitions (only
-        # _SUCCESS), so schema inference fails — nothing to read back
-        # or log. Anything else (FS fault, corrupt footer) must
-        # propagate, not masquerade as a clean skip.
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
-            return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
-        raise
+    if catalog_table is not None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "catalog_table requires the Iceberg Spark runtime on the classpath "
+                "(iceberg-spark-runtime jar + spark.sql.catalog.<name> confs); "
+                "not available in this sandbox — see PLANS.md §Iceberg"
+            )
+        try:
+            spark.read.table(catalog_table)
+            pending.writeTo(catalog_table).overwritePartitions()
+        except AnalysisException:
+            pending.writeTo(catalog_table).partitionedBy(F.col("_pk")).createOrReplace()
+        readback = spark.read.table(catalog_table)
+    else:
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_pk")
+            .parquet(out_path)
+        )
+        # validate-by-readback + metrics. Keys written THIS run =
+        # readback keys minus previously-completed keys (disk = old ∪
+        # new under dynamic overwrite) — derived from the cheap
+        # readback scan, never by re-executing the upstream.
+        # Partitions on disk are always job-complete (the committer
+        # publishes at job end), so a key from an earlier run that
+        # crashed between commit and lineage-append is correctly
+        # adopted here with its full row count.
+        try:
+            readback = spark.read.parquet(out_path)
+        except AnalysisException as e:
+            # empty first run: the write produced no partitions (only
+            # _SUCCESS), so schema inference fails — nothing to read
+            # back or log. Anything else (FS fault, corrupt footer)
+            # must propagate, not masquerade as a clean skip.
+            if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+                return {"run_id": run_id, "stage": stage, "keys_processed": 0, "skipped": True}
+            raise
     written = readback.withColumn("_pk", F.col("_pk").cast("string")).join(
         done.withColumnRenamed("partition_key", "_pk"), "_pk", "left_anti"
     )

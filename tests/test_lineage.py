@@ -98,3 +98,34 @@ def test_partial_partition_overwritten(spark, tmp_path):
     run_stage_idempotent(spark, df, "bucket", out, lin, "s", run_id="r1")
     final = spark.read.parquet(out)
     assert final.count() == 1000  # bucket 3 not duplicated
+
+
+def test_iceberg_commit_path_or_documented_blocker(spark, tmp_path):
+    """r3 verdict #3: run_stage_idempotent grows a real
+    DataFrameWriterV2 branch (createOrReplace / overwritePartitions —
+    atomic snapshot commits on Iceberg). The sandbox ships no
+    iceberg-spark-runtime jar and has no network (PLANS.md §Iceberg),
+    so: with Iceberg absent the branch must fail LOUDLY with the
+    documented pointer (never fall back silently to parquet); with an
+    Iceberg-enabled session it must pass the same resume contract."""
+    import pytest
+
+    from fujishadergpu_spark.plans.lineage import (
+        LineageLog,
+        iceberg_available,
+        run_stage_idempotent,
+    )
+
+    lineage = LineageLog(spark, str(tmp_path / "_lineage"))
+    df = spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS bucket")
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="PLANS.md"):
+            run_stage_idempotent(
+                spark, df, "bucket", str(tmp_path / "out"), lineage, "s",
+                catalog_table="local.db.t",
+            )
+        pytest.skip("iceberg-spark-runtime not on classpath in this sandbox (documented)")
+    s1 = run_stage_idempotent(spark, df, "bucket", "", lineage, "s", catalog_table="local.db.t")
+    assert s1["keys_processed"] == 2
+    s2 = run_stage_idempotent(spark, df, "bucket", "", lineage, "s", catalog_table="local.db.t")
+    assert s2["skipped"]

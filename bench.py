@@ -144,11 +144,12 @@ def skew_bench(spark, workdir: str):
     }
 
 
-def pages_pipeline(spark, n_pages: int, workdir: str) -> tuple[float, float, int, int]:
+def pages_pipeline(spark, n_pages: int, workdir: str):
     """End-to-end pages throughput: synth -> parquet -> geoparse ->
     PIP join -> per-tile hillshade kernel. Returns (pages_sec,
-    tiles_sec, n_pages, n_tiles); the parquet write is excluded from
-    the timed section (it is ingest, shared by any engine)."""
+    tiles_sec, n_joined, n_tiles, pip_times, tile_times); the parquet
+    write is excluded from the timed section (it is ingest, shared by
+    any engine)."""
     src = os.path.join(workdir, f"pages_{n_pages}.parquet")
     if not os.path.exists(src):
         pages(spark, n_pages).write.mode("overwrite").parquet(src)

@@ -242,17 +242,20 @@ def run_render(
                  fill_voids, metric_scale, fill_zc)
     cfg_tag = hashlib.sha256(repr(cfg_tuple).encode()).hexdigest()[:10]
     stats_path = f"{out_root}/_stats_render_{algorithm}_z{zoom}_{cfg_tag}"
-    # pre-cfg-tag runs persisted stats at the untagged path; a resume
-    # across that upgrade must keep quantizing on the SAME (lo, scale)
-    # or the remaining tiles seam at the resume boundary. The untagged
-    # path only ever held default-config stats, so only the default
-    # config may adopt it.
-    _default_cfg = ("mean", None, None, [], None, False, None)
-    legacy_stats_path = (
-        f"{out_root}/_stats_render_{algorithm}_z{zoom}"
-        if cfg_tuple == _default_cfg
-        else None
-    )
+    # resumes across stats-key upgrades must keep quantizing on the
+    # SAME (lo, scale) or the remaining tiles seam at the resume
+    # boundary — every historical key for the SAME config is a legal
+    # fallback, newest first:
+    #   1. the 6-tuple tag (pre-fill_zc releases) for any config with
+    #      fill_zc unset — same config, older key;
+    #   2. the untagged path (pre-cfg-tag releases), which only ever
+    #      held default-config stats.
+    legacy_stats_paths = []
+    if fill_zc is None:
+        old6 = hashlib.sha256(repr(cfg_tuple[:6]).encode()).hexdigest()[:10]
+        legacy_stats_paths.append(f"{out_root}/_stats_render_{algorithm}_z{zoom}_{old6}")
+    if cfg_tuple == ("mean", None, None, [], None, False, None):
+        legacy_stats_paths.append(f"{out_root}/_stats_render_{algorithm}_z{zoom}")
     # only a genuinely-missing stats file falls through to recompute;
     # any other read failure (FS fault, corrupt footer, permissions)
     # must propagate — silently recomputing percentile_approx would
@@ -270,8 +273,10 @@ def run_render(
             raise
 
     srow = _read_stats(stats_path)
-    if srow is None and legacy_stats_path is not None:
-        srow = _read_stats(legacy_stats_path)
+    for lp in legacy_stats_paths:
+        if srow is not None:
+            break
+        srow = _read_stats(lp)
     if srow is not None:
         lo, scale = float(srow["lo"]), float(srow["scale"])
     elif algorithm == "topousm":
@@ -401,10 +406,10 @@ def main(argv=None):
             if len(algos) > 1:
                 if radii or weights:
                     raise SystemExit("--radii/--weights apply to single-algorithm renders")
+                # fail the whole invocation up front rather than
+                # mid-fan-out (run_render would raise on a later
+                # algorithm after earlier ones already fully rendered)
                 if args.metric_scale:
-                    # fail the whole invocation up front rather than
-                    # mid-fan-out (tile_kernel would raise on the first
-                    # non-metric kernel after others already rendered)
                     from .operators.tile_kernels import METRIC_SCALE_KERNELS
 
                     bad = [a for a in algos if a not in METRIC_SCALE_KERNELS]
@@ -413,6 +418,12 @@ def main(argv=None):
                             f"--metric-scale: {bad} do not consume metric pixel scales; "
                             f"supported: {sorted(METRIC_SCALE_KERNELS)}"
                         )
+                if "topousm" in algos and (args.fill_voids or kparams):
+                    raise SystemExit(
+                        "topousm in a multi-algorithm list cannot combine with "
+                        "--fill-voids/--params (topousm takes --radii/--weights/--agg); "
+                        "run it as a separate invocation"
+                    )
                 many = run_render_many(
                     spark, args.pages, args.out, algos, args.zoom, args.run_id,
                     agg=args.agg, kernel_params=kparams, fill_voids=args.fill_voids,

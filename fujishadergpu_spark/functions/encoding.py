@@ -106,6 +106,12 @@ def infer_border_sentinel(
     ).first()
     if bb is None or bb["lat0"] is None:
         return None
+    if not (bb["lat1"] > bb["lat0"] and bb["lon1"] > bb["lon0"]):
+        # degenerate bbox (transect/single-point data): every row would
+        # classify as "border" and a genuine majority value would be
+        # reported as NoData — no frame exists to detect (the
+        # reference's h<8/w<8 bail-out, io/dem_preprocess.py:211-212)
+        return None
     mlat = (bb["lat1"] - bb["lat0"]) * border_frac
     mlon = (bb["lon1"] - bb["lon0"]) * border_frac
     la, lo = F.col(lat_col), F.col(lon_col)

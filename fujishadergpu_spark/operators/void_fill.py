@@ -160,7 +160,7 @@ def build_void_fill_surface(
         # grid can afford. The grid is (2^zc * 256)^2 float64 —
         # zc=4 is ~134 MB; beyond that the caller must opt in
         # explicitly (pass zc / --fill-zc) to confirm the driver cost.
-        zc = max(2, z - 10)
+        zc = min(z, max(2, z - 10))  # min(z, ...) keeps z<2 working (zc<=z invariant)
         if zc > 4:
             raise ValueError(
                 f"auto zc={zc} for z={z} implies a {(1 << zc) * TILE_PX}^2 driver grid "

@@ -130,11 +130,25 @@ def run_stage_idempotent(
                 "(iceberg-spark-runtime jar + spark.sql.catalog.<name> confs); "
                 "not available in this sandbox — see PLANS.md §Iceberg"
             )
+        # existence probe kept SEPARATE from the write: a failure inside
+        # overwritePartitions (schema drift, spec conflict) must
+        # propagate — falling through to a table replace would
+        # atomically destroy every previously committed partition while
+        # the lineage log still marks them complete
         try:
             spark.read.table(catalog_table)
+            exists = True
+        except AnalysisException as e:
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "NOT_FOUND" in str(e):
+                exists = False
+            else:
+                raise
+        if exists:
             pending.writeTo(catalog_table).overwritePartitions()
-        except AnalysisException:
-            pending.writeTo(catalog_table).partitionedBy(F.col("_pk")).createOrReplace()
+        else:
+            # create(), not createOrReplace(): if another writer won the
+            # race the create fails loudly instead of clobbering
+            pending.writeTo(catalog_table).partitionedBy(F.col("_pk")).create()
         readback = spark.read.table(catalog_table)
     else:
         (

@@ -1105,13 +1105,23 @@ def ann_ivf_index_probe(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     # content-keyed path (deterministic digest — builtin hash() is
-    # salted per process): reruns overwrite the same index instead of
-    # leaking one bucketed corpus copy per gate run (write_ivf_index
-    # writes mode=overwrite). Gate runs are sequential per repo, so no
-    # pid component is needed.
+    # salted per process): reruns REUSE the index instead of leaking
+    # one bucketed corpus copy per gate run. Build-if-missing is
+    # staged through a pid-unique dir + atomic rename so a concurrent
+    # first run can never clobber bucket files mid-probe; losing the
+    # rename race just leaves the other process's identical index
+    # (same sf_dir -> same deterministic content).
+    import shutil
+
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
-    write_ivf_index(e, path, m=8)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        stage = f"{path}.build{os.getpid()}"
+        write_ivf_index(e, stage, m=8)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race; reuse winner's
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -1370,6 +1370,91 @@ FROM p ORDER BY c_custkey
 """
 
 
+def doc_extract_text_roundtrip(spark, sf_dir):
+    """The input_hint's byte-identical-extracted-text invariant under
+    the hash gate: wrap each document's text (prefixed with a marker
+    exercising every entity, incl. the double-escape '&amp;lt;' case)
+    in escaped <p> html bytes, run the REAL extract_text pandas UDF
+    (decode -> lazy regex -> reversed-order unescape), and emit the
+    extracted text. Round-trip is the identity, so the oracle is just
+    the marked input — any drift in decode/regex/entity order
+    diverges the hash on 500 full-text rows."""
+    from .functions.geoparse import _ENTITIES, extract_text
+
+    d = _t(spark, sf_dir, "documents")
+    marked = F.concat(F.lit(_RT_MARKER), F.col("text"))
+    esc = marked
+    for ent, ch in _ENTITIES:  # & -> &amp; FIRST (list order)
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), esc, F.lit("</p></body></html>")), "UTF-8"
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_text(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "extracted_text"
+    ).orderBy("doc_id")
+
+
+_RT_MARKER = "&<>\"' &amp;lt; "
+
+DOC_EXTRACT_RT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       '&<>"'' &amp;lt; ' || text AS extracted_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def tile_metric_scales_z6(spark, sf_dir):
+    """The metric-pixel-scale INGREDIENT under the hash gate: per
+    occupied z=6 tile, the engine's tile_pixel_scales (inverse-mercator
+    center latitude -> WGS84 m/deg series -> m/px) in millimetres —
+    round(·1000) absorbs libm ulp spread while pinning the series'
+    coefficients, op order and the mercator inversion. The metric
+    KERNEL application stays on the pytest geographic-parity oracle
+    (tests/test_geographic_parity.py)."""
+    import pandas as pd
+
+    from .operators.tile_kernels import tile_pixel_scales
+
+    p = geo_points(spark, sf_dir)
+    x, y, _, _ = tile_pixel(F.col("lat"), F.col("lon"), 6)
+    tiles = p.select(x.alias("x"), y.alias("y")).distinct()
+
+    def fn(it):
+        for pdf in it:
+            sx, sy = [], []
+            for ty in pdf["y"]:
+                a, b = tile_pixel_scales(int(ty), 6)
+                sx.append(int(round(a * 1000.0)))
+                sy.append(int(round(b * 1000.0)))
+            yield pd.DataFrame({"x": pdf["x"], "y": pdf["y"], "sx_mm": sx, "sy_mm": sy})
+
+    return tiles.mapInPandas(fn, "x long, y long, sx_mm long, sy_mm long").orderBy("x", "y")
+
+
+def _metric_scales_sql(z: int) -> str:
+    gx, gy = _grid_sql(z)
+    n_px = (1 << z) * 256
+    return f"""
+WITH {PTS_SQL},
+t AS (SELECT DISTINCT ({gx}) // 256 AS x, ({gy}) // 256 AS y FROM pts),
+s AS (
+  -- DuckDB has no sinh(): use (exp(t) - exp(-t)) / 2 -- the libm
+  -- ulp spread is absorbed by the round(mm) output grid
+  SELECT x, y,
+         degrees(atan((exp(pi() * (1.0 - 2.0 * ((y + 0.5) * 256.0 / {float(n_px)})))
+                       - exp(-(pi() * (1.0 - 2.0 * ((y + 0.5) * 256.0 / {float(n_px)}))))) / 2.0)) AS lat
+  FROM t
+)
+SELECT x, y,
+  CAST(round((111412.84 * cos(radians(lat)) - 93.5 * cos(radians(lat) * 3.0)
+              + 0.118 * cos(radians(lat) * 5.0)) * {360.0 / n_px} * 1000.0) AS BIGINT) AS sx_mm,
+  CAST(round((111132.92 - 559.82 * cos(radians(lat) * 2.0) + 1.175 * cos(radians(lat) * 4.0)
+              - 0.0023 * cos(radians(lat) * 6.0)) * {360.0 / n_px} * cos(radians(lat)) * 1000.0) AS BIGINT) AS sy_mm
+FROM s ORDER BY x, y
+"""
+
+
 def nodata_border_infer_normalize(spark, sf_dir):
     """The BORDER NoData heuristic under the hash gate (r3 verdict #5;
     reference io/dem_preprocess.py:191-229): plant a -32767 sentinel
@@ -1595,19 +1680,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_tilepixel_z12": geo_tilepixel_z12,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
     "tile_halo_census_z6": tile_halo_census_z6,
-    "tile_halo_census_deep_z5": tile_halo_census_deep_z5,
     "tile_box_total_z6": tile_box_total_z6,
     "tile_overview_box_total_z5": tile_overview_box_total_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
+    "tile_metric_scales_z6": tile_metric_scales_z6,
     "geo_pip_zones": geo_pip_zones,
     "geo_pip_zones_salted": geo_pip_zones_salted,
     "geo_knn_k5": geo_knn_k5,
-    "knn_ring_trace": knn_ring_trace,
     # documents / embeddings
     "doc_token_counts": doc_token_counts,
+    "doc_extract_text_roundtrip": doc_extract_text_roundtrip,
     "doc_quality": doc_quality,
     "doc_stats_by_lang": doc_stats_by_lang,
     "dedup_exact_docs": dedup_exact_docs,
@@ -1631,6 +1716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_hillshade_z5": spatial_hillshade_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
+    "tile_halo_census_deep_z5": tile_halo_census_deep_z5,  # deeper halo over the z6 census skeleton
+    "knn_ring_trace": knn_ring_trace,  # rank-count view of the geo_knn_k5-oracled operator
     "tile_ao_normalized_z5": tile_ao_normalized_z5,  # 2nd stretch-domain route (openness covers it)
     "ann_ivf_topk": ann_ivf_topk,  # in-memory variant of the probed on-disk index
     "doc_fingerprints": doc_fingerprints,  # raw dump; the contract is doc_fingerprint_distinct
@@ -1681,6 +1768,8 @@ ORACLES: dict[str, str] = {
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,
     "nodata_border_infer_normalize": NODATA_BORDER_SQL,
+    "tile_metric_scales_z6": _metric_scales_sql(6),
+    "doc_extract_text_roundtrip": DOC_EXTRACT_RT_SQL,
     "geo_pip_zones": GEO_PIP_SQL,
     "geo_pip_zones_salted": GEO_PIP_SQL,
     "geo_knn_k5": GEO_KNN_SQL,

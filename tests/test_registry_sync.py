@@ -77,8 +77,13 @@ def test_full_reference_inventory_registered():
 
 
 def test_oracles_are_single_statements():
+    import re
+
     for name, sql in ORACLES.items():
-        assert ";" not in sql.strip().rstrip(";"), name
+        # ';' inside single-quoted string literals (e.g. '&amp;' entity
+        # text) is data, not a statement separator
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
+        assert ";" not in stripped.strip().rstrip(";"), name
 
 
 def test_differentiated_entries_inside_driver_window():
@@ -90,7 +95,11 @@ def test_differentiated_entries_inside_driver_window():
     window = list(QUERIES)[:50]
     # demoted-but-kept oracle variants: same code skeleton as an
     # in-window sibling, validated by tools/check_oracles.py locally
-    exempt = {"tile_box_total_wide_z5"}  # z6 box total covers the skeleton
+    exempt = {
+        "tile_box_total_wide_z5",   # z6 box total covers the skeleton
+        "tile_halo_census_deep_z5", # z6 census covers the skeleton (depth variant)
+        "knn_ring_trace",           # rank-count view of geo_knn_k5's oracled operator
+    }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"
     differentiated_rows_only = {

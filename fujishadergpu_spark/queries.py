@@ -1404,6 +1404,54 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tile_pyramid_quadrants_z5(spark, sf_dir):
+    """The LOD pyramid build (A7, reference COG overview analog) under
+    the exact integer hash gate: rasterize z=6 count tiles, run the
+    REAL pyramid_level groupBy(parent) step (2x2 block sums into the
+    parent QUADRANT), then emit each parent's four 128² quadrant sums.
+    Counts are integers, block sums are exact, and the quadrant split
+    pins the child->parent PLACEMENT (a swapped quadrant or off-by-one
+    shift diverges the hash, which a whole-tile total would miss)."""
+    import pandas as pd
+
+    from .operators.tile_kernels import pyramid_level, rasterize_tiles, unpack_grid
+
+    base = rasterize_tiles(geo_points(spark, sf_dir), 6)
+    parents = pyramid_level(base, agg="sum")
+
+    def fn(it):
+        for pdf in it:
+            rows = {"z": [], "x": [], "y": [], "q00": [], "q01": [], "q10": [], "q11": []}
+            for z_, x_, y_, buf in zip(pdf["z"], pdf["x"], pdf["y"], pdf["grid"]):
+                g = unpack_grid(buf, 256)
+                rows["z"].append(int(z_))
+                rows["x"].append(int(x_))
+                rows["y"].append(int(y_))
+                rows["q00"].append(int(g[:128, :128].sum()))  # child (2x,   2y)
+                rows["q01"].append(int(g[:128, 128:].sum()))  # child (2x+1, 2y)
+                rows["q10"].append(int(g[128:, :128].sum()))  # child (2x,   2y+1)
+                rows["q11"].append(int(g[128:, 128:].sum()))  # child (2x+1, 2y+1)
+            yield pd.DataFrame(rows)
+
+    return parents.mapInPandas(
+        fn, "z int, x long, y long, q00 long, q01 long, q10 long, q11 long"
+    ).orderBy("x", "y")
+
+
+def _pyramid_quadrants_sql(zc: int) -> str:
+    gx, gy = _grid_sql(zc)  # child zoom
+    return f"""
+WITH {PTS_SQL},
+ct AS (SELECT ({gx}) // 256 AS cx, ({gy}) // 256 AS cy, COUNT(*) AS n FROM pts GROUP BY 1, 2)
+SELECT {zc - 1} AS z, cx // 2 AS x, cy // 2 AS y,
+       CAST(COALESCE(SUM(n) FILTER (cx % 2 = 0 AND cy % 2 = 0), 0) AS BIGINT) AS q00,
+       CAST(COALESCE(SUM(n) FILTER (cx % 2 = 1 AND cy % 2 = 0), 0) AS BIGINT) AS q01,
+       CAST(COALESCE(SUM(n) FILTER (cx % 2 = 0 AND cy % 2 = 1), 0) AS BIGINT) AS q10,
+       CAST(COALESCE(SUM(n) FILTER (cx % 2 = 1 AND cy % 2 = 1), 0) AS BIGINT) AS q11
+FROM ct GROUP BY 2, 3 ORDER BY x, y
+"""
+
+
 def tile_metric_scales_z6(spark, sf_dir):
     """The metric-pixel-scale INGREDIENT under the hash gate: per
     occupied z=6 tile, the engine's tile_pixel_scales (inverse-mercator
@@ -1666,7 +1714,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_local_supplier": q5_local_supplier,
     "q6_revenue_delta": q6_revenue_delta,
     "q10_returned_items": q10_returned_items,
-    "doc_token_histogram": doc_token_histogram,
     "top_customers_per_nation": top_customers_per_nation,
     "order_priority_count": order_priority_count,
     "events_hourly": events_hourly,
@@ -1682,6 +1729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_halo_census_z6": tile_halo_census_z6,
     "tile_box_total_z6": tile_box_total_z6,
     "tile_overview_box_total_z5": tile_overview_box_total_z5,
+    "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
@@ -1717,6 +1765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,  # deeper halo over the z6 census skeleton
+    "doc_token_histogram": doc_token_histogram,  # bucketed view of doc_token_counts' oracled fn
     "knn_ring_trace": knn_ring_trace,  # rank-count view of the geo_knn_k5-oracled operator
     "tile_ao_normalized_z5": tile_ao_normalized_z5,  # 2nd stretch-domain route (openness covers it)
     "ann_ivf_topk": ann_ivf_topk,  # in-memory variant of the probed on-disk index
@@ -1764,6 +1813,7 @@ ORACLES: dict[str, str] = {
     "tile_box_total_z6": TILE_BOX_TOTAL_Z6_SQL,
     "tile_box_total_wide_z5": TILE_BOX_TOTAL_WIDE_Z5_SQL,
     "tile_overview_box_total_z5": _overview_box_total_sql(5, 64),
+    "tile_pyramid_quadrants_z5": _pyramid_quadrants_sql(6),
     "tile_weighted_census_z6": TILE_WEIGHTED_CENSUS_SQL,
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,

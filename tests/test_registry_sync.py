@@ -99,6 +99,7 @@ def test_differentiated_entries_inside_driver_window():
         "tile_box_total_wide_z5",   # z6 box total covers the skeleton
         "tile_halo_census_deep_z5", # z6 census covers the skeleton (depth variant)
         "knn_ring_trace",           # rank-count view of geo_knn_k5's oracled operator
+        "doc_token_histogram",      # bucketed view of doc_token_counts' oracled fn
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -1,0 +1,144 @@
+"""Connected components over a near-duplicate pair graph, and the
+canonical-document selection built on it — the final stage of a
+webtext dedup pipeline (LSH/Jaccard pairs -> clusters -> keep one doc
+per cluster).
+
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", SoCC 2014). Unlike plain min-label propagation — whose
+round count is the graph DIAMETER — the alternation provably
+converges in O(log^2 n) rounds on ANY graph, so a pathological
+duplicate chain (page A ~ B ~ C ~ ... from incremental boilerplate
+drift) cannot stretch the job. Each round is two shuffles (a
+groupBy(u).min and a co-partitioned join back on u) over fixed-width
+(long, long) edge rows: document text NEVER enters the iteration.
+Per-round ``localCheckpoint`` truncates the growing plan lineage, the
+same pattern as the kNN ring expansion (knn.py).
+
+Convergence is detected by an order-insensitive edge-multiset
+fingerprint (count + sum of xxhash64(u, v)) — one cheap aggregate per
+round, no driver-side edge collection.
+
+Reference analog: none (the reference is a single-raster engine);
+this extends the dedup family (operators/dedup.py) the same way the
+reference's tile pipeline chains prepare -> process -> mosaic
+(core/tile_processor.py): pairs -> components -> canonical keep-list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star operation.
+
+    ``edges`` is the SYMMETRIC edge list (u, v), no self-loops. For
+    each node u let m = min(N(u) + {u}):
+
+    - large-star: emit (v, m) for every neighbor v > u;
+    - small-star: emit (v, m) for every neighbor v <= u, plus (u, m).
+
+    Output is again symmetric-free directed (child, parent) rows; the
+    caller re-symmetrizes for the next round.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("_mn"))
+    j = edges.join(mins, "u").withColumn("m", F.least(F.col("u"), F.col("_mn")))
+    if large:
+        out = j.where(F.col("v") > F.col("u")).select("v", "m")
+    else:
+        out = (
+            j.where(F.col("v") <= F.col("u"))
+            .select("v", "m")
+            .unionByName(j.select(F.col("u").alias("v"), "m"))
+        )
+    return (
+        out.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    # decimal(38,0) accumulator: the sum of n 64-bit hashes cannot
+    # overflow it (ANSI mode makes a plain long sum a hard error).
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(id, component) for every node that appears in ``pairs``, where
+    component is the minimum node id of its connected component.
+
+    Nodes with no edges do not appear (they are their own singleton
+    component); ``canonical_assignment`` folds them back in. The two
+    aggregates per round (min + fingerprint) are map-side partial;
+    every shuffled row is two longs.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _star_round(sym(_star_round(sym(edges), large=True)), large=False)
+        edges = edges.localCheckpoint()
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # At the fixed point the edge set is a star forest: every non-root
+    # points at its component minimum. Roots map to themselves.
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(edges.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def canonical_assignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full-corpus keep-list: (id_col, canonical_id, keep) for EVERY
+    document — near-dup cluster members map to the cluster's minimum
+    doc id, singletons to themselves; ``keep`` marks the one retained
+    representative per cluster.
+
+    The assignment join is a plain equi-join on the id: at webtext
+    scale near-dup membership is routinely 30-50% of the corpus, so
+    the components side is NOT broadcastable by contract — both sides
+    shuffle fixed-width id rows only (the corpus side is pruned to
+    its id column before the join; AQE still broadcasts when the
+    pair graph happens to be small).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    return docs.select(id_col).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

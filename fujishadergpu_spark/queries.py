@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .functions import cells, geoparse, textfn
 from .functions.cells import cell_of_sql
 from .functions.tiles import tile_pixel, tile_xy_sql
-from .operators import ann, dedup
+from .operators import ann, components, dedup
 from .operators.knn import knn
 from .operators.pip_join import PipIndex, pip_join
 from .operators.tile_kernels import tile_kernel_stats
@@ -956,8 +956,11 @@ def dedup_ngram_jaccard_docs(spark, sf_dir):
     )
 
 
-DEDUP_NGRAM_SQL = """
-WITH base AS (
+# Shared CTE block: exact word-3-gram Jaccard pairs at threshold 0.4.
+# The pair-join oracle AND the component/canonical closure oracles are
+# built from this single text, so the edge definition can never drift
+# between them.
+_NGRAM_PAIRS_CTES = """base AS (
   SELECT doc_id,
          list_filter(string_split_regex(COALESCE(text, ''), '[ \\t\\r\\n]+'), t -> t != '') AS w
   FROM documents
@@ -974,15 +977,79 @@ ix AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT ix.id_a, ix.id_b,
-       CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) AS jaccard
-FROM ix
-JOIN (SELECT doc_id, len(s) AS na FROM sh) sa ON sa.doc_id = ix.id_a
-JOIN (SELECT doc_id, len(s) AS nb FROM sh) sb ON sb.doc_id = ix.id_b
-WHERE CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) >= 0.4
+),
+pairs AS (
+  SELECT ix.id_a, ix.id_b,
+         CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) AS jaccard
+  FROM ix
+  JOIN (SELECT doc_id, len(s) AS na FROM sh) sa ON sa.doc_id = ix.id_a
+  JOIN (SELECT doc_id, len(s) AS nb FROM sh) sb ON sb.doc_id = ix.id_b
+  WHERE CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) >= 0.4
+)"""
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT id_a, id_b, jaccard FROM pairs
 ORDER BY id_a, id_b
 """
+
+# Transitive closure of the pair graph as a recursive CTE: component =
+# MIN reachable doc id. Tractable at gate scale because near-dup
+# components are tiny; the Spark side is the O(log^2 n)
+# alternating-star operator (operators/components.py).
+_COMPONENT_CTES = f"""{_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r
+),
+comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)"""
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT id AS doc_id, c AS component_id FROM comp
+ORDER BY doc_id
+"""
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT d.doc_id,
+       COALESCE(comp.c, d.doc_id) AS canonical_id,
+       (COALESCE(comp.c, d.doc_id) = d.doc_id) AS keep
+FROM documents d
+LEFT JOIN comp ON comp.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _ngram_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.4)
+
+
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup clusters: alternating large-star/small-star connected
+    components over the exact n-gram Jaccard pair graph, hash-checked
+    against a DuckDB recursive-CTE transitive closure built from the
+    SAME pair SQL as dedup_ngram_jaccard_docs."""
+    comp = components.connected_components(_ngram_pairs(spark, sf_dir))
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    ).orderBy("doc_id")
+
+
+def dedup_canonical_docs(spark, sf_dir):
+    """Full-corpus dedup keep-list: every doc mapped to its cluster's
+    canonical (minimum) doc id; singletons keep themselves."""
+    d = _t(spark, sf_dir, "documents")
+    return components.canonical_assignment(
+        d, _ngram_pairs(spark, sf_dir), "doc_id"
+    ).orderBy("doc_id")
 
 
 def dedup_simhash_docs(spark, sf_dir):
@@ -1712,14 +1779,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
-    "q6_revenue_delta": q6_revenue_delta,
     "q10_returned_items": q10_returned_items,
     "top_customers_per_nation": top_customers_per_nation,
     "order_priority_count": order_priority_count,
     "events_hourly": events_hourly,
     "events_sessions": events_sessions,
     "customers_without_orders": customers_without_orders,
-    "brand_stats": brand_stats,
     # geospatial / tile transport
     "geo_cells_r7": geo_cells_r7,
     "geo_cells_parent_r5": geo_cells_parent_r5,
@@ -1747,6 +1812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_canonical_docs": dedup_canonical_docs,
     "doc_fingerprint_distinct": doc_fingerprint_distinct,
     "media_features": media_features,
     "ann_topk_cosine": ann_topk_cosine,
@@ -1770,6 +1837,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_ao_normalized_z5": tile_ao_normalized_z5,  # 2nd stretch-domain route (openness covers it)
     "ann_ivf_topk": ann_ivf_topk,  # in-memory variant of the probed on-disk index
     "doc_fingerprints": doc_fingerprints,  # raw dump; the contract is doc_fingerprint_distinct
+    "q6_revenue_delta": q6_revenue_delta,  # single-table filter+agg; q1 covers the skeleton
+    "brand_stats": brand_stats,  # group-agg; q1/doc_stats_by_lang cover the skeleton
     # smoke family collapsed to one representative per halo-rule class
     # (r3 verdict #1); the other kernels remain under the pytest
     # tiled==whole matrix and KERNEL_QUERY_PARAMS keeps a runnable
@@ -1831,6 +1900,8 @@ ORACLES: dict[str, str] = {
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
+    "dedup_cluster_components": DEDUP_COMPONENTS_SQL,
+    "dedup_canonical_docs": DEDUP_CANONICAL_SQL,
     "doc_fingerprint_distinct": DOC_FP_DISTINCT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "ann_topk_cosine": ANN_SQL,

@@ -100,6 +100,8 @@ def test_differentiated_entries_inside_driver_window():
         "tile_halo_census_deep_z5", # z6 census covers the skeleton (depth variant)
         "knn_ring_trace",           # rank-count view of geo_knn_k5's oracled operator
         "doc_token_histogram",      # bucketed view of doc_token_counts' oracled fn
+        "q6_revenue_delta",         # single-table filter+agg; q1 covers the skeleton
+        "brand_stats",              # group-agg; q1/doc_stats_by_lang cover the skeleton
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -6,7 +6,9 @@ one JVM). Runs N=1 -> N=4 executors at FIXED per-executor resources
 and reports throughput + efficiency next to the local[] sweep.
 
 Usage: python tools/bench_scaling_localcluster.py [n_pages]
-Writes BENCH/LOCAL_CLUSTER.md.
+Writes BENCH/LOCAL_CLUSTER_RAW.md (the curated
+multi-sweep record lives in BENCH/LOCAL_CLUSTER.md — hand-maintained,
+never overwritten by this tool).
 """
 
 from __future__ import annotations
@@ -195,9 +197,9 @@ applies; on a real cluster the 4 executors would bring 4x bandwidth.
 Generated by tools/bench_scaling_localcluster.py (n_pages={n_pages}).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "LOCAL_CLUSTER.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "LOCAL_CLUSTER_RAW.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/LOCAL_CLUSTER.md")
+    print("wrote BENCH/LOCAL_CLUSTER_RAW.md")
     print(f"TARGET >=0.8: {'MET' if min(eff_pip, eff_tiles) >= 0.8 else 'NOT MET'}")
 
 

@@ -86,6 +86,38 @@ def streaming_cell_counts(pages_stream: DataFrame, res: int = 7, watermark: str 
     )
 
 
+def streaming_dedup(
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental ingestion dedup over a continuously arriving crawl:
+    pass through only the FIRST page carrying each content key.
+
+    The key is the same 16-byte (xxhash64(normalized text), length)
+    discipline as ``operators/dedup.exact_dedup`` — fixed-width state
+    and shuffle rows regardless of document size. Streaming uses
+    ``dropDuplicatesWithinWatermark``, so per-key state is EVICTED
+    once the watermark passes it: state is bounded by the crawl-time
+    horizon, not corpus size (re-crawls beyond the horizon re-emit —
+    the cross-horizon pass is batch ``exact_dedup``).
+
+    Which physical row wins is arrival-order-defined in a stream, so
+    the batch twin (and the parity test) pins the order-free contract:
+    the emitted KEY SET and its cardinality.
+    """
+    t = F.lower(F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    keyed = pages.withColumn("fp_hash", F.xxhash64(t)).withColumn(
+        "fp_len", F.length(t)
+    )
+    if pages.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp_hash", "fp_len"]
+        )
+    return keyed.dropDuplicates(["fp_hash", "fp_len"])
+
+
 TRANSITION_OUT_SCHEMA = "key long, ts timestamp, from_cell long, to_cell long"
 TRANSITION_STATE_SCHEMA = "last_cell long, last_ts timestamp"
 

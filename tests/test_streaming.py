@@ -136,3 +136,43 @@ def test_cell_transitions_multi_chunk_key(spark, events_batch, tmp_path):
         assert got == exp
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_dedup_matches_batch_keyset(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fujishadergpu_spark.sources.pages import pages as gen_pages
+
+    src = str(tmp_path / "pages_dedup_src")
+    p = gen_pages(spark, 1500)
+    p.repartition(3).write.parquet(src)
+    # re-crawl wave: same texts again, slightly later fetch time —
+    # cross-file duplicates the stream must suppress
+    p.limit(400).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES")
+    ).repartition(2).write.mode("append").parquet(src)
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # watermark wider than the synthetic crawl span: no state eviction
+    # mid-run, so every key must be emitted EXACTLY once
+    ev.run_stream_to_memory(
+        ev.streaming_dedup(stream, watermark="720 hours"),
+        "dedup_pages",
+        output_mode="append",
+    )
+    got = [
+        (r["fp_hash"], r["fp_len"])
+        for r in spark.sql("SELECT fp_hash, fp_len FROM dedup_pages").collect()
+    ]
+    exp = {
+        (r["fp_hash"], r["fp_len"])
+        for r in ev.streaming_dedup(spark.read.parquet(src))
+        .select("fp_hash", "fp_len")
+        .collect()
+    }
+    assert set(got) == exp
+    assert len(got) == len(exp)  # no key emitted twice despite the re-crawl
+    assert len(got) < 1900  # the duplicates actually existed and were dropped

@@ -110,3 +110,12 @@ def test_corpus_join_shuffles_ids_only(spark):
     # The corpus side is projected to the bare id before its exchange
     # (the ExistingRDD scan node itself always prints every column).
     assert re.search(r"Project \[doc_id#\d+L\]", plan)
+
+
+def test_empty_pair_graph(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = {r["doc_id"]: (r["canonical_id"], r["keep"])
+            for r in canonical_assignment(docs, pairs).collect()}
+    assert rows == {i: (i, True) for i in range(5)}

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
@@ -42,9 +43,15 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
 
     Output is again symmetric-free directed (child, parent) rows; the
     caller re-symmetrizes for the next round.
+
+    The neighborhood minimum comes from a partition window (ONE
+    exchange on u) rather than groupBy + join back (two exchanges on
+    the same key) — per round the whole op is that single edge-list
+    shuffle plus the output distinct.
     """
-    mins = edges.groupBy("u").agg(F.min("v").alias("_mn"))
-    j = edges.join(mins, "u").withColumn("m", F.least(F.col("u"), F.col("_mn")))
+    j = edges.withColumn(
+        "m", F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+    )
     if large:
         out = j.where(F.col("v") > F.col("u")).select("v", "m")
     else:

@@ -9,8 +9,8 @@ and Beyond", SoCC 2014). Unlike plain min-label propagation — whose
 round count is the graph DIAMETER — the alternation provably
 converges in O(log^2 n) rounds on ANY graph, so a pathological
 duplicate chain (page A ~ B ~ C ~ ... from incremental boilerplate
-drift) cannot stretch the job. Each round is two shuffles (a
-groupBy(u).min and a co-partitioned join back on u) over fixed-width
+drift) cannot stretch the job. Each star op is one exchange on u (a
+partition-window min) plus the output distinct, over fixed-width
 (long, long) edge rows: document text NEVER enters the iteration.
 Per-round ``localCheckpoint`` truncates the growing plan lineage, the
 same pattern as the kNN ring expansion (knn.py).

@@ -134,18 +134,28 @@ def canonical_assignment(
     doc id, singletons to themselves; ``keep`` marks the one retained
     representative per cluster.
 
-    The assignment join is a plain equi-join on the id: at webtext
+    The pair graph may reference ids no longer in ``docs`` (a corpus
+    pruned AFTER pairs were computed): clusters stay connected through
+    such ghost nodes, but the canonical id is re-anchored to the
+    minimum member PRESENT in docs — every non-empty cluster therefore
+    keeps exactly one representative, never a dangling canonical_id.
+
+    The assignment joins are plain equi-joins on the id: at webtext
     scale near-dup membership is routinely 30-50% of the corpus, so
-    the components side is NOT broadcastable by contract — both sides
-    shuffle fixed-width id rows only (the corpus side is pruned to
-    its id column before the join; AQE still broadcasts when the
-    pair graph happens to be small).
+    the components side is NOT broadcastable by contract — every wide
+    side here shuffles fixed-width id rows only (the corpus side is
+    pruned to its id column before the join; AQE still broadcasts when
+    the pair graph happens to be small).
     """
-    comp = connected_components(pairs, src=src, dst=dst)
-    return docs.select(id_col).join(
-        comp.withColumnRenamed("id", id_col), id_col, "left"
-    ).select(
+    ids = docs.select(F.col(id_col))
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "id", id_col
+    )
+    present = comp.join(ids, id_col)
+    canon = present.groupBy("component").agg(F.min(id_col).alias("_canon"))
+    assign = present.join(canon, "component").select(id_col, "_canon")
+    return ids.join(assign, id_col, "left").select(
         F.col(id_col),
-        F.coalesce("component", F.col(id_col)).alias("canonical_id"),
-        (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        F.coalesce("_canon", F.col(id_col)).alias("canonical_id"),
+        (F.coalesce("_canon", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )

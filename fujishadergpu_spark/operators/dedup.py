@@ -45,6 +45,14 @@ P31 = np.uint64((1 << 31) - 1)
 
 # ----------------------------- exact ---------------------------------
 
+def norm_text(t):
+    """The exact-dedup key normalization (lowercase, whitespace runs
+    collapsed, trimmed). Single definition shared by batch
+    ``exact_dedup`` and ``streaming.events.streaming_dedup`` so their
+    16-byte keys can never drift."""
+    return F.lower(F.trim(F.regexp_replace(t, "\\s+", " ")))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """One row per distinct text: (canonical_id = min id, dup_count).
 
@@ -54,7 +62,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalize: b
     """
     t = F.col(text_col)
     if normalize:
-        t = F.lower(F.trim(F.regexp_replace(t, "\\s+", " ")))
+        t = norm_text(t)
     return (
         df.select(F.col(id_col), F.xxhash64(t).alias("_h"), F.length(t).alias("_len"))
         .groupBy("_h", "_len")

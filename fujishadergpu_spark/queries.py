@@ -1017,12 +1017,15 @@ ORDER BY doc_id
 """
 
 DEDUP_CANONICAL_SQL = f"""
-WITH RECURSIVE {_COMPONENT_CTES}
+WITH RECURSIVE {_COMPONENT_CTES},
+present AS (SELECT d.doc_id, comp.c FROM documents d JOIN comp ON comp.id = d.doc_id),
+canon AS (SELECT c, MIN(doc_id) AS m FROM present GROUP BY c)
 SELECT d.doc_id,
-       COALESCE(comp.c, d.doc_id) AS canonical_id,
-       (COALESCE(comp.c, d.doc_id) = d.doc_id) AS keep
+       COALESCE(canon.m, d.doc_id) AS canonical_id,
+       (COALESCE(canon.m, d.doc_id) = d.doc_id) AS keep
 FROM documents d
-LEFT JOIN comp ON comp.id = d.doc_id
+LEFT JOIN present ON present.doc_id = d.doc_id
+LEFT JOIN canon ON canon.c = present.c
 ORDER BY d.doc_id
 """
 

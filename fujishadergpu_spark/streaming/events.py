@@ -107,7 +107,9 @@ def streaming_dedup(
     the batch twin (and the parity test) pins the order-free contract:
     the emitted KEY SET and its cardinality.
     """
-    t = F.lower(F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    from ..operators.dedup import norm_text
+
+    t = norm_text(F.col(text_col))
     keyed = pages.withColumn("fp_hash", F.xxhash64(t)).withColumn(
         "fp_len", F.length(t)
     )

@@ -112,6 +112,17 @@ def test_corpus_join_shuffles_ids_only(spark):
     assert re.search(r"Project \[doc_id#\d+L\]", plan)
 
 
+def test_canonical_reanchors_when_pair_graph_has_ghost_ids(spark):
+    # Pair graph computed BEFORE the corpus was pruned: id 3 connects
+    # 5 and 6 but is gone from docs. The cluster must stay together
+    # and keep its minimum PRESENT member, never a dangling canonical.
+    docs = spark.createDataFrame([(5,), (6,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(3, 5), (3, 6)], "id_a long, id_b long")
+    rows = {r["doc_id"]: (r["canonical_id"], r["keep"])
+            for r in canonical_assignment(docs, pairs).collect()}
+    assert rows == {5: (5, True), 6: (5, False), 9: (9, True)}
+
+
 def test_empty_pair_graph(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0

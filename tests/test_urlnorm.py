@@ -31,3 +31,12 @@ def test_normalize_url_cases(spark):
     df = spark.createDataFrame([(raw,) for raw, _ in CASES], "u string")
     got = [r["n"] for r in df.select(normalize_url(F.col("u")).alias("n")).collect()]
     assert got == [want for _, want in CASES]
+
+
+def test_normalize_url_is_idempotent(spark):
+    # canonical form must be a fixed point — a second pass through the
+    # normalizer (e.g. re-ingesting already-canonical URLs) is a no-op
+    df = spark.createDataFrame([(raw,) for raw, _ in CASES], "u string")
+    once = df.select(normalize_url(F.col("u")).alias("n"))
+    twice = once.select("n", normalize_url(F.col("n")).alias("n2"))
+    assert all(r["n"] == r["n2"] for r in twice.collect())

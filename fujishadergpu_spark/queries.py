@@ -1471,7 +1471,13 @@ def normalize_acctbal(spark, sf_dir):
     (one aggregate, two doubles broadcast in the plan) then the
     stretch column op — the reference's stats->stretch pipeline
     (reference _global_stats.py:123-178) on an oracle-checkable
-    column."""
+    column.
+
+    ORACLE-ONLY plan: exact ``percentile`` (a full sort) is chosen
+    here solely for bit-parity with DuckDB ``quantile_cont``. The
+    engine's own render path never does this — ``norm_stats`` uses
+    ``percentile_approx`` over a deterministic hash sample, which is
+    the plan to use at 10^12 rows."""
     from .operators.norm_stats import stretch
 
     c = _t(spark, sf_dir, "customer")

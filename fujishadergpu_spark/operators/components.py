@@ -128,11 +128,19 @@ def canonical_assignment(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Full-corpus keep-list: (id_col, canonical_id, keep) for EVERY
-    document — near-dup cluster members map to the cluster's minimum
-    doc id, singletons to themselves; ``keep`` marks the one retained
+    document — near-dup cluster members map to the cluster's canonical
+    doc, singletons to themselves; ``keep`` marks the one retained
     representative per cluster.
+
+    Canonical choice: by default the cluster's minimum id; with
+    ``prefer_col`` the member with the MAXIMUM value of that column
+    (quality score, length, recency), ties broken by minimum id — the
+    usual "keep the best copy" rule of a production dedup pass. The
+    argmax is a (max(prefer), min-id-at-max) struct aggregate, still
+    map-side partial over fixed-width rows.
 
     The pair graph may reference ids no longer in ``docs`` (a corpus
     pruned AFTER pairs were computed): clusters stay connected through
@@ -147,14 +155,27 @@ def canonical_assignment(
     pruned to its id column before the join; AQE still broadcasts when
     the pair graph happens to be small).
     """
-    ids = docs.select(F.col(id_col))
+    cols = [id_col] if prefer_col is None else [id_col, prefer_col]
+    ids = docs.select(*[F.col(c) for c in cols])
     comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
         "id", id_col
     )
     present = comp.join(ids, id_col)
-    canon = present.groupBy("component").agg(F.min(id_col).alias("_canon"))
+    if prefer_col is None:
+        canon = present.groupBy("component").agg(F.min(id_col).alias("_canon"))
+    else:
+        # max prefer, tie -> min id, as ONE struct-max aggregate
+        # (map-side partial; negated id turns the tie-break into max)
+        best = F.max(
+            F.struct(F.col(prefer_col).alias("_p"), (-F.col(id_col)).alias("_nid"))
+        )
+        canon = (
+            present.groupBy("component")
+            .agg(best.alias("_b"))
+            .select("component", (-F.col("_b._nid")).alias("_canon"))
+        )
     assign = present.join(canon, "component").select(id_col, "_canon")
-    return ids.join(assign, id_col, "left").select(
+    return ids.select(id_col).join(assign, id_col, "left").select(
         F.col(id_col),
         F.coalesce("_canon", F.col(id_col)).alias("canonical_id"),
         (F.coalesce("_canon", F.col(id_col)) == F.col(id_col)).alias("keep"),

@@ -1055,6 +1055,39 @@ def dedup_canonical_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def dedup_canonical_best_docs(spark, sf_dir):
+    """Quality-argmax canonical selection: each cluster keeps its
+    LONGEST member (max n_chars, ties to min doc_id) — the production
+    'keep the best copy' rule, same closure skeleton as
+    dedup_canonical_docs."""
+    d = _t(spark, sf_dir, "documents")
+    return components.canonical_assignment(
+        d, _ngram_pairs(spark, sf_dir), "doc_id", prefer_col="n_chars"
+    ).orderBy("doc_id")
+
+
+DEDUP_CANONICAL_BEST_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+present AS (
+  SELECT d.doc_id, d.n_chars, comp.c FROM documents d JOIN comp ON comp.id = d.doc_id
+),
+canon AS (
+  SELECT c, doc_id AS m FROM (
+    SELECT c, doc_id,
+           row_number() OVER (PARTITION BY c ORDER BY n_chars DESC, doc_id) AS rn
+    FROM present
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(canon.m, d.doc_id) AS canonical_id,
+       (COALESCE(canon.m, d.doc_id) = d.doc_id) AS keep
+FROM documents d
+LEFT JOIN present ON present.doc_id = d.doc_id
+LEFT JOIN canon ON canon.c = present.c
+ORDER BY d.doc_id
+"""
+
+
 def url_canonical_dedup(spark, sf_dir):
     """URL-level crawl dedup: messy URL variants (case noise, default
     ports, utm tracking params, unsorted queries, trailing slashes,
@@ -1943,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_revenue_delta": q6_revenue_delta,  # single-table filter+agg; q1 covers the skeleton
     "brand_stats": brand_stats,  # group-agg; q1/doc_stats_by_lang cover the skeleton
     "q10_returned_items": q10_returned_items,  # multi-join agg; q3/q5 cover the skeleton
+    "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
     # smoke family collapsed to one representative per halo-rule class
     # (r3 verdict #1); the other kernels remain under the pytest
     # tiled==whole matrix and KERNEL_QUERY_PARAMS keeps a runnable
@@ -2006,6 +2040,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "dedup_cluster_components": DEDUP_COMPONENTS_SQL,
     "url_canonical_dedup": URL_CANON_SQL,
+    "dedup_canonical_best_docs": DEDUP_CANONICAL_BEST_SQL,
     "dedup_canonical_docs": DEDUP_CANONICAL_SQL,
     "doc_fingerprint_distinct": DOC_FP_DISTINCT_SQL,
     "media_features": MEDIA_FEATURES_SQL,

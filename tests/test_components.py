@@ -123,6 +123,18 @@ def test_canonical_reanchors_when_pair_graph_has_ghost_ids(spark):
     assert rows == {5: (5, True), 6: (5, False), 9: (9, True)}
 
 
+def test_canonical_prefer_col_argmax_with_tie(spark):
+    # cluster {1,4,8}: quality 3/9/9 -> tie at 9 between 4 and 8,
+    # min id wins -> canonical 4. Singleton 2 keeps itself.
+    docs = spark.createDataFrame(
+        [(1, 3), (4, 9), (8, 9), (2, 5)], "doc_id long, q long"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 8)], "id_a long, id_b long")
+    rows = {r["doc_id"]: (r["canonical_id"], r["keep"])
+            for r in canonical_assignment(docs, pairs, prefer_col="q").collect()}
+    assert rows == {1: (4, False), 4: (4, True), 8: (4, False), 2: (2, True)}
+
+
 def test_empty_pair_graph(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0

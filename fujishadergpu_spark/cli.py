@@ -34,6 +34,37 @@ from .sources.polygons import polygons as gen_polygons
 N_BUCKETS = 64  # lineage partition-key buckets per stage
 
 
+def validate_fanout(
+    algorithms: list[str],
+    kernel_params: dict | None = None,
+    fill_voids: str | None = None,
+    metric_scale: bool = False,
+) -> None:
+    """Up-front compatibility checks for a multi-algorithm fan-out.
+
+    Raises ValueError BEFORE any algorithm renders (and before the
+    shared void-fill pre-pass runs): run_render would otherwise raise
+    the same errors mid-fan-out, after earlier algorithms already
+    fully rendered. Called by run_render_many itself so every entry
+    point — not just the CLI — fails early.
+    """
+    if metric_scale:
+        from .operators.tile_kernels import METRIC_SCALE_KERNELS
+
+        bad = [a for a in algorithms if a not in METRIC_SCALE_KERNELS]
+        if bad:
+            raise ValueError(
+                f"--metric-scale: {bad} do not consume metric pixel scales; "
+                f"supported: {sorted(METRIC_SCALE_KERNELS)}"
+            )
+    if "topousm" in algorithms and (fill_voids or kernel_params):
+        raise ValueError(
+            "topousm in a multi-algorithm list cannot combine with "
+            "--fill-voids/--params (topousm takes --radii/--weights/--agg); "
+            "run it as a separate invocation"
+        )
+
+
 def run_pipeline(spark, pages_path: str, out_root: str, zoom: int = 8, run_id: str | None = None) -> dict:
     """The resumable 3-stage pipeline. Each stage's partition key is a
     stable hash bucket so resume granularity is independent of data
@@ -90,6 +121,7 @@ def run_render_many(
     once and shared — it depends only on (points, zoom)."""
     from pyspark import StorageLevel
 
+    validate_fanout(algorithms, kernel_params, fill_voids, metric_scale)
     pg = spark.read.parquet(pages_path)
     pts = geoparse.geoparse(pg).select(F.xxhash64("url").alias("id"), "lat", "lon")
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
@@ -407,23 +439,13 @@ def main(argv=None):
                 if radii or weights:
                     raise SystemExit("--radii/--weights apply to single-algorithm renders")
                 # fail the whole invocation up front rather than
-                # mid-fan-out (run_render would raise on a later
-                # algorithm after earlier ones already fully rendered)
-                if args.metric_scale:
-                    from .operators.tile_kernels import METRIC_SCALE_KERNELS
-
-                    bad = [a for a in algos if a not in METRIC_SCALE_KERNELS]
-                    if bad:
-                        raise SystemExit(
-                            f"--metric-scale: {bad} do not consume metric pixel scales; "
-                            f"supported: {sorted(METRIC_SCALE_KERNELS)}"
-                        )
-                if "topousm" in algos and (args.fill_voids or kparams):
-                    raise SystemExit(
-                        "topousm in a multi-algorithm list cannot combine with "
-                        "--fill-voids/--params (topousm takes --radii/--weights/--agg); "
-                        "run it as a separate invocation"
-                    )
+                # mid-fan-out; run_render_many re-checks, but the CLI
+                # wants a clean SystemExit, not a traceback
+                try:
+                    validate_fanout(algos, kparams, args.fill_voids,
+                                    args.metric_scale)
+                except ValueError as e:
+                    raise SystemExit(str(e))
                 many = run_render_many(
                     spark, args.pages, args.out, algos, args.zoom, args.run_id,
                     agg=args.agg, kernel_params=kparams, fill_voids=args.fill_voids,

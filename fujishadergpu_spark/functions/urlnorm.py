@@ -6,7 +6,9 @@ Rules (the common-crawl-style canonical form):
 2. scheme and host lowercase;
 3. strip the scheme's default port (``:443`` for https, ``:80`` for
    http);
-4. strip one trailing slash from a non-root path;
+4. strip one trailing slash from the path — including the root path,
+   which folds to the host-only form (``https://host/`` →
+   ``https://host``);
 5. drop ``utm_*`` tracking parameters, sort the survivors, re-join.
 
 Everything is built from JVM expressions (regexp_extract /

@@ -164,15 +164,24 @@ def canonical_assignment(
     if prefer_col is None:
         canon = present.groupBy("component").agg(F.min(id_col).alias("_canon"))
     else:
-        # max prefer, tie -> min id, as ONE struct-max aggregate
-        # (map-side partial; negated id turns the tie-break into max)
+        # max prefer, tie -> min id, as ONE struct-max aggregate.
+        # Bitwise NOT (~id) reverses long ordering with no overflow at
+        # Long.MIN_VALUE (ids are xxhash64 full-range longs; -id would
+        # be an ANSI ARITHMETIC_OVERFLOW there). A leading not-null
+        # flag makes NULL prefer values lose to any non-NULL one
+        # deterministically (all-NULL clusters fall to the min-id
+        # tie-break) instead of relying on engine null ordering.
         best = F.max(
-            F.struct(F.col(prefer_col).alias("_p"), (-F.col(id_col)).alias("_nid"))
+            F.struct(
+                F.col(prefer_col).isNotNull().alias("_h"),
+                F.col(prefer_col).alias("_p"),
+                F.bitwise_not(F.col(id_col)).alias("_nid"),
+            )
         )
         canon = (
             present.groupBy("component")
             .agg(best.alias("_b"))
-            .select("component", (-F.col("_b._nid")).alias("_canon"))
+            .select("component", F.bitwise_not(F.col("_b._nid")).alias("_canon"))
         )
     assign = present.join(canon, "component").select(id_col, "_canon")
     return ids.select(id_col).join(assign, id_col, "left").select(

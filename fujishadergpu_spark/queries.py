@@ -1104,9 +1104,15 @@ def url_canonical_dedup(spark, sf_dir):
         (d % 5).cast("string"),
         F.lit(".example.com"),
         F.when(k % 2 == 0, ":443").otherwise(""),
-        F.lit("/item/"),
-        d.cast("string"),
-        F.when(k % 4 == 0, "/").otherwise(""),
+        # every 7th key is a ROOT url (path '/' or empty) — exercises
+        # the host-only canonical fold https://host/ -> https://host
+        F.when(k % 7 == 0, F.when(k % 4 == 0, "/").otherwise(F.lit(""))).otherwise(
+            F.concat(
+                F.lit("/item/"),
+                d.cast("string"),
+                F.when(k % 4 == 0, "/").otherwise(""),
+            )
+        ),
         F.when(k % 3 == 0, "?utm_source=feed&b=2&a=1")
         .when(k % 3 == 1, "?b=2&a=1&utm_campaign=x")
         .otherwise("?a=1&b=2"),
@@ -1134,8 +1140,11 @@ WITH r AS (
           CASE WHEN c_custkey % 3 = 0 THEN 'Shop' ELSE 'shop' END ||
           CAST((c_custkey % 250) % 5 AS VARCHAR) || '.example.com' ||
           CASE WHEN c_custkey % 2 = 0 THEN ':443' ELSE '' END ||
-          '/item/' || CAST(c_custkey % 250 AS VARCHAR) ||
-          CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN c_custkey % 7 = 0
+               THEN CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END
+               ELSE '/item/' || CAST(c_custkey % 250 AS VARCHAR) ||
+                    CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END
+          END ||
           CASE WHEN c_custkey % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
                WHEN c_custkey % 3 = 1 THEN '?b=2&a=1&utm_campaign=x'
                ELSE '?a=1&b=2' END ||
@@ -1310,7 +1319,10 @@ def ann_ivf_index_probe(spark, sf_dir):
     # (same sf_dir -> same deterministic content).
     import shutil
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    # key the cache on build params + a layout-version token too, so a
+    # later change to m or the on-disk index format can never silently
+    # reuse a stale index from an older build on the same host
+    tag = hashlib.sha256(f"{sf_dir}:m=8:v1".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         stage = f"{path}.build{os.getpid()}"
@@ -1352,6 +1364,10 @@ def _kernel_query(kernel: str, **params):
 
 # modest per-kernel params: full-inventory coverage with bounded halos
 KERNEL_QUERY_PARAMS: dict[str, dict] = {
+    "slope": {"unit": "degree"},
+    "curvature": {"mode": "planform"},
+    "curvature_display": {"mode": "mean"},
+    "aspect": {},
     "blur": {"scale": 4.0},
     "multiscale_terrain": {"scales": (2.0, 8.0, 32.0), "global_stats": (0.0, 1.0)},
     "openness": {"max_distance": 16},
@@ -1977,13 +1993,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_stats": brand_stats,  # group-agg; q1/doc_stats_by_lang cover the skeleton
     "q10_returned_items": q10_returned_items,  # multi-join agg; q3/q5 cover the skeleton
     "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
-    # smoke family collapsed to one representative per halo-rule class
-    # (r3 verdict #1); the other kernels remain under the pytest
-    # tiled==whole matrix and KERNEL_QUERY_PARAMS keeps a runnable
-    # params set for every one of them
+    # full per-kernel smoke family — one literal entry per ported
+    # stencil algorithm (every §2.B kernel name is resolvable in
+    # queries(); hillshade and topousm have dedicated entries above).
+    # SMOKE_REPRESENTATIVES (one per halo-rule class) lead the family
+    # so their relative order is stable; entries here are past the
+    # driver's 50-entry window by design — bit-exactness is the pytest
+    # tiled==whole matrix, these keep each kernel's Spark plumbing
+    # runnable as a registry citizen
     **{
         f"tile_{k}_z5": _kernel_query(k, **KERNEL_QUERY_PARAMS[k])
-        for k in SMOKE_REPRESENTATIVES
+        for k in (
+            *SMOKE_REPRESENTATIVES,
+            *(k for k in KERNEL_QUERY_PARAMS if k not in SMOKE_REPRESENTATIVES),
+        )
     },
 }
 

@@ -11,6 +11,9 @@ CASES = [
      "https://www.example.com/Shop?a=1&b=2"),
     # root slash + default http port
     ("http://example.com:80/", "http://example.com"),
+    # root path with EVERYTHING: case, default https port, utm-only
+    # query, fragment — folds to the bare host-only canonical form
+    ("https://Host:443/?utm_x=1#f", "https://host"),
     # bare host, nothing to do
     ("https://example.com", "https://example.com"),
     # query vanishes entirely after utm filtering

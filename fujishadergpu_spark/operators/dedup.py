@@ -335,29 +335,78 @@ def ngram_jaccard_pairs(
 
 # ------------------------------ simhash -------------------------------
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def simhash_bit_params(num_bits: int = 64, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) coefficients of the universal family
+    g_i(h) = (a_i*h + b_i) mod p over p = 2^31-1 — one pair per
+    SimHash bit for the 'poly31' hash mode. Shared with the DuckDB
+    oracle twin (queries.DEDUP_SIMHASH_SQL) so the two engines derive
+    the identical signature from the identical token hash."""
+    rng = np.random.RandomState(seed)
+    p = (1 << 31) - 1
+    return (
+        [int(v) for v in rng.randint(1, p, size=num_bits)],
+        [int(v) for v in rng.randint(0, p, size=num_bits)],
+    )
+
+
+def poly31_hash(col) -> "F.Column":
+    """31-bit polynomial hash of a string column, as a JVM column
+    expression: fold (acc*1000003 + codepoint) mod 2^31-1 over the
+    characters. Matches DuckDB's list_reduce over
+    ascii(string_split(...)) bit-for-bit (including non-ASCII:
+    ascii() is the codepoint of the first character on both engines),
+    which is what makes a SimHash built on it cross-engine
+    SQL-stateable. The fold is an interpreted higher-order function —
+    fine over ≤~20-char tokens, never use it over large arrays."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(1000003) + F.ascii(c)) % F.lit((1 << 31) - 1),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", hash: str = "xxhash64"
+) -> DataFrame:
     """(id, _sh): 64-bit SimHash, fully JVM-side.
 
-    explode(lower-split tokens) -> xxhash64(token) -> per-bit sums
+    explode(lower-split tokens) -> token hash -> per-bit sums
     sum(±1) as 64 map-side-combined aggregates -> sign bits packed
     back into one long. No Python worker anywhere; the shuffle after
     the partial agg is 64 longs per document.
+
+    hash='xxhash64' (default): bit i is bit i of xxhash64(token) —
+    the fastest whole-stage-codegen path for production.
+    hash='poly31': token hash is poly31_hash(token) and bit i is
+    g_i(h) mod 2 under the universal family simhash_bit_params() —
+    ~same aggregate shape, slightly slower per token (interpreted
+    char fold), but every step has an exact DuckDB twin, which puts
+    the full signature computation under the cross-engine hash gate.
     """
     # NOTE: documents with zero tokens get NO signature row (the
     # explode yields nothing). Deliberate: assigning empty docs a
     # shared signature (the old UDF's 0) pairs EVERY empty doc with
     # every other — an O(E²) cluster at web scale. Route empty docs
     # through exact_dedup instead.
+    if hash not in ("xxhash64", "poly31"):
+        raise ValueError(f"unknown simhash hash mode {hash!r} (xxhash64/poly31)")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"), lambda t: t != "")
         ).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{i}")
-        for i in range(64)
-    ]
+    )
+    if hash == "xxhash64":
+        toks = toks.withColumn("_h", F.xxhash64("_tok"))
+        bit_of = lambda i: F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        a, b = simhash_bit_params()
+        p = (1 << 31) - 1
+        toks = toks.withColumn("_h", poly31_hash(F.col("_tok")))
+        bit_of = lambda i: (  # noqa: E731
+            (F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(p)
+        ) % F.lit(2)
+    bit_sums = [F.sum(bit_of(i) * 2 - 1).alias(f"_b{i}") for i in range(64)]
     agg = toks.groupBy("_id").agg(*bit_sums)
     packed = None
     for i in range(64):
@@ -367,10 +416,13 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     return agg.select("_id", packed.alias("_sh"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3,
+    hash: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit band join then exact
     Hamming filter via F.bit_count — every stage JVM codegen."""
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col, hash=hash)
     bands = sig.select(
         "_id", "_sh",
         F.posexplode(

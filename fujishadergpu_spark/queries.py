@@ -1192,8 +1192,66 @@ FROM canon GROUP BY 1 ORDER BY canonical_url
 
 
 def dedup_simhash_docs(spark, sf_dir):
+    """SimHash near-dup pairs in the cross-engine 'poly31' hash mode:
+    token hash = 31-bit polynomial char fold, bit i = universal hash
+    g_i(h) mod 2 — every step (tokenize, hash, 64 ±1 bit sums, sign
+    pack, 4x16-bit band join, Hamming filter) has an exact DuckDB
+    twin, so the FULL signature+banding pipeline is hash-gated.
+    Production default stays hash='xxhash64' (pure codegen)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+    return (
+        dedup.simhash_pairs(d, "doc_id", max_hamming=3, hash="poly31")
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup_simhash_docs, generated from the SAME
+    simhash_bit_params coefficients so the engines cannot drift."""
+    a, b = dedup.simhash_bit_params()
+    p = (1 << 31) - 1
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h * {a[i]} + {b[i]}) % {p}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(64)
+    )
+    # bit 63's place value wraps to Long.MIN_VALUE — same two's
+    # complement the Spark shiftleft(1, 63) pack produces
+    pack = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN CAST({-(1 << 63) if i == 63 else (1 << i)} AS BIGINT) ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+           (acc, v) -> (acc * 1000003 + v) % {p}) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {pack} AS sh FROM bits),
+band AS (
+  SELECT doc_id, sh, d.i AS band, (sh >> (16 * d.i)) & 65535 AS key
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) d(i)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
+FROM band l JOIN band r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 def doc_lang_id(spark, sf_dir):
@@ -1274,7 +1332,16 @@ def embedding_near_dup_pairs(spark, sf_dir):
     rows). Each vec_id<%5==0 vector gets a deterministic blended twin
     (cos ~0.95-0.99); recall >= 0.9 vs brute force is pytest-asserted
     (tests/test_dedup.py). Twin ids are negative (-id-1) so they
-    never collide with real non-negative vec_ids at any SF."""
+    never collide with real non-negative vec_ids at any SF.
+
+    HASH-GATED against the exact all-pairs cosine ground truth
+    (EMB_NEAR_DUP_SQL): precision is structurally 1.0 (exact
+    zip_with/aggregate cosine verify after the bucket join), and the
+    8x8 banded sketch's recall is exactly 1.0 on this deterministic
+    fixture (measured: all 100 planted pairs recovered, 0 extra), so
+    verified-pair-set equality holds. Sketch internals stay excluded
+    from the oracle — only the pair set is the contract; a recall
+    regression (seed/banding change) shows up as a hash mismatch."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
     planted = (
@@ -1288,6 +1355,23 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return dedup.embedding_near_dup(e.unionByName(planted), "vec_id", dim=64, threshold=0.9).select(
         "id_a", "id_b"
     ).orderBy("id_a", "id_b")
+
+
+EMB_NEAR_DUP_SQL = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tw AS (
+  SELECT -a.vec_id - 1 AS vec_id,
+         [a.e[i] * 0.97 + b.e[i] * 0.08 FOR i IN generate_series(1, 64)] AS e
+  FROM base a JOIN base b ON a.vec_id + 1 = b.vec_id
+  WHERE a.vec_id % 5 = 0
+),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM tw)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b
+FROM c l JOIN c r ON l.vec_id < r.vec_id
+WHERE list_inner_product(l.e, r.e) /
+      (sqrt(list_inner_product(l.e, l.e)) * sqrt(list_inner_product(r.e, r.e))) >= 0.9
+ORDER BY 1, 2
+"""
 
 
 def ann_ivf_topk(spark, sf_dir):
@@ -1501,6 +1585,53 @@ def multiscale_usm_z5(spark, sf_dir):
 
     p = geo_points(spark, sf_dir)
     return multiscale_usm(p, 5, radii=(2, 8, 64)).orderBy("x", "y")
+
+
+def multiscale_usm_exact_z5(spark, sf_dir):
+    """The USM response itself under the exact-integer hash gate
+    (reference algorithms/_impl_topousm_fast.py:49-100): with
+    small radii (2, 4) and weights (1/2, 1/2) on integer count grids,
+    the per-pixel response Σ wᵢ·(z − box_meanᵢ(z)) times 2·25·81 =
+    4050 is exactly 4050·z − 81·total₂ − 25·total₄ — an integer, so
+    the per-tile BIGINT Σ round(usm_sum·4050) is rounding-free and
+    DuckDB-stateable from window-overlap counts alone. This runs the
+    REAL multiscale_usm operator end-to-end (rasterize → halo
+    exchange → SAT box means → weighted combine → per-tile stats);
+    any drift in halo transport, SAT windows, weighting, or the
+    combine diverges the hash."""
+    from .operators.multiscale import multiscale_usm
+
+    p = geo_points(spark, sf_dir)
+    u = multiscale_usm(p, 5, radii=(2, 4), weights=(0.5, 0.5))
+    return u.select(
+        "z", "x", "y",
+        F.round(F.col("usm_sum") * 4050.0).cast("long").alias("usm_scaled_q"),
+    ).orderBy("x", "y")
+
+
+def _usm_exact_sql(z: int, r1: int = 2, r2: int = 4) -> str:
+    # per point-row of the halo skeleton: its Chebyshev-r window
+    # overlap with the tile's core pixels (the point's contribution to
+    # Σ over core pixels of box_total_r); the USM identity
+    # Σ usm·(2·A1·A2) = (2·A1·A2)·core_hits − A2·Σtotal₁ − A1·Σtotal₂
+    # with Aᵢ = (2rᵢ+1)² needs nothing else
+    a1, a2 = (2 * r1 + 1) ** 2, (2 * r2 + 1) ** 2
+    scale = 2 * a1 * a2
+
+    def ov(r):
+        ox = f"greatest(0, least(lx + {r}, 255) - greatest(lx - {r}, 0) + 1)"
+        oy = f"greatest(0, least(ly + {r}, 255) - greatest(ly - {r}, 0) + 1)"
+        return f"({ox}) * ({oy})"
+
+    core = "CASE WHEN lx BETWEEN 0 AND 255 AND ly BETWEEN 0 AND 255 THEN 1 ELSE 0 END"
+    return f"""
+WITH {PTS_SQL},
+{_halo_neighbors_sql(z, max(r1, r2))}
+SELECT {z} AS z, x, y,
+       CAST({scale} * SUM({core}) - {a2} * SUM({ov(r1)}) - {a1} * SUM({ov(r2)}) AS BIGINT)
+         AS usm_scaled_q
+FROM n GROUP BY x, y ORDER BY x, y
+"""
 
 
 def quantize_acctbal(spark, sf_dir):
@@ -1947,6 +2078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_overview_box_total_z5": tile_overview_box_total_z5,
     "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
+    "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
@@ -1964,20 +2096,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_simhash_docs": dedup_simhash_docs,
     "url_canonical_dedup": url_canonical_dedup,
     "dedup_canonical_docs": dedup_canonical_docs,
     "doc_fingerprint_distinct": doc_fingerprint_distinct,
     "media_features": media_features,
     "ann_topk_cosine": ann_topk_cosine,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "ann_ivf_index_probe": ann_ivf_index_probe,
     "tile_hillshade_z6": tile_hillshade_z6,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,
-    "multiscale_usm_z5": multiscale_usm_z5,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
@@ -1993,6 +2124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_stats": brand_stats,  # group-agg; q1/doc_stats_by_lang cover the skeleton
     "q10_returned_items": q10_returned_items,  # multi-join agg; q3/q5 cover the skeleton
     "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
+    "multiscale_usm_z5": multiscale_usm_z5,  # overview-path variant; exact-USM + overview_box_total cover it
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -2045,6 +2177,7 @@ ORACLES: dict[str, str] = {
     "tile_overview_box_total_z5": _overview_box_total_sql(5, 64),
     "tile_pyramid_quadrants_z5": _pyramid_quadrants_sql(6),
     "tile_weighted_census_z6": TILE_WEIGHTED_CENSUS_SQL,
+    "multiscale_usm_exact_z5": _usm_exact_sql(5),
     "normalize_acctbal": NORMALIZE_SQL,
     "nodata_infer_normalize": NODATA_INFER_SQL,
     "nodata_border_infer_normalize": NODATA_BORDER_SQL,
@@ -2062,12 +2195,14 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "dedup_cluster_components": DEDUP_COMPONENTS_SQL,
+    "dedup_simhash_docs": _simhash_sql(3),
     "url_canonical_dedup": URL_CANON_SQL,
     "dedup_canonical_best_docs": DEDUP_CANONICAL_BEST_SQL,
     "dedup_canonical_docs": DEDUP_CANONICAL_SQL,
     "doc_fingerprint_distinct": DOC_FP_DISTINCT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "ann_topk_cosine": ANN_SQL,
+    "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

@@ -108,13 +108,11 @@ def test_differentiated_entries_inside_driver_window():
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"
     differentiated_rows_only = {
-        "dedup_simhash_docs",
         "embedding_near_dup_pairs",
         "ann_ivf_index_probe",
         "tile_hillshade_z6",
         "tile_hillshade_filled_z5",
         "tile_hillshade_metric_z6",
-        "multiscale_usm_z5",
         "tile_openness_normalized_z5",
         "tile_frangi_normalized_z5",
         "spatial_hillshade_z5",

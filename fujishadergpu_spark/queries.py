@@ -1206,6 +1206,65 @@ def dedup_simhash_docs(spark, sf_dir):
     )
 
 
+def streaming_dedup_keep(spark, sf_dir):
+    """Batch twin of the streaming ingestion dedup
+    (streaming/events.streaming_dedup) with its DETERMINISTIC keeper:
+    one struct-min aggregate keeps the min-(ts, url) row per 16-byte
+    content key. Pages are synthesized from the documents table with
+    deliberately COLLIDING fetch times (doc_id % 7) so the url
+    tie-break is exercised, zero-padded urls so string order equals
+    numeric order on both engines. Registered past the driver window
+    (tier 3) with a local oracle (row_number OVER (PARTITION BY
+    normalized text ORDER BY ts, url) = 1); the stream==batch key-set
+    parity stays pytest-pinned (tests/test_streaming.py)."""
+    from .streaming.events import streaming_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    mkurl = lambda pfx: F.concat(  # noqa: E731
+        F.lit(pfx), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    )
+    first = d.select(
+        (F.col("doc_id") % 7).cast("long").alias("warc_ts"),
+        mkurl("u").alias("url"),
+        "text",
+    )
+    # re-crawl wave: every 5th document fetched again — SAME text at
+    # mirror urls, ts shifted so some recrawls land EARLIER (doc_id%5==0
+    # -> ts 0 ties the original's minimum ts at doc_id%35==0, forcing
+    # the url tie-break) and some later
+    recrawl = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") % 2 * 9).cast("long").alias("warc_ts"),
+        mkurl("m").alias("url"),
+        "text",
+    )
+    return (
+        streaming_dedup(first.unionByName(recrawl))
+        .select("url", "warc_ts")
+        .orderBy("url")
+    )
+
+
+STREAMING_DEDUP_KEEP_SQL = """
+WITH p AS (
+  SELECT doc_id % 7 AS warc_ts,
+         'u' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 2 * 9 AS warc_ts,
+         'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents WHERE doc_id % 5 = 0
+),
+r AS (
+  SELECT url, warc_ts,
+         row_number() OVER (PARTITION BY norm ORDER BY warc_ts, url) AS rn
+  FROM p
+)
+SELECT url, CAST(warc_ts AS BIGINT) AS warc_ts FROM r WHERE rn = 1 ORDER BY url
+"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """DuckDB twin of dedup_simhash_docs, generated from the SAME
     simhash_bit_params coefficients so the engines cannot drift."""
@@ -1382,43 +1441,75 @@ def ann_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+_IVF_M = 8
+
+
+def _ivf_index_cached(spark, sf_dir):
+    """Build-or-reuse the on-disk IVF index for sf_dir; returns its
+    path. Content-keyed cache tag (deterministic digest — builtin
+    hash() is salted per process) folds in the build params and a
+    layout-version token so a later change to m or the index format
+    can never silently reuse a stale index on the same host. Reruns
+    REUSE the index instead of leaking one bucketed corpus copy per
+    gate run. Build-if-missing is staged through a pid-unique dir +
+    atomic rename so a concurrent first run can never clobber bucket
+    files mid-probe; losing the rename race just leaves the other
+    process's identical index (same sf_dir -> same deterministic
+    content)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.ann import write_ivf_index
+
+    tag = hashlib.sha256(f"{sf_dir}:m={_IVF_M}:v1".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        stage = f"{path}.build{os.getpid()}"
+        write_ivf_index(_t(spark, sf_dir, "embeddings"), stage, m=_IVF_M)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race; reuse winner's
+    return path
+
+
 def ann_ivf_index_probe(spark, sf_dir):
     """IVF index materialized on disk (vectors partitioned into
     _b=<bucket>/ dirs) + partition-PRUNED probe: the scan reads only
     the probed buckets' files (plan- and metric-pinned in
     tests/test_ann.py; rows-only here)."""
-    import hashlib
-    import os
-    import tempfile
-
-    from .operators.ann import ivf_probe_topk, write_ivf_index
+    from .operators.ann import ivf_probe_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    # content-keyed path (deterministic digest — builtin hash() is
-    # salted per process): reruns REUSE the index instead of leaking
-    # one bucketed corpus copy per gate run. Build-if-missing is
-    # staged through a pid-unique dir + atomic rename so a concurrent
-    # first run can never clobber bucket files mid-probe; losing the
-    # rename race just leaves the other process's identical index
-    # (same sf_dir -> same deterministic content).
-    import shutil
-
-    # key the cache on build params + a layout-version token too, so a
-    # later change to m or the on-disk index format can never silently
-    # reuse a stale index from an older build on the same host
-    tag = hashlib.sha256(f"{sf_dir}:m=8:v1".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        stage = f"{path}.build{os.getpid()}"
-        write_ivf_index(e, stage, m=8)
-        try:
-            os.rename(stage, path)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)  # lost the race; reuse winner's
+    path = _ivf_index_cached(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_probe_topk(spark, path, q, k=5, nprobe=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def ann_ivf_probe_exhaustive(spark, sf_dir):
+    """The IVF probe under a CONDITIONAL exact gate: at nprobe =
+    n_buckets every bucket is probed, the candidate set is provably
+    the full corpus (each vector lives in exactly one bucket), and
+    the top-k must equal brute force bit-for-bit — so the identical
+    brute-force DuckDB twin (ANN_SQL) hash-gates the whole probe
+    machinery (index read-back, bucket routing, pruned scan union,
+    cosine, rank ties by id). The PRUNED configuration's scale
+    evidence stays tests/test_ann.py (plan- and metric-pinned file
+    pruning + recall floor)."""
+    from .operators.ann import ivf_probe_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivf_index_cached(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_probe_topk(spark, path, q, k=5, nprobe=_IVF_M).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
 
@@ -2125,6 +2216,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,  # multi-join agg; q3/q5 cover the skeleton
     "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
     "multiscale_usm_z5": multiscale_usm_z5,  # overview-path variant; exact-USM + overview_box_total cover it
+    "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
+    "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -2196,6 +2289,8 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,
     "dedup_cluster_components": DEDUP_COMPONENTS_SQL,
     "dedup_simhash_docs": _simhash_sql(3),
+    "streaming_dedup_keep": STREAMING_DEDUP_KEEP_SQL,
+    "ann_ivf_probe_exhaustive": ANN_SQL,
     "url_canonical_dedup": URL_CANON_SQL,
     "dedup_canonical_best_docs": DEDUP_CANONICAL_BEST_SQL,
     "dedup_canonical_docs": DEDUP_CANONICAL_SQL,

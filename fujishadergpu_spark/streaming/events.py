@@ -103,8 +103,14 @@ def streaming_dedup(
     horizon, not corpus size (re-crawls beyond the horizon re-emit —
     the cross-horizon pass is batch ``exact_dedup``).
 
-    Which physical row wins is arrival-order-defined in a stream, so
-    the batch twin (and the parity test) pins the order-free contract:
+    Which physical row wins is arrival-order-defined in a stream; the
+    BATCH twin keeps a DETERMINISTIC representative instead — the
+    min-(ts, url) row per key, one struct-min aggregate (same shuffle
+    cost as dropDuplicates: full rows shuffle either way, the
+    comparator short-circuits on ts) — aligning it with exact_dedup's
+    min-id discipline and making it row-for-row oracle-able (DuckDB
+    row_number() OVER (PARTITION BY key ORDER BY ts, url) = 1). The
+    stream==batch parity test pins the order-free shared contract:
     the emitted KEY SET and its cardinality.
     """
     from ..operators.dedup import norm_text
@@ -117,7 +123,11 @@ def streaming_dedup(
         return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["fp_hash", "fp_len"]
         )
-    return keyed.dropDuplicates(["fp_hash", "fp_len"])
+    cols = keyed.columns
+    win = F.min(
+        F.struct(F.col(ts_col), F.col("url"), F.struct(*cols).alias("_r"))
+    ).alias("_w")
+    return keyed.groupBy("fp_hash", "fp_len").agg(win).select("_w._r.*")
 
 
 TRANSITION_OUT_SCHEMA = "key long, ts timestamp, from_cell long, to_cell long"

@@ -106,6 +106,53 @@ def test_metric_slope_parity_equator_vs_60N(spark, axis):
     np.testing.assert_allclose(hi, ANALYTIC, rtol=0.04)
 
 
+def _recovered_openness_deficit(spark, tx, ty, metric=True):
+    """1 - openness of the analytic x-plane through the real tile
+    pipeline — the deviation from the flat-terrain value 1.0, which is
+    (to first order in the 5e-4 slope) proportional to the recovered
+    physical gradient. Rays reach max_distance=16 px and the surface
+    exists only on this tile, so crop 20 px: interior pixels see full
+    in-plane rays only."""
+    pts = _plane_tile_points(spark, tx, ty, "x")
+    t = tile_kernel(
+        pts, Z, kernel="openness", weight_col="h", log_scale=False,
+        metric_scale=metric, max_distance=16,
+    )
+    row = t.filter((F.col("x") == tx) & (F.col("y") == ty)).first()
+    g = np.asarray(row["result"]).reshape(TILE_PX, TILE_PX)
+    return 1.0 - g[20:-20, 20:-20]
+
+
+def test_metric_openness_parity_equator_vs_60N(spark):
+    """Second metric-parity kernel (r4 verdict #8), anisotropic-ray
+    class: openness folds (m/px x, m/px y) into PER-RAY physical
+    distances (np_kernels.np_openness dist = hypot(ox*sx, oy*sy);
+    reference _impl_openness.py:107-110), not a gradient spacing — a
+    drift in that fold is invisible to the slope parity test. The same
+    physical plane at the equator and at 60°N must yield the same
+    openness deficit. Tolerance: the per-tile center-latitude scalar
+    leaves ±2% true-scale drift across a z=8 tile at 60°N (see module
+    docstring); the deficit is first-order in the recovered gradient,
+    so the slope test's band carries over with headroom — ±3% on the
+    mean, ±8% per pixel."""
+    eq = _recovered_openness_deficit(spark, 128, _ty_for_lat(0.2))
+    hi = _recovered_openness_deficit(spark, 128, _ty_for_lat(60.0))
+    assert eq.mean() > 1e-5  # the plane actually registered
+    assert abs(hi.mean() / eq.mean() - 1) < 0.03, (eq.mean(), hi.mean())
+    np.testing.assert_allclose(hi, eq, rtol=0.08)
+
+
+def test_unit_openness_control_shows_the_distortion(spark):
+    """Control twin: WITHOUT metric scales the 60°N deficit is ~half
+    the equator's (pixels cover ~half the metres -> ~half the
+    per-ray elevation angles) — proves metric_scale reaches the ray
+    distances and is not a no-op for openness."""
+    eq = _recovered_openness_deficit(spark, 128, _ty_for_lat(0.2), metric=False)
+    hi = _recovered_openness_deficit(spark, 128, _ty_for_lat(60.0), metric=False)
+    ratio = hi.mean() / eq.mean()
+    assert ratio < 0.65, ratio
+
+
 def test_unit_scale_control_shows_the_distortion_metric_removes(spark):
     """Control: WITHOUT metric scales the same two surfaces disagree by
     roughly the pixel-size ratio (~2x at 60°N) — the distortion the

@@ -104,6 +104,8 @@ def test_differentiated_entries_inside_driver_window():
         "brand_stats",              # group-agg; q1/doc_stats_by_lang cover the skeleton
         "q10_returned_items",       # multi-join agg; q3/q5 cover the skeleton
         "dedup_canonical_best_docs",  # argmax variant of dedup_canonical_docs' skeleton
+        "streaming_dedup_keep",     # batch twin of the pytest-pinned streaming dedup
+        "ann_ivf_probe_exhaustive", # conditional exact config of the in-window probe skeleton
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -356,8 +356,13 @@ def poly31_hash(col) -> "F.Column":
     ascii(string_split(...)) bit-for-bit (including non-ASCII:
     ascii() is the codepoint of the first character on both engines),
     which is what makes a SimHash built on it cross-engine
-    SQL-stateable. The fold is an interpreted higher-order function —
-    fine over ≤~20-char tokens, never use it over large arrays."""
+    SQL-stateable. Caveat at web scale: ASTRAL-plane characters
+    (emoji, U+10000+) split into two UTF-16 surrogates on the JVM but
+    one codepoint in DuckDB — BMP text (incl. all CJK) is exact; a
+    migration-validation run over emoji-bearing text should compare
+    on a BMP-filtered projection. The fold is an interpreted
+    higher-order function — fine over ≤~20-char tokens, never use it
+    over large arrays."""
     return F.aggregate(
         F.split(col, ""),
         F.lit(0).cast("long"),

@@ -1475,11 +1475,11 @@ def _ivf_index_cached(spark, sf_dir):
     return path
 
 
-def ann_ivf_index_probe(spark, sf_dir):
-    """IVF index materialized on disk (vectors partitioned into
-    _b=<bucket>/ dirs) + partition-PRUNED probe: the scan reads only
-    the probed buckets' files (plan- and metric-pinned in
-    tests/test_ann.py; rows-only here)."""
+def _ivf_probe_query(spark, sf_dir, nprobe: int):
+    """Shared body of the two probe registry entries — ONE query set
+    (vec_id % 100), k, and projection, so the exhaustive gate's
+    'identical machinery, only nprobe differs' argument is true by
+    construction."""
     from .operators.ann import ivf_probe_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1487,9 +1487,17 @@ def ann_ivf_index_probe(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_probe_topk(spark, path, q, k=5, nprobe=5).select(
+    return ivf_probe_topk(spark, path, q, k=5, nprobe=nprobe).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+def ann_ivf_index_probe(spark, sf_dir):
+    """IVF index materialized on disk (vectors partitioned into
+    _b=<bucket>/ dirs) + partition-PRUNED probe: the scan reads only
+    the probed buckets' files (plan- and metric-pinned in
+    tests/test_ann.py; rows-only here)."""
+    return _ivf_probe_query(spark, sf_dir, nprobe=5)
 
 
 def ann_ivf_probe_exhaustive(spark, sf_dir):
@@ -1502,16 +1510,7 @@ def ann_ivf_probe_exhaustive(spark, sf_dir):
     cosine, rank ties by id). The PRUNED configuration's scale
     evidence stays tests/test_ann.py (plan- and metric-pinned file
     pruning + recall floor)."""
-    from .operators.ann import ivf_probe_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    path = _ivf_index_cached(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_probe_topk(spark, path, q, k=5, nprobe=_IVF_M).select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
-    ).orderBy("query_id", "rank")
+    return _ivf_probe_query(spark, sf_dir, nprobe=_IVF_M)
 
 
 def tile_hillshade_z6(spark, sf_dir):

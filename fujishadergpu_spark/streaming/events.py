@@ -91,6 +91,7 @@ def streaming_dedup(
     ts_col: str = "warc_ts",
     text_col: str = "text",
     watermark: str = "1 hour",
+    tie_col: str = "url",
 ) -> DataFrame:
     """Incremental ingestion dedup over a continuously arriving crawl:
     pass through only the FIRST page carrying each content key.
@@ -105,11 +106,13 @@ def streaming_dedup(
 
     Which physical row wins is arrival-order-defined in a stream; the
     BATCH twin keeps a DETERMINISTIC representative instead — the
-    min-(ts, url) row per key, one struct-min aggregate (same shuffle
-    cost as dropDuplicates: full rows shuffle either way, the
+    min-(ts, tie_col) row per key, one struct-min aggregate (same
+    shuffle cost as dropDuplicates: full rows shuffle either way, the
     comparator short-circuits on ts) — aligning it with exact_dedup's
     min-id discipline and making it row-for-row oracle-able (DuckDB
-    row_number() OVER (PARTITION BY key ORDER BY ts, url) = 1). The
+    row_number() OVER (PARTITION BY key ORDER BY ts, tie) = 1).
+    tie_col defaults to the pages schema's 'url'; batch callers on a
+    differently-shaped frame pass any unique-ish column. The
     stream==batch parity test pins the order-free shared contract:
     the emitted KEY SET and its cardinality.
     """
@@ -125,7 +128,7 @@ def streaming_dedup(
         )
     cols = keyed.columns
     win = F.min(
-        F.struct(F.col(ts_col), F.col("url"), F.struct(*cols).alias("_r"))
+        F.struct(F.col(ts_col), F.col(tie_col), F.struct(*cols).alias("_r"))
     ).alias("_w")
     return keyed.groupBy("fp_hash", "fp_len").agg(win).select("_w._r.*")
 

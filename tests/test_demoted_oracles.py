@@ -5,42 +5,23 @@ never silently rot between the occasional full tools/check_oracles.py
 runs. Runs at sf0.001 (the smallest fixture) to stay cheap; the full
 sf0.01 gate replica remains tools/check_oracles.py."""
 
-import hashlib
+import os
+import sys
 
 import duckdb
-import pandas as pd
 import pytest
 
 from fujishadergpu_spark.queries import ORACLES, QUERIES
+
+# the gate replica OWNS the normalization/hash contract — import it,
+# never copy it, so this guard and the replica cannot drift
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+from check_oracles import frame_hash as _frame_hash  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 DEMOTED = [n for i, n in enumerate(QUERIES) if i >= 50 and n in ORACLES]
-
-
-def _norm_cell(v):
-    import datetime
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        return "nan" if math.isnan(v) else repr(v)
-    if isinstance(v, (pd.Timestamp, datetime.datetime)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def _frame_hash(pdf: pd.DataFrame):
-    pdf = pdf[sorted(pdf.columns)]
-    rows = sorted(
-        "|".join(_norm_cell(v) for v in row)
-        for row in pdf.itertuples(index=False, name=None)
-    )
-    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16], len(rows)
 
 
 @pytest.fixture(scope="module")

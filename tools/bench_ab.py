@@ -88,17 +88,28 @@ def probe(arm: str, cycle: int, logfile: str) -> None:
 
 
 def drive(tree_a: str, tree_b: str, cycles: int, log: str) -> None:
-    os.makedirs(os.path.dirname(log), exist_ok=True)
+    if os.path.dirname(log):
+        os.makedirs(os.path.dirname(log), exist_ok=True)
     open(log, "w").close()
     me = os.path.abspath(__file__)
     for c in range(1, cycles + 1):
-        for arm, tree in (("a", tree_a), ("b", tree_b)):
+        # alternate within-cycle order (a,b / b,a) so any interference
+        # with within-cycle phase correlation (a co-tenant periodic
+        # job, decaying page cache) cancels across cycles instead of
+        # biasing every paired delta the same way
+        order = (("a", tree_a), ("b", tree_b)) if c % 2 else (("b", tree_b), ("a", tree_a))
+        for arm, tree in order:
             env = dict(os.environ, PYTHONPATH=tree)
-            rc = subprocess.call(
-                [sys.executable, me, "probe", arm, str(c), log],
-                env=env, timeout=900,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
+            try:
+                rc = subprocess.call(
+                    [sys.executable, me, "probe", arm, str(c), log],
+                    env=env, timeout=900,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+            except subprocess.TimeoutExpired:
+                # one pathological probe must not abort the whole
+                # bench window — record it and keep pairing
+                rc = "timeout"
             print(f"cycle {c} arm {arm} ({tree}) rc={rc}", flush=True)
     print("AB_DONE")
 

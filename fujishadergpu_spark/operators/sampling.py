@@ -1,0 +1,79 @@
+"""Deterministic stratified sampling — the data-mixing stage of a
+training-data pipeline (down/up-weight languages, domains, or quality
+buckets to target ratios before tokenization).
+
+Spark's own ``df.sampleBy`` draws per-row Bernoulli from a seeded RNG
+whose stream depends on partitioning — re-running after a repartition
+(or on a different cluster size) selects a DIFFERENT subset, which is
+poison for reproducible training corpora. This sampler instead keys
+every decision on a UNIVERSAL HASH of a stable row key:
+
+    keep(row)  <=>  ((a * key + b) mod p) mod D  <  rate(stratum) * D
+
+with p = 2^31-1 and literal (a, b) from the shared
+``dedup.simhash_bit_params`` family convention. Properties that
+matter at 100 TB:
+
+- **partition-invariant + cluster-size-invariant**: the decision is a
+  pure column expression over the row itself — same subset on any
+  layout, any executor count, any re-run (the reproducibility
+  contract ``sampleBy`` cannot give);
+- **nested**: rate 0.2 selects a subset of rate 0.5 (same hash, lower
+  threshold) — shrinking a mix never churns the retained set;
+- **JVM codegen end-to-end**: one integer multiply-add-mod per row,
+  no RNG state, no Python;
+- **cross-engine**: the identical arithmetic runs in DuckDB, so the
+  EXACT selected id set is hash-oracled (queries.STRATIFIED_SAMPLE_SQL)
+  — not just its approximate size.
+
+The key must be an integer column (synthetic doc ids here; for url
+keys hash to a long first — then the oracle needs an integer-keyed
+projection, cf. the poly31 discipline in operators/dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P31 = (1 << 31) - 1
+# one fixed (a, b) pair of the universal family — distinct from every
+# simhash bit pair (seed namespace 'sampling'), shared with the DuckDB
+# twin by literal value
+SAMPLE_A = 1103515245
+SAMPLE_B = 12345
+DENOM = 1_000_000  # rate resolution: 1e-6
+
+
+def sample_hash(key: Column) -> Column:
+    """((a*key + b) mod p) mod DENOM in [0, DENOM) — the per-row draw.
+    Non-negative for any long key: Spark/DuckDB `%` keep the dividend
+    sign, so fold the first mod to [0, p) with pmod semantics."""
+    h = (key.cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(P31)
+    return ((h + F.lit(P31)) % F.lit(P31)) % F.lit(DENOM)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s] (strata
+    absent from ``rates`` keep default_rate), deterministically in the
+    row key. Returns df's rows unchanged (filter only).
+
+    The rates table is tiny and becomes a literal CASE chain — no
+    join, no broadcast, nothing to shuffle; the filter sits directly
+    on the scan and Catalyst pushes it down.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh = F.lit(int(round(default_rate * DENOM)))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == s, F.lit(int(round(r * DENOM)))).otherwise(thresh)
+    return df.filter(sample_hash(F.col(key_col)) < thresh)

@@ -1206,6 +1206,42 @@ def dedup_simhash_docs(spark, sf_dir):
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sample (operators/sampling): per-lang
+    keep rates via a universal-hash draw on doc_id — partition- and
+    cluster-size-invariant (re-runs and re-layouts select the SAME
+    ids, unlike sampleBy's partition-seeded RNG), nested across rates,
+    pure codegen. The oracle checks the EXACT selected id set, not
+    just its size: the identical (a*id+b) mod p mod 1e6 arithmetic
+    runs in DuckDB (STRATIFIED_SAMPLE_SQL)."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", SAMPLE_RATES, "doc_id", default_rate=0.02)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from .operators.sampling import DENOM, P31, SAMPLE_A, SAMPLE_B
+
+    case = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * DENOM))}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    draw = f"((((doc_id * {SAMPLE_A} + {SAMPLE_B}) % {P31}) + {P31}) % {P31}) % {DENOM}"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {draw} < (CASE {case} ELSE {int(round(0.02 * DENOM))} END)
+ORDER BY doc_id
+"""
+
+
 def streaming_dedup_keep(spark, sf_dir):
     """Batch twin of the streaming ingestion dedup
     (streaming/events.streaming_dedup) with its DETERMINISTIC keeper:
@@ -2150,7 +2186,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 1: hash-oracled ----------------------------------------
     # relational
     "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "top_customers_per_nation": top_customers_per_nation,
     "order_priority_count": order_priority_count,
@@ -2182,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": doc_quality,
     "doc_stats_by_lang": doc_stats_by_lang,
     "dedup_exact_docs": dedup_exact_docs,
+    "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
@@ -2211,6 +2247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,  # in-memory variant of the probed on-disk index
     "doc_fingerprints": doc_fingerprints,  # raw dump; the contract is doc_fingerprint_distinct
     "q6_revenue_delta": q6_revenue_delta,  # single-table filter+agg; q1 covers the skeleton
+    "q3_shipping_priority": q3_shipping_priority,  # 3-table join agg; q5 (6-table) + q10 cover the skeleton
     "brand_stats": brand_stats,  # group-agg; q1/doc_stats_by_lang cover the skeleton
     "q10_returned_items": q10_returned_items,  # multi-join agg; q3/q5 cover the skeleton
     "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
@@ -2283,6 +2320,7 @@ ORACLES: dict[str, str] = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "doc_stratified_sample": _stratified_sample_sql(),
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,

@@ -101,6 +101,7 @@ def test_differentiated_entries_inside_driver_window():
         "knn_ring_trace",           # rank-count view of geo_knn_k5's oracled operator
         "doc_token_histogram",      # bucketed view of doc_token_counts' oracled fn
         "q6_revenue_delta",         # single-table filter+agg; q1 covers the skeleton
+        "q3_shipping_priority",     # 3-table join agg; q5 (6-table) + q10 cover the skeleton
         "brand_stats",              # group-agg; q1/doc_stats_by_lang cover the skeleton
         "q10_returned_items",       # multi-join agg; q3/q5 cover the skeleton
         "dedup_canonical_best_docs",  # argmax variant of dedup_canonical_docs' skeleton

@@ -1,0 +1,69 @@
+"""Deterministic stratified sampling (operators/sampling): the
+reproducible data-mixing contract — layout-invariance, nesting, rate
+accuracy — that Spark's partition-seeded sampleBy cannot give."""
+
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.operators.sampling import sample_hash, stratified_sample
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_selection_is_layout_invariant(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.4, "de": 0.2}
+    a = _ids(stratified_sample(d, "lang", rates, "doc_id"))
+    b = _ids(stratified_sample(d.repartition(7, "lang"), "lang", rates, "doc_id"))
+    c = _ids(stratified_sample(d.coalesce(1), "lang", rates, "doc_id"))
+    assert a == b == c
+    assert len(a) > 0
+
+
+def test_lower_rate_is_nested_subset(spark):
+    # shrinking a mix must never churn the retained set
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    big = set(_ids(stratified_sample(d, "lang", {"en": 0.6}, "doc_id", default_rate=0.5)))
+    small = set(_ids(stratified_sample(d, "lang", {"en": 0.3}, "doc_id", default_rate=0.25)))
+    assert small < big
+
+
+def test_rates_are_approximately_honored(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_sample(d, "lang", {"en": 0.5}, "doc_id", default_rate=0.1)
+    tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en = got.get("en", 0) / tot["en"]
+    assert 0.35 < en < 0.65, en
+    rest_tot = sum(v for k, v in tot.items() if k != "en")
+    rest_got = sum(v for k, v in got.items() if k != "en")
+    assert 0.02 < rest_got / rest_tot < 0.2, rest_got / rest_tot
+
+
+def test_rate_bounds_validated(spark):
+    import pytest
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        stratified_sample(d, "lang", {"en": 1.5}, "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(d, "lang", {}, "doc_id", default_rate=-0.1)
+
+
+def test_draw_is_nonnegative_for_negative_keys(spark):
+    # canonical twin ids are negative longs; the draw must stay in range
+    df = spark.createDataFrame([(-5,), (-1,), (0,), (7,)], "k long")
+    vals = [r["h"] for r in df.select(sample_hash(F.col("k")).alias("h")).collect()]
+    assert all(0 <= v < 1_000_000 for v in vals), vals
+
+
+def test_zero_and_one_rates_are_exact(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    none = stratified_sample(d, "lang", {"en": 0.0}, "doc_id", default_rate=0.0)
+    assert none.count() == 0
+    all_en = stratified_sample(d, "lang", {"en": 1.0}, "doc_id", default_rate=0.0)
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert all_en.count() == n_en

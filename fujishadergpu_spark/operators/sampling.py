@@ -46,11 +46,17 @@ DENOM = 1_000_000  # rate resolution: 1e-6
 
 
 def sample_hash(key: Column) -> Column:
-    """((a*key + b) mod p) mod DENOM in [0, DENOM) — the per-row draw.
-    Non-negative for any long key: Spark/DuckDB `%` keep the dividend
-    sign, so fold the first mod to [0, p) with pmod semantics."""
-    h = (key.cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(P31)
-    return ((h + F.lit(P31)) % F.lit(P31)) % F.lit(DENOM)
+    """((a·key + b) mod p) mod DENOM in [0, DENOM) — the per-row draw.
+
+    The key is folded to [0, p) BEFORE the multiply: a raw
+    full-range long times a 2^30-scale multiplier overflows int64 (a
+    hard ARITHMETIC_OVERFLOW under ANSI mode, which is Spark 4's
+    default) — reduced first, every intermediate stays < 2^62, and
+    (k mod p)·a ≡ k·a (mod p) so the draw is unchanged for small
+    keys. Spark/DuckDB `%` keep the dividend sign, hence the +p fold
+    for negative keys."""
+    k = ((key.cast("long") % F.lit(P31)) + F.lit(P31)) % F.lit(P31)
+    return ((k * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(P31)) % F.lit(DENOM)
 
 
 def stratified_sample(

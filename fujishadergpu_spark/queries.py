@@ -1234,7 +1234,9 @@ def _stratified_sample_sql() -> str:
         f"WHEN lang = '{s}' THEN {int(round(r * DENOM))}"
         for s, r in sorted(SAMPLE_RATES.items())
     )
-    draw = f"((((doc_id * {SAMPLE_A} + {SAMPLE_B}) % {P31}) + {P31}) % {P31}) % {DENOM}"
+    # same pre-multiply key fold as sampling.sample_hash (int64
+    # overflow safety at full-range keys; value-identical mod p)
+    draw = f"(((((doc_id % {P31}) + {P31}) % {P31}) * {SAMPLE_A} + {SAMPLE_B}) % {P31} % {DENOM})"
     return f"""
 SELECT doc_id, lang FROM documents
 WHERE {draw} < (CASE {case} ELSE {int(round(0.02 * DENOM))} END)

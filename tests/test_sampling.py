@@ -67,3 +67,13 @@ def test_zero_and_one_rates_are_exact(spark):
     all_en = stratified_sample(d, "lang", {"en": 1.0}, "doc_id", default_rate=0.0)
     n_en = d.filter(F.col("lang") == "en").count()
     assert all_en.count() == n_en
+
+
+def test_full_range_keys_do_not_overflow(spark):
+    # xxhash64-derived keys span the full long range; the pre-multiply
+    # fold must keep the draw ANSI-safe at both extremes
+    df = spark.createDataFrame(
+        [(-(1 << 63),), ((1 << 63) - 1,), ((1 << 40) + 17,)], "k long"
+    )
+    vals = [r["h"] for r in df.select(sample_hash(F.col("k")).alias("h")).collect()]
+    assert all(0 <= v < 1_000_000 for v in vals), vals

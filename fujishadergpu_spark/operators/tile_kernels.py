@@ -601,13 +601,22 @@ def tile_kernel_stats(
     lit_threshold: float = 0.75,
     fill_surface=None,
     metric_scale: bool = False,
+    grid_dtype=None,
     **kernel_params,
 ) -> DataFrame:
     """Like tile_kernel but reduces each tile to scalar stats inside
     the UDF (sum / mean / lit-pixel count / max), avoiding the 65k-
     element array transfer + interpreted fold when only summaries are
     consumed — the reference's quantize-on-GPU-before-transfer
-    discipline (reference core/tile_processor.py:983-996)."""
+    discipline (reference core/tile_processor.py:983-996).
+
+    grid_dtype: the accumulation/kernel dtype — float32 by default
+    (the production bandwidth choice; stats never leave the UDF).
+    The ORACLE-ONLY alternative is float64: the cross-engine hash
+    gate's DuckDB twin computes in float64, and float32 kernel noise
+    (~1e-7 relative) would leak above the quantized-sum tolerance;
+    production renders never need it (cf. normalize_acctbal's
+    oracle-only exact percentile)."""
     fn_kernel, _ = KERNELS[kernel]
     if metric_scale:
         if kernel not in METRIC_SCALE_KERNELS:
@@ -626,9 +635,10 @@ def tile_kernel_stats(
         # in float64) — the reference's quantize-before-transfer
         # discipline applied to bandwidth instead of PCIe
         tk = int(pdf["_tk"].iloc[0])
-        grid = _accumulate_grid(pdf, z, h, weight_col, dtype=np.float32)
+        dt = np.float32 if grid_dtype is None else grid_dtype
+        grid = _accumulate_grid(pdf, z, h, weight_col, dtype=dt)
         if fill_surface is not None:
-            grid = fill_surface.apply(grid, tk >> 32, tk & _MASK32, z, h).astype(np.float32)
+            grid = fill_surface.apply(grid, tk >> 32, tk & _MASK32, z, h).astype(dt)
         if log_scale:
             grid = np.log1p(grid)
         params = kernel_params

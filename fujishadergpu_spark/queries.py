@@ -1559,6 +1559,85 @@ def tile_hillshade_z6(spark, sf_dir):
     return tile_kernel_stats(p, 6, kernel="hillshade", log_scale=True).orderBy("x", "y")
 
 
+def tile_hillshade_exact_z6(spark, sf_dir):
+    """The FLAGSHIP trig kernel itself under the cross-engine hash
+    gate — the last rows-only frontier of the tile path. Per-tile
+    Σ(hillshade) is quantized at 1e-3 (round(shade_sum·1000)): in
+    float64 the engines' per-pixel libm/formulation differences are
+    ~1e-15 (the DuckDB twin uses the algebraically-equivalent
+    closed form shade = [sin(alt) + cos(alt)(cos(az)·gy −
+    sin(az)·gx)] / √(1+|∇|²) instead of arctan/arctan2), so the
+    65k-pixel sum agrees to ~1e-10 — eleven orders below the
+    quantum — while any REAL drift (halo transport, log1p, gradient
+    stencil, clip, azimuth convention) moves whole units. Runs the
+    real rasterize → halo exchange → np.gradient → hillshade →
+    per-tile stats machinery with the oracle-only float64 grid
+    (tile_kernel_stats(grid_dtype=float64); production stays
+    float32)."""
+    from .operators.tile_kernels import tile_kernel_stats
+
+    import numpy as np
+
+    p = geo_points(spark, sf_dir)
+    t = tile_kernel_stats(p, 6, kernel="hillshade", log_scale=True,
+                          grid_dtype=np.float64)
+    return t.select(
+        "z", "x", "y",
+        F.round(F.col("shade_sum") * 1000.0).cast("long").alias("shade_sum_q"),
+    ).orderBy("x", "y")
+
+
+def _hillshade_exact_sql(z: int) -> str:
+    """DuckDB twin of tile_hillshade_exact_z6 in WORLD pixel coords:
+    only pixels within Chebyshev 1 of an occupied pixel can have a
+    nonzero gradient (np.gradient's central-diff stencil), every
+    other core pixel contributes exactly sin(alt) — so the per-tile
+    sum is 65536·sin(alt) + Σ_candidates (shade − sin(alt)). Neighbor
+    values wrap x at the antimeridian and are zero beyond the world's
+    y edge, mirroring explode_to_tiles' halo rules; candidate pixels
+    group to their OWNING tile (px//256), the core-crop twin."""
+    gx, gy = _grid_sql(z)
+    w = (1 << z) * 256
+    nt = 1 << z
+    return f"""
+WITH {PTS_SQL},
+pg AS (SELECT {gx} AS gx, {gy} AS gy FROM pts),
+cnt AS (SELECT gx, gy, CAST(COUNT(*) AS DOUBLE) AS n FROM pg GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT ((c.gx + d.dx) % {w} + {w}) % {w} AS px, c.gy + d.dy AS py
+  FROM cnt c CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) d(dx, dy)
+  WHERE c.gy + d.dy BETWEEN 0 AND {w - 1}
+),
+nb AS (
+  SELECT a.px, a.py,
+         COALESCE(MAX(CASE WHEN o.tag = 'xm' THEN ln(1.0 + c.n) END), 0.0) AS vxm,
+         COALESCE(MAX(CASE WHEN o.tag = 'xp' THEN ln(1.0 + c.n) END), 0.0) AS vxp,
+         COALESCE(MAX(CASE WHEN o.tag = 'ym' THEN ln(1.0 + c.n) END), 0.0) AS vym,
+         COALESCE(MAX(CASE WHEN o.tag = 'yp' THEN ln(1.0 + c.n) END), 0.0) AS vyp
+  FROM cand a
+  CROSS JOIN (VALUES ('xm', -1, 0), ('xp', 1, 0), ('ym', 0, -1), ('yp', 0, 1)) o(tag, dx, dy)
+  LEFT JOIN cnt c
+    ON c.gx = ((a.px + o.dx) % {w} + {w}) % {w}
+   AND c.gy = a.py + o.dy
+  GROUP BY a.px, a.py
+),
+sh AS (
+  SELECT px, py,
+         least(1.0, greatest(0.0,
+           (sin(radians(45.0))
+            + cos(radians(45.0)) * (cos(radians(315.0)) * ((vyp - vym) / 2.0)
+                                    - sin(radians(315.0)) * ((vxp - vxm) / 2.0)))
+           / sqrt(1.0 + ((vxp - vxm) / 2.0) * ((vxp - vxm) / 2.0)
+                      + ((vyp - vym) / 2.0) * ((vyp - vym) / 2.0)))) AS shade
+  FROM nb
+)
+SELECT {z} AS z, px // 256 AS x, py // 256 AS y,
+       CAST(round((65536.0 * sin(radians(45.0)) + SUM(shade - sin(radians(45.0)))) * 1000.0) AS BIGINT)
+         AS shade_sum_q
+FROM sh GROUP BY 2, 3 ORDER BY x, y
+"""
+
+
 def _kernel_query(kernel: str, **params):
     """One rows-only driver entry per ported stencil algorithm:
     rasterize -> halo exchange -> kernel -> per-tile stats at z5.
@@ -2206,6 +2285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
+    "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
@@ -2234,7 +2314,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
-    "tile_hillshade_z6": tile_hillshade_z6,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
@@ -2254,6 +2333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,  # multi-join agg; q3/q5 cover the skeleton
     "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
     "multiscale_usm_z5": multiscale_usm_z5,  # overview-path variant; exact-USM + overview_box_total cover it
+    "tile_hillshade_z6": tile_hillshade_z6,  # float32 stats variant; the float64 exact entry gates the same path
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     # full per-kernel smoke family — one literal entry per ported
@@ -2323,6 +2403,7 @@ ORACLES: dict[str, str] = {
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
+    "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,

@@ -1587,7 +1587,7 @@ def tile_hillshade_exact_z6(spark, sf_dir):
     ).orderBy("x", "y")
 
 
-def _hillshade_exact_sql(z: int) -> str:
+def _hillshade_exact_sql(z: int, z_factor: float | None = None) -> str:
     """DuckDB twin of tile_hillshade_exact_z6 in WORLD pixel coords:
     only pixels within Chebyshev 1 of an occupied pixel can have a
     nonzero gradient (np.gradient's central-diff stencil), every
@@ -1595,10 +1595,32 @@ def _hillshade_exact_sql(z: int) -> str:
     sum is 65536·sin(alt) + Σ_candidates (shade − sin(alt)). Neighbor
     values wrap x at the antimeridian and are zero beyond the world's
     y edge, mirroring explode_to_tiles' halo rules; candidate pixels
-    group to their OWNING tile (px//256), the core-crop twin."""
+    group to their OWNING tile (px//256), the core-crop twin.
+
+    With z_factor set, the METRIC variant: the central diffs are
+    scaled by z_factor / (m-per-pixel at the owning tile's center
+    latitude) — the tile_pixel_scales WGS84-series formula inlined as
+    expressions of py//256 (scales depend only on the tile row), the
+    same per-tile scalar injection tile_kernel(metric_scale=True)
+    performs. Gradient at a flat pixel stays exactly 0, so the
+    flat-pixel algebra is unchanged."""
     gx, gy = _grid_sql(z)
     w = (1 << z) * 256
     nt = 1 << z
+    if z_factor is None:
+        gxs, gys = "((vxp - vxm) / 2.0)", "((vyp - vym) / 2.0)"
+    else:
+        n_px = float(w)
+        latc = (f"degrees(atan((exp(pi() * (1.0 - 2.0 * (((py // 256) + 0.5) * 256.0 / {n_px})))"
+                f" - exp(-(pi() * (1.0 - 2.0 * (((py // 256) + 0.5) * 256.0 / {n_px}))))) / 2.0))")
+        mlon = (f"(111412.84 * cos(radians({latc})) - 93.5 * cos(radians({latc}) * 3.0)"
+                f" + 0.118 * cos(radians({latc}) * 5.0))")
+        mlat = (f"(111132.92 - 559.82 * cos(radians({latc}) * 2.0)"
+                f" + 1.175 * cos(radians({latc}) * 4.0) - 0.0023 * cos(radians({latc}) * 6.0))")
+        sx = f"({mlon} * {360.0 / n_px})"
+        sy = f"({mlat} * {360.0 / n_px} * cos(radians({latc})))"
+        gxs = f"(((vxp - vxm) / 2.0) * ({float(z_factor)} / {sx}))"
+        gys = f"(((vyp - vym) / 2.0) * ({float(z_factor)} / {sy}))"
     return f"""
 WITH {PTS_SQL},
 pg AS (SELECT {gx} AS gx, {gy} AS gy FROM pts),
@@ -1625,10 +1647,9 @@ sh AS (
   SELECT px, py,
          least(1.0, greatest(0.0,
            (sin(radians(45.0))
-            + cos(radians(45.0)) * (cos(radians(315.0)) * ((vyp - vym) / 2.0)
-                                    - sin(radians(315.0)) * ((vxp - vxm) / 2.0)))
-           / sqrt(1.0 + ((vxp - vxm) / 2.0) * ((vxp - vxm) / 2.0)
-                      + ((vyp - vym) / 2.0) * ((vyp - vym) / 2.0)))) AS shade
+            + cos(radians(45.0)) * (cos(radians(315.0)) * {gys}
+                                    - sin(radians(315.0)) * {gxs}))
+           / sqrt(1.0 + {gxs} * {gxs} + {gys} * {gys}))) AS shade
   FROM nb
 )
 SELECT {z} AS z, px // 256 AS x, py // 256 AS y,
@@ -1636,6 +1657,29 @@ SELECT {z} AS z, px // 256 AS x, py // 256 AS y,
          AS shade_sum_q
 FROM sh GROUP BY 2, 3 ORDER BY x, y
 """
+
+
+def tile_hillshade_metric_exact_z6(spark, sf_dir):
+    """The metric-scale injection (A5 + §2.C WGS84 series) under the
+    same quantized-sum trig gate as tile_hillshade_exact_z6: per-tile
+    (m/px x, m/px y) at the tile's center latitude scale the gradient
+    (z_factor 2000 lifts log-density relief to visible range), and
+    the DuckDB twin inlines the identical inverse-mercator + WGS84
+    series as expressions of the tile row. A drift in the scale
+    formula, the center-latitude convention, or the z_factor
+    application moves whole quantization units."""
+    from .operators.tile_kernels import tile_kernel_stats
+
+    import numpy as np
+
+    p = geo_points(spark, sf_dir)
+    t = tile_kernel_stats(p, 6, kernel="hillshade", log_scale=True,
+                          metric_scale=True, z_factor=2000.0,
+                          grid_dtype=np.float64)
+    return t.select(
+        "z", "x", "y",
+        F.round(F.col("shade_sum") * 1000.0).cast("long").alias("shade_sum_q"),
+    ).orderBy("x", "y")
 
 
 def _kernel_query(kernel: str, **params):
@@ -2286,6 +2330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
+    "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
@@ -2315,7 +2360,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
-    "tile_hillshade_metric_z6": tile_hillshade_metric_z6,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
@@ -2334,6 +2378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_best_docs": dedup_canonical_best_docs,  # argmax variant of the in-window canonical skeleton
     "multiscale_usm_z5": multiscale_usm_z5,  # overview-path variant; exact-USM + overview_box_total cover it
     "tile_hillshade_z6": tile_hillshade_z6,  # float32 stats variant; the float64 exact entry gates the same path
+    "tile_hillshade_metric_z6": tile_hillshade_metric_z6,  # float32 metric variant; the exact metric entry gates the path
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     # full per-kernel smoke family — one literal entry per ported
@@ -2404,6 +2449,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
+    "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_NGRAM_SQL,

@@ -114,7 +114,6 @@ def test_differentiated_entries_inside_driver_window():
         "embedding_near_dup_pairs",
         "ann_ivf_index_probe",
         "tile_hillshade_filled_z5",
-        "tile_hillshade_metric_z6",
         "tile_openness_normalized_z5",
         "tile_frangi_normalized_z5",
         "spatial_hillshade_z5",

@@ -2302,7 +2302,17 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # covers every DIFFERENTIATED code path:
 #   tier 1 — every hash-oracled entry (the strongest evidence);
 #   tier 2 — differentiated rows-only entries (distinct plumbing with
-#            no SQL-expressible twin);
+#            no SQL-expressible twin). After round 5 only five remain,
+#            each with a concrete reason: ann_ivf_index_probe (pruned
+#            probe — the exhaustive config IS hash-gated, pruning is
+#            plan/metric-pinned), tile_hillshade_filled_z5 (void-fill
+#            membrane is a driver-side BFS), tile_openness_normalized_
+#            z5 / tile_frangi_normalized_z5 (percentile_approx sample
+#            sketches aren't SQL-stateable; the kernels are pytest-
+#            bit-exact and openness also rides the geographic metric
+#            parity test), spatial_hillshade_z5 (multi-radius overview
+#            composition — its components are individually hash-gated
+#            via overview_box_total + the exact hillshade entries);
 #   tier 3 — redundant variants of already-covered skeletons + the
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).

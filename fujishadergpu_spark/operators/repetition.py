@@ -1,0 +1,192 @@
+"""Repetition-based quality filtering and corpus-level line dedup for
+web-text training pipelines.
+
+Two operators over multi-line documents (``\\n``-separated lines, the
+shape of real crawled text):
+
+- :func:`repetition_features` — the repetition signals of Gopher
+  (Rae et al. 2021, §A1.1 quality filtering): duplicate-line fraction,
+  duplicate-line character fraction, and the fraction of characters
+  covered by the most frequent word 2-gram, plus a ``keep`` flag at
+  the published thresholds (0.30 / 0.20 / 0.20).
+- :func:`line_dedup` — CCNet-style corpus-level line deduplication
+  (Wenzek et al. 2020): every occurrence of a line after the first
+  across the WHOLE corpus is dropped; the keeper is the minimum
+  (doc_id, position) — the same deterministic min-struct keeper
+  discipline as operators/dedup.exact_dedup.
+
+Reference parity: the reference repo is the geospatial half of this
+graft and has no text pipeline; these extend the LLM-data-pipeline
+family (SURVEY.md §6) alongside operators/dedup.py.
+
+Scale notes (100 TB):
+- Per-doc features explode lines / bigrams and aggregate on
+  (doc_id, token): short-string shuffle rows keyed by the document,
+  map-side partial aggregation, no all-pairs path, nothing collected
+  on the driver.
+- Corpus line dedup shuffles (line, doc_id, pos) rows once — a
+  window-min partitioned by the line (one Exchange, the
+  operators/components.py discipline) — then regroups by doc_id to
+  reassemble text. Line text crosses the wire exactly once per
+  occurrence; no text enters any iteration.
+- All fractions are single CAST(x AS DOUBLE)/y divisions of exact
+  integer ratios, so the DuckDB twins hash bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Gopher §A1.1 published thresholds
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_TOP_BIGRAM_CHAR_FRAC = 0.20
+
+
+def _empty_str_array():
+    return F.array().cast("array<string>")
+
+
+def doc_lines(text):
+    """Non-empty ``\\n``-separated lines (JVM split + filter)."""
+    return F.filter(F.split(text, "\n"), lambda l: l != "")
+
+
+def doc_tokens_ws(text):
+    """Whitespace tokens across line boundaries (space or newline)."""
+    return F.filter(F.split(text, "[ \n]+"), lambda t: t != "")
+
+
+def repetition_features(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = MAX_DUP_LINE_FRAC,
+    max_dup_line_char_frac: float = MAX_DUP_LINE_CHAR_FRAC,
+    max_top_bigram_char_frac: float = MAX_TOP_BIGRAM_CHAR_FRAC,
+) -> DataFrame:
+    """Per-document repetition features + keep flag (Gopher §A1.1).
+
+    Returns one row per input document: n_lines, n_distinct_lines,
+    dup_line_frac, dup_line_char_frac, top_bigram, top_bigram_cnt,
+    top_bigram_char_frac, keep. Character fractions are measured
+    against the total line characters (separators excluded), so both
+    engines agree exactly.
+    """
+    did = F.col(doc_id_col)
+    base = df.select(
+        did.alias("doc_id"),
+        doc_lines(F.col(text_col)).alias("lines"),
+        doc_tokens_ws(F.col(text_col)).alias("tk"),
+    )
+
+    # duplicate-line stats: explode -> per-(doc, line) count -> per-doc
+    per_line = (
+        base.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"))
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum((F.col("cnt") - F.lit(1)) * F.length("line")).alias("dup_line_chars"),
+    )
+
+    # most frequent word 2-gram: argmax via one struct-max (ties broken
+    # by the lexicographically greatest gram — row_number ORDER BY
+    # cnt DESC, gram DESC in the DuckDB twin)
+    n = F.size("tk")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+        ),
+    ).otherwise(_empty_str_array())
+    per_gram = (
+        base.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = per_gram.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("tg")
+    )
+
+    out = line_stats.join(top, "doc_id", "left")
+    dup_line_frac = F.when(
+        F.col("n_lines") > 0,
+        (F.col("n_lines") - F.col("n_distinct_lines")).cast("double") / F.col("n_lines"),
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        F.col("line_chars") > 0,
+        F.col("dup_line_chars").cast("double") / F.col("line_chars"),
+    ).otherwise(F.lit(0.0))
+    top_chars = F.coalesce(F.col("tg.cnt") * F.length("tg.gram"), F.lit(0))
+    top_frac = F.when(
+        F.col("line_chars") > 0, top_chars.cast("double") / F.col("line_chars")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        F.coalesce(F.col("tg.gram"), F.lit("")).alias("top_bigram"),
+        F.coalesce(F.col("tg.cnt"), F.lit(0)).cast("bigint").alias("top_bigram_cnt"),
+        top_frac.alias("top_bigram_char_frac"),
+        (
+            (dup_line_frac <= F.lit(max_dup_line_frac))
+            & (dup_char_frac <= F.lit(max_dup_line_char_frac))
+            & (top_frac <= F.lit(max_top_bigram_char_frac))
+        ).alias("keep"),
+    )
+
+
+def line_dedup(
+    df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level line dedup: keep only the globally-first occurrence
+    of every distinct line (keeper = min (doc_id, position)); rebuild
+    each document from its surviving lines in original order.
+
+    Returns (doc_id, n_lines, n_kept, n_removed, text_dedup) for every
+    input document — documents whose lines were all removed survive
+    with empty text, so the operator is total and idempotent.
+    """
+    did = F.col(doc_id_col)
+    base = df.select(did.alias("doc_id"), doc_lines(F.col(text_col)).alias("lines"))
+    exploded = base.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    )
+    # one Exchange: window-min of (doc_id, pos) per distinct line
+    w = Window.partitionBy("line")
+    kept = (
+        exploded.withColumn("keeper", F.min(F.struct("doc_id", "pos")).over(w))
+        .where(
+            (F.col("doc_id") == F.col("keeper.doc_id"))
+            & (F.col("pos") == F.col("keeper.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+        )
+    )
+    totals = base.select("doc_id", F.size("lines").cast("bigint").alias("n_lines"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

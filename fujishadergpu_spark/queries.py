@@ -2292,6 +2292,163 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 # ----------------------------------------------------------------------
+# repetition filtering + corpus line dedup (operators/repetition.py)
+# ----------------------------------------------------------------------
+# The fixture documents are single-line; both entries first synthesize
+# multi-line documents DETERMINISTICALLY (both engines run the same
+# construction): lines = 8-token chunks of the text, then line-level
+# planting — docs with doc_id % 3 == 0 repeat their first four lines
+# (within-doc duplication, the Gopher signal) and docs with
+# doc_id % 7 == 0 append a constant boilerplate line (cross-corpus
+# duplication, the CCNet line-dedup signal). Planting at the LINE
+# level keeps chunk boundaries stable, so the duplicate set is exact.
+# The operators themselves consume real "\n"-separated text — the
+# shape they would see at 100 TB.
+
+_BOILERPLATE_LINE = "click here to subscribe now and win big prizes"
+_LINE_TOKENS = 8
+
+
+def _multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.repetition import _empty_str_array
+
+    d = _t(spark, sf_dir, "documents")
+    tk = textfn.tokens(F.col("text"))
+    nl = F.ceil(F.size(tk) / F.lit(float(_LINE_TOKENS))).cast("int")
+    ls0 = F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.array_join(
+                F.slice(tk, (i - F.lit(1)) * _LINE_TOKENS + F.lit(1), _LINE_TOKENS), " "
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+    ls = F.concat(
+        ls0,
+        F.when(F.col("doc_id") % 3 == 0, F.slice(ls0, 1, 4)).otherwise(
+            _empty_str_array()
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(_BOILERPLATE_LINE))).otherwise(
+            _empty_str_array()
+        ),
+    )
+    return d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+
+
+# shared DuckDB CTE building the identical multi-line corpus
+_MULTILINE_CTE = f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk
+  FROM documents
+), ln0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN
+      [array_to_string(tk[(i-1)*{_LINE_TOKENS}+1:(i-1)*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')
+       FOR i IN generate_series(1, CAST(ceil(len(tk)/{_LINE_TOKENS}.0) AS INT))]
+    ELSE [] END AS ls
+  FROM toks
+), ml AS (
+  SELECT doc_id, array_to_string(
+    list_concat(
+      list_concat(ls, CASE WHEN doc_id % 3 = 0 THEN ls[1:4] ELSE [] END),
+      CASE WHEN doc_id % 7 = 0 THEN ['{_BOILERPLATE_LINE}'] ELSE [] END
+    ), chr(10)) AS text
+  FROM ln0
+), la AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> l != '') AS la FROM ml
+), lines AS (
+  SELECT doc_id, u.line AS line, u.pos AS pos FROM (
+    SELECT doc_id,
+           unnest([{{'line': la[i], 'pos': i - 1}} FOR i IN generate_series(1, len(la))]) AS u
+    FROM la
+  )
+)"""
+
+
+def doc_repetition_filter(spark, sf_dir):
+    """Gopher §A1.1 repetition quality filter over the synthesized
+    multi-line corpus (operators/repetition.repetition_features)."""
+    from .operators.repetition import repetition_features
+
+    return repetition_features(_multiline_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH {_MULTILINE_CTE},
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line
+), line_stats AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_lines,
+         COUNT(*) AS n_distinct_lines,
+         SUM(cnt * length(line)) AS line_chars,
+         SUM((cnt - 1) * length(line)) AS dup_line_chars
+  FROM per_line GROUP BY doc_id
+), tk2 AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), t -> t != '') AS tk FROM ml
+), per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+          [tk[i] || ' ' || tk[i+1] FOR i IN generate_series(1, len(tk)-1)]
+        ELSE [] END) AS gram FROM tk2)
+  GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_cnt
+  FROM (SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+        FROM per_gram)
+  WHERE rn = 1
+)
+SELECT s.doc_id,
+  CAST(s.n_lines AS BIGINT) AS n_lines,
+  CAST(s.n_distinct_lines AS BIGINT) AS n_distinct_lines,
+  CASE WHEN s.n_lines > 0 THEN CAST(s.n_lines - s.n_distinct_lines AS DOUBLE) / s.n_lines ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN s.line_chars > 0 THEN CAST(s.dup_line_chars AS DOUBLE) / s.line_chars ELSE 0.0 END AS dup_line_char_frac,
+  coalesce(t.top_bigram, '') AS top_bigram,
+  CAST(coalesce(t.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+  CASE WHEN s.line_chars > 0 THEN CAST(coalesce(t.top_cnt * length(t.top_bigram), 0) AS DOUBLE) / s.line_chars ELSE 0.0 END AS top_bigram_char_frac,
+  (CASE WHEN s.n_lines > 0 THEN CAST(s.n_lines - s.n_distinct_lines AS DOUBLE) / s.n_lines ELSE 0.0 END) <= 0.30
+    AND (CASE WHEN s.line_chars > 0 THEN CAST(s.dup_line_chars AS DOUBLE) / s.line_chars ELSE 0.0 END) <= 0.20
+    AND (CASE WHEN s.line_chars > 0 THEN CAST(coalesce(t.top_cnt * length(t.top_bigram), 0) AS DOUBLE) / s.line_chars ELSE 0.0 END) <= 0.20
+    AS keep
+FROM line_stats s LEFT JOIN top t USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def line_dedup_docs(spark, sf_dir):
+    """CCNet-style corpus-level line dedup over the synthesized
+    multi-line corpus (operators/repetition.line_dedup)."""
+    from .operators.repetition import line_dedup
+
+    return line_dedup(_multiline_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+LINE_DEDUP_SQL = f"""
+WITH {_MULTILINE_CTE},
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(la) AS n_lines FROM la
+)
+SELECT t.doc_id,
+  CAST(t.n_lines AS BIGINT) AS n_lines,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(t.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(k.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -2316,6 +2473,11 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 #   tier 3 — redundant variants of already-covered skeletons + the
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).
+#            geo_pip_zones_salted and tile_hillshade_metric_exact_z6
+#            were demoted here in round 5 to admit the repetition
+#            filter + corpus line dedup: both keep their ORACLES rows
+#            (checked every pytest run by tests/test_demoted_oracles)
+#            and each is a variant/composition of in-window gates.
 # tests/test_registry_sync.py pins tier 1 + tier 2 inside the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 1: hash-oracled ----------------------------------------
@@ -2340,13 +2502,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_weighted_census_z6": tile_weighted_census_z6,
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
-    "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
     "tile_metric_scales_z6": tile_metric_scales_z6,
     "geo_pip_zones": geo_pip_zones,
-    "geo_pip_zones_salted": geo_pip_zones_salted,
     "geo_knn_k5": geo_knn_k5,
     # documents / embeddings
     "doc_token_counts": doc_token_counts,
@@ -2354,6 +2514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": doc_quality,
     "doc_stats_by_lang": doc_stats_by_lang,
     "dedup_exact_docs": dedup_exact_docs,
+    "doc_repetition_filter": doc_repetition_filter,
+    "line_dedup_docs": line_dedup_docs,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -2391,6 +2553,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,  # float32 metric variant; the exact metric entry gates the path
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
+    "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
+    "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -2457,6 +2621,8 @@ ORACLES: dict[str, str] = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "doc_repetition_filter": DOC_REPETITION_SQL,
+    "line_dedup_docs": LINE_DEDUP_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
     "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),

@@ -107,6 +107,8 @@ def test_differentiated_entries_inside_driver_window():
         "dedup_canonical_best_docs",  # argmax variant of dedup_canonical_docs' skeleton
         "streaming_dedup_keep",     # batch twin of the pytest-pinned streaming dedup
         "ann_ivf_probe_exhaustive", # conditional exact config of the in-window probe skeleton
+        "geo_pip_zones_salted",     # salted variant of geo_pip_zones (hash-parity pinned in pytest)
+        "tile_hillshade_metric_exact_z6",  # composition of in-window metric-scales + exact-hillshade gates
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

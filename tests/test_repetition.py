@@ -1,0 +1,120 @@
+"""Gopher repetition quality filter + CCNet corpus line dedup
+(operators/repetition.py) — hand-computed expectations on a tiny
+corpus, keeper discipline, idempotence, and edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.operators.repetition import (
+    line_dedup,
+    repetition_features,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc 0: 4 lines, one duplicated twice -> 2 dup occurrences
+        (0, "aa bb\naa bb\naa bb\ncc dd"),
+        # doc 1: clean two-liner, long enough that no single bigram
+        # covers >20% of its characters
+        (1, "ee ff gg hh ii jj\nkk ll mm nn oo pp"),
+        # doc 2: shares doc 1's first line (cross-doc duplicate)
+        (2, "ee ff gg hh ii jj\nqq rr"),
+        # doc 3: heavy bigram repetition on a single line
+        (3, "xx yy xx yy xx yy xx yy"),
+        # doc 4: single token (no bigrams)
+        (4, "solo"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_features_hand_computed(corpus):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(corpus).collect()
+    }
+    d0 = out[0]
+    # 4 lines, 2 distinct -> dup_line_frac = 2/4
+    assert d0["n_lines"] == 4 and d0["n_distinct_lines"] == 2
+    assert d0["dup_line_frac"] == pytest.approx(0.5)
+    # dup chars: "aa bb" (5 chars) x 2 extra occurrences = 10 of 20
+    assert d0["dup_line_char_frac"] == pytest.approx(10 / 20)
+    # top bigram crosses the line boundary tokens: "bb aa" appears 2x,
+    # "aa bb" appears 3x -> argmax is ("aa bb", 3)
+    assert d0["top_bigram"] == "aa bb" and d0["top_bigram_cnt"] == 3
+    assert not d0["keep"]
+
+    d1 = out[1]
+    assert d1["dup_line_frac"] == 0.0 and d1["dup_line_char_frac"] == 0.0
+    # all bigrams distinct -> cnt 1, tie broken by greatest gram;
+    # 5 of 34 chars -> under the 0.2 gate
+    assert d1["top_bigram_cnt"] == 1 and d1["top_bigram"] == "oo pp"
+    assert d1["top_bigram_char_frac"] == pytest.approx(5 / 34)
+    assert d1["keep"]
+
+    d3 = out[3]
+    # one line -> no line dups, but "xx yy" occurs 4 of 7 bigrams and
+    # covers 4*5=20 of 23 chars -> filtered on the 2-gram rule alone
+    assert d3["dup_line_frac"] == 0.0
+    assert d3["top_bigram"] == "xx yy" and d3["top_bigram_cnt"] == 4
+    assert d3["top_bigram_char_frac"] == pytest.approx(20 / 23)
+    assert not d3["keep"]
+
+    d4 = out[4]
+    # no bigrams -> empty top gram, zero fraction, kept
+    assert d4["top_bigram"] == "" and d4["top_bigram_cnt"] == 0
+    assert d4["top_bigram_char_frac"] == 0.0 and d4["keep"]
+
+
+def test_line_dedup_keeper_and_counts(corpus):
+    out = {r["doc_id"]: r for r in line_dedup(corpus).collect()}
+    # doc 0 keeps one "aa bb" (pos 0) + "cc dd"
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == "aa bb\ncc dd"
+    # doc 1 is fully first -> untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_dedup"] == "ee ff gg hh ii jj\nkk ll mm nn oo pp"
+    # doc 2 loses its first line to doc 1 (min doc_id wins)
+    assert out[2]["n_kept"] == 1 and out[2]["text_dedup"] == "qq rr"
+    # single-line docs survive
+    assert out[3]["n_removed"] == 0 and out[4]["text_dedup"] == "solo"
+
+
+def test_line_dedup_idempotent(corpus):
+    once = line_dedup(corpus).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    twice = line_dedup(once)
+    assert twice.agg(F.sum("n_removed")).collect()[0][0] == 0
+
+
+def test_line_dedup_total_on_fully_duplicate_doc(spark):
+    # doc 11's only line is doc 10's line -> doc 11 keeps nothing but
+    # still appears in the output with empty text
+    df = spark.createDataFrame(
+        [(10, "same line"), (11, "same line")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[10]["n_kept"] == 1
+    assert out[11]["n_kept"] == 0 and out[11]["text_dedup"] == ""
+
+
+def test_multiline_synthesis_plants_expected_duplicates(spark):
+    """The registry's deterministic multi-line synthesis: %3 docs carry
+    within-doc duplicate lines, %7 docs carry the shared boilerplate."""
+    from fujishadergpu_spark.queries import (
+        _BOILERPLATE_LINE,
+        _multiline_documents,
+    )
+
+    ml = _multiline_documents(spark, "/root/testdata/sf0.001").limit(0)
+    assert ml.columns == ["doc_id", "text"]
+    ml = _multiline_documents(spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r["text"].split("\n") for r in ml.limit(22).collect()}
+    for did, lines in rows.items():
+        has_bp = _BOILERPLATE_LINE in lines
+        assert has_bp == (did % 7 == 0), did
+        dup = len(lines) - len(set(lines))
+        if did % 3 == 0 and did % 7 != 0:
+            assert dup >= 1, did

@@ -2449,6 +2449,99 @@ ORDER BY t.doc_id
 
 
 # ----------------------------------------------------------------------
+# PII scrubbing (functions/pii.py)
+# ----------------------------------------------------------------------
+# The fixture text is digit-free word soup, so the entry plants PII
+# deterministically (both engines build the identical strings from
+# doc_id arithmetic): docs with doc_id % 4 == 0 gain an email,
+# % 5 == 0 a phone, % 6 == 0 an SSN-style id, % 11 == 0 an IPv4 —
+# doc 0 carries all four. The scrub itself is the real operator:
+# sequential count-then-replace per rule, identical regex text under
+# Java regex and RE2.
+
+
+def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    email = F.when(
+        did % 4 == 0,
+        F.concat(F.lit(" contact user"), s(did), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call +"), s(did % 9 + 1), F.lit(" "), s(did % 900 + 100),
+            F.lit("-"), s((did * 3) % 900 + 100), F.lit("-"), s(did % 9000 + 1000),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 6 == 0,
+        F.concat(
+            F.lit(" ssn "), F.lpad(s(did % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s(did % 100), 2, "0"), F.lit("-"), F.lpad(s(did % 10000), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" host 10."), s(did % 256), F.lit("."), s((did * 7) % 256),
+            F.lit("."), s((did * 13) % 256),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ssn, ip).alias("text")
+    )
+
+
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction + per-doc counts over the planted corpus
+    (functions/pii.scrub_pii)."""
+    from .functions.pii import scrub_pii
+
+    return scrub_pii(_pii_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    from .functions.pii import PII_RULES
+
+    plant = """
+pii_docs AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call +' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST((doc_id * 3) % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+    AS t
+  FROM documents
+)"""
+    stages = [plant]
+    prev = "pii_docs"
+    count_cols: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_RULES):
+        carried = ", ".join(count_cols)
+        carried = carried + ", " if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS {name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+        count_cols.append(name)
+    total = " + ".join(count_cols)
+    return (
+        "WITH " + ",\n".join(stages) + f"""
+SELECT doc_id, {', '.join(count_cols)}, t AS text_clean,
+       ({total}) > 0 AS has_pii
+FROM {prev} ORDER BY doc_id
+"""
+    )
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -2473,11 +2566,12 @@ ORDER BY t.doc_id
 #   tier 3 — redundant variants of already-covered skeletons + the
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).
-#            geo_pip_zones_salted and tile_hillshade_metric_exact_z6
-#            were demoted here in round 5 to admit the repetition
-#            filter + corpus line dedup: both keep their ORACLES rows
-#            (checked every pytest run by tests/test_demoted_oracles)
-#            and each is a variant/composition of in-window gates.
+#            geo_pip_zones_salted, tile_hillshade_metric_exact_z6 and
+#            order_priority_count were demoted here in round 5 to
+#            admit the repetition filter, corpus line dedup and PII
+#            scrub: all keep their ORACLES rows (checked every pytest
+#            run by tests/test_demoted_oracles) and each is a
+#            variant/composition of skeletons still in-window.
 # tests/test_registry_sync.py pins tier 1 + tier 2 inside the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 1: hash-oracled ----------------------------------------
@@ -2485,7 +2579,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_local_supplier": q5_local_supplier,
     "top_customers_per_nation": top_customers_per_nation,
-    "order_priority_count": order_priority_count,
     "events_hourly": events_hourly,
     "events_sessions": events_sessions,
     "customers_without_orders": customers_without_orders,
@@ -2516,6 +2609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "doc_repetition_filter": doc_repetition_filter,
     "line_dedup_docs": line_dedup_docs,
+    "doc_pii_scrub": doc_pii_scrub,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -2555,6 +2649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
+    "order_priority_count": order_priority_count,  # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -2623,6 +2718,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_repetition_filter": DOC_REPETITION_SQL,
     "line_dedup_docs": LINE_DEDUP_SQL,
+    "doc_pii_scrub": _pii_scrub_sql(),
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
     "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),

@@ -2542,6 +2542,75 @@ FROM {prev} ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# benchmark decontamination (operators/decontaminate.py)
+# ----------------------------------------------------------------------
+# The held-out benchmark corpus is synthesized DETERMINISTICALLY from
+# the fixture (both engines run the same construction): every doc with
+# doc_id % 9 == 0 contributes one benchmark snippet — tokens 4..19 of
+# its text — so those documents are contaminated by construction
+# (when long enough to yield an 8-gram), and any OTHER document
+# sharing an 8-token span with a snippet is caught too. The operator
+# itself consumes two real tables (corpus + benchmark) — the shape it
+# would see at 100 TB, with the benchmark side broadcast.
+
+_DECONTAM_N = 8
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: per-doc overlap report vs the
+    synthesized held-out snippet corpus (operators/decontaminate)."""
+    from .operators.decontaminate import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    tk = textfn.tokens(F.col("text"))
+    bench = d.where(F.col("doc_id") % 9 == 0).select(
+        F.array_join(F.slice(tk, 4, 16), " ").alias("text")
+    )
+    return decontaminate(d, bench, n=_DECONTAM_N).orderBy("doc_id")
+
+
+DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk
+  FROM documents
+), bench AS (
+  SELECT list_filter(
+           string_split_regex(array_to_string(tk[4:19], ' '), '[ \n]+'),
+           x -> x != '') AS tk
+  FROM toks WHERE doc_id % 9 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) >= {_DECONTAM_N} THEN
+      [array_to_string(tk[i:i+{_DECONTAM_N - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {_DECONTAM_N - 1})]
+    ELSE [] END) AS gram
+  FROM bench
+), dgrams AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= {_DECONTAM_N} THEN
+      [array_to_string(tk[i:i+{_DECONTAM_N - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {_DECONTAM_N - 1})]
+    ELSE [] END) AS grams
+  FROM toks
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM dgrams)
+  JOIN bgrams USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(d.grams) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  CASE WHEN len(d.grams) > 0
+       THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / len(d.grams)
+       ELSE 0.0 END AS contaminated_frac,
+  coalesce(h.n_contaminated, 0) = 0 AS keep
+FROM dgrams d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -2552,17 +2621,20 @@ FROM {prev} ORDER BY doc_id
 # covers every DIFFERENTIATED code path:
 #   tier 1 — every hash-oracled entry (the strongest evidence);
 #   tier 2 — differentiated rows-only entries (distinct plumbing with
-#            no SQL-expressible twin). After round 5 only five remain,
-#            each with a concrete reason: ann_ivf_index_probe (pruned
-#            probe — the exhaustive config IS hash-gated, pruning is
-#            plan/metric-pinned), tile_hillshade_filled_z5 (void-fill
-#            membrane is a driver-side BFS), tile_openness_normalized_
-#            z5 / tile_frangi_normalized_z5 (percentile_approx sample
-#            sketches aren't SQL-stateable; the kernels are pytest-
-#            bit-exact and openness also rides the geographic metric
-#            parity test), spatial_hillshade_z5 (multi-radius overview
-#            composition — its components are individually hash-gated
-#            via overview_box_total + the exact hillshade entries);
+#            no SQL-expressible twin). After round 5 only four remain
+#            in-window, each with a concrete reason:
+#            ann_ivf_index_probe (pruned probe — the exhaustive config
+#            IS hash-gated, pruning is plan/metric-pinned),
+#            tile_hillshade_filled_z5 (void-fill membrane is a
+#            driver-side BFS), tile_openness_normalized_z5
+#            (percentile_approx sample sketches aren't SQL-stateable;
+#            the kernel is pytest-bit-exact and rides the geographic
+#            metric parity test), spatial_hillshade_z5 (multi-radius
+#            overview composition — its components are individually
+#            hash-gated via overview_box_total + the exact hillshade
+#            entries). tile_frangi_normalized_z5 sits just past the
+#            window (openness covers its stretch plumbing — see the
+#            inline note);
 #   tier 3 — redundant variants of already-covered skeletons + the
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).
@@ -2610,6 +2682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_filter": doc_repetition_filter,
     "line_dedup_docs": line_dedup_docs,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_decontaminate": doc_decontaminate,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -2627,8 +2700,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_index_probe": ann_ivf_index_probe,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
     "tile_openness_normalized_z5": tile_openness_normalized_z5,
-    "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
+    # tile_frangi_normalized_z5 sits first past the window: admitting
+    # the hash-oracled doc_decontaminate displaced one rows-only slot,
+    # and openness already evidences the identical two-stage
+    # raw-stat -> percentile-stretch plumbing in-window (frangi's
+    # kernel itself stays pytest-bit-exact in the seam matrix)
+    "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,  # deeper halo over the z6 census skeleton
@@ -2719,6 +2797,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_filter": DOC_REPETITION_SQL,
     "line_dedup_docs": LINE_DEDUP_SQL,
     "doc_pii_scrub": _pii_scrub_sql(),
+    "doc_decontaminate": DECONTAM_SQL,
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
     "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),

@@ -1,0 +1,83 @@
+"""Benchmark n-gram decontamination (operators/decontaminate.py) —
+hand-computed expectations on a tiny corpus + benchmark, edge cases,
+and the broadcast-probe plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.operators.decontaminate import (
+    decontaminate,
+    token_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # doc 0: contains the benchmark span "a b c" verbatim
+        (0, "x y a b c z"),
+        # doc 1: clean — no 3-gram overlaps the benchmark
+        (1, "p q r s t"),
+        # doc 2: the benchmark span repeated — distinct grams count ONCE
+        (2, "a b c d a b c"),
+        # doc 3: too short for any 3-gram
+        (3, "a b"),
+        # doc 4: two distinct contaminated grams ("a b c" and "b c z")
+        (4, "a b c z q"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench_df(spark):
+    return spark.createDataFrame(
+        [("a b c z w",), ("m n o",)], ["text"]
+    )
+
+
+def test_hand_computed(spark, corpus, bench_df):
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench_df, n=3).collect()
+    }
+    # bench grams (n=3): {a b c, b c z, c z w, m n o}
+    # doc 0 grams: {x y a, y a b, a b c, b c z} -> 2 hits
+    assert (out[0]["n_grams"], out[0]["n_contaminated"]) == (4, 2)
+    assert not out[0]["keep"]
+    # doc 1: 3 grams, 0 hits -> keep
+    assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (3, 0)
+    assert out[1]["keep"]
+    # doc 2: grams {a b c, b c d, c d a, d a b} distinct -> 1 hit,
+    # even though "a b c" occurs twice in the text
+    assert (out[2]["n_grams"], out[2]["n_contaminated"]) == (4, 1)
+    # doc 3: shorter than n -> 0 grams, frac 0.0, keep
+    assert (out[3]["n_grams"], out[3]["n_contaminated"]) == (0, 0)
+    assert out[3]["contaminated_frac"] == 0.0 and out[3]["keep"]
+    # doc 4: grams {a b c, b c z, c z q} -> 2 hits, frac 2/3
+    assert (out[4]["n_grams"], out[4]["n_contaminated"]) == (3, 2)
+    assert out[4]["contaminated_frac"] == pytest.approx(2.0 / 3.0)
+
+
+def test_empty_benchmark_keeps_everything(spark, corpus):
+    empty = spark.createDataFrame([], "text string")
+    rows = decontaminate(corpus, empty, n=3).collect()
+    assert all(r["keep"] for r in rows)
+    assert all(r["n_contaminated"] == 0 for r in rows)
+
+
+def test_ngrams_multiline_and_empty(spark):
+    df = spark.createDataFrame([(0, "a b\nc d"), (1, "")], ["i", "t"])
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", token_ngrams(F.col("t"), 2).alias("g")).collect()
+    }
+    # newline is a token separator: grams cross the line boundary
+    assert sorted(got[0]) == ["a b", "b c", "c d"]
+    assert got[1] == []
+
+
+def test_probe_is_broadcast(spark, corpus, bench_df):
+    """100-TB contract: the benchmark gram set is the broadcast side of
+    the probe join — the corpus side must never shuffle its text."""
+    plan = decontaminate(corpus, bench_df, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

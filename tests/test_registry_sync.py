@@ -113,12 +113,15 @@ def test_differentiated_entries_inside_driver_window():
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"
+    # tile_frangi_normalized_z5 was demoted past the window in round 5
+    # to admit the hash-oracled doc_decontaminate: openness evidences
+    # the identical raw-stat -> percentile-stretch plumbing in-window,
+    # and the frangi kernel stays pytest-bit-exact in the seam matrix
     differentiated_rows_only = {
         "embedding_near_dup_pairs",
         "ann_ivf_index_probe",
         "tile_hillshade_filled_z5",
         "tile_openness_normalized_z5",
-        "tile_frangi_normalized_z5",
         "spatial_hillshade_z5",
     }
     missing_rows_only = differentiated_rows_only - set(window)

@@ -2611,6 +2611,195 @@ ORDER BY d.doc_id
 
 
 # ----------------------------------------------------------------------
+# end-to-end corpus filter pipeline (capstone composition)
+# ----------------------------------------------------------------------
+# The FineWeb-style "one pass decides the corpus" composition: each
+# document carries every stage verdict (quality score gate, language
+# identified, exact-dedup canonical keeper, benchmark-decontaminated)
+# and a final keep = AND of the four. The two remaining pipeline
+# stages are deliberately absent from the conjunction: PII scrubbing
+# is a TRANSFORM, not a filter (doc_pii_scrub gates it), and the
+# Gopher repetition filter needs the multi-line corpus
+# (doc_repetition_filter gates it). Every stage skeleton here is
+# individually hash-gated in-window; this entry gates their
+# composition (tier 3, checked by tests/test_demoted_oracles and
+# tools/check_oracles).
+#
+# 100-TB shape: quality/lang are pure column expressions on the scan;
+# the dedup keeper shuffles only the 16-byte (xxhash64, length) key
+# per doc; decontamination probes a broadcast gram set. One corpus
+# scan feeds all four verdicts — text never shuffles.
+
+_PIPELINE_MIN_QUALITY = 0.5
+
+
+def _dup_planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus has no exact duplicates, so the pipeline
+    plants them DETERMINISTICALLY (both engines run the identical
+    construction): every doc with doc_id % 13 == 5 takes the text of
+    doc_id - 5, creating exact-dup pairs the keeper stage must
+    resolve. One left self-join on the id arithmetic — no randomness."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.select(
+        F.col("doc_id").alias("_src_id"), F.col("text").alias("_src_text")
+    )
+    return (
+        d.join(src, F.col("_src_id") == F.col("doc_id") - 5, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 13 == 5) & F.col("_src_text").isNotNull(),
+                F.col("_src_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def corpus_filter_pipeline(spark, sf_dir):
+    """Composed per-doc filter decision over the dup-planted corpus
+    (textfn.quality_features + textfn.lang_id + the exact-dedup
+    min-id keeper on operators/dedup.norm_text keys +
+    operators/decontaminate.decontaminate)."""
+    from .operators.decontaminate import decontaminate
+    from .operators.dedup import norm_text
+
+    d = _dup_planted_documents(spark, sf_dir)
+    q = textfn.quality_features(d).select(
+        "doc_id",
+        "text",
+        "quality_score",
+        textfn.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    nt = norm_text(F.col("text"))
+    keyed = q.select(
+        "doc_id",
+        "quality_score",
+        "pred_lang",
+        F.xxhash64(nt).alias("_h"),
+        F.length(nt).alias("_len"),
+    )
+    canon = keyed.groupBy("_h", "_len").agg(
+        F.min("doc_id").alias("_canonical_id")
+    )
+    tk = textfn.tokens(F.col("text"))
+    bench = d.where(F.col("doc_id") % 9 == 0).select(
+        F.array_join(F.slice(tk, 4, 16), " ").alias("text")
+    )
+    decon = decontaminate(d, bench, n=_DECONTAM_N).select(
+        "doc_id", F.col("keep").alias("decontam_keep")
+    )
+    quality_ok = F.col("quality_score") >= _PIPELINE_MIN_QUALITY
+    lang_ok = F.col("pred_lang") != "und"
+    dedup_keep = F.col("doc_id") == F.col("_canonical_id")
+    return (
+        keyed.join(canon, ["_h", "_len"])
+        .join(decon, "doc_id")
+        .select(
+            "doc_id",
+            "quality_score",
+            "pred_lang",
+            quality_ok.alias("quality_ok"),
+            lang_ok.alias("lang_ok"),
+            dedup_keep.alias("dedup_keep"),
+            "decontam_keep",
+            (quality_ok & lang_ok & dedup_keep & F.col("decontam_keep")).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pipeline_sql() -> str:
+    """DuckDB twin stitched from the SAME stage twins that gate each
+    skeleton individually (quality arithmetic from DOC_QUALITY_SQL,
+    the generated stopword-argmax from _lang_id_sql, the norm-key
+    keeper from DEDUP_EXACT_SQL, the gram join from DECONTAM_SQL)."""
+    langs = sorted(textfn.STOPWORDS)
+    score_cols = ",\n         ".join(
+        "len(list_intersect(ltoks, ["
+        + ", ".join(f"'{w}'" for w in textfn.STOPWORDS[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs)
+    n = _DECONTAM_N
+    return f"""
+WITH planted AS (
+  SELECT a.doc_id,
+         CASE WHEN a.doc_id % 13 = 5 AND b.text IS NOT NULL
+              THEN b.text ELSE a.text END AS text
+  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 5
+), base AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+         list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk,
+         list_distinct(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS ltoks,
+         CAST(length(text) AS BIGINT) AS nchars,
+         CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces
+  FROM planted
+), scored AS (
+  SELECT doc_id,
+    (CASE WHEN nchars > 0 THEN CAST(alpha AS DOUBLE) / nchars ELSE 0.0 END) * 0.5
+     + (CASE WHEN nchars - spaces >= 3.0 * n_tokens AND nchars - spaces <= 10.0 * n_tokens AND n_tokens > 0 THEN 0.3 ELSE 0.0 END)
+     + (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM base
+), lang_s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM base
+), lang AS (
+  SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {case} END AS pred_lang FROM lang_s
+), keeper AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS canonical_id FROM base
+), bench AS (
+  SELECT list_filter(
+           string_split_regex(array_to_string(tk[4:19], ' '), '[ \n]+'),
+           x -> x != '') AS tk
+  FROM base WHERE doc_id % 9 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) >= {n} THEN
+      [array_to_string(tk[i:i+{n - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {n - 1})]
+    ELSE [] END) AS gram
+  FROM bench
+), dgrams AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= {n} THEN
+      [array_to_string(tk[i:i+{n - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {n - 1})]
+    ELSE [] END) AS grams
+  FROM base
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM dgrams)
+  JOIN bgrams USING (gram)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.quality_score, l.pred_lang,
+  s.quality_score >= {_PIPELINE_MIN_QUALITY} AS quality_ok,
+  l.pred_lang != 'und' AS lang_ok,
+  k.doc_id = k.canonical_id AS dedup_keep,
+  coalesce(h.n_contaminated, 0) = 0 AS decontam_keep,
+  s.quality_score >= {_PIPELINE_MIN_QUALITY}
+    AND l.pred_lang != 'und'
+    AND k.doc_id = k.canonical_id
+    AND coalesce(h.n_contaminated, 0) = 0 AS keep
+FROM scored s
+JOIN lang l USING (doc_id)
+JOIN keeper k USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -2724,6 +2913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_hillshade_z6": tile_hillshade_z6,  # float32 stats variant; the float64 exact entry gates the same path
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,  # float32 metric variant; the exact metric entry gates the path
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
+    "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
@@ -2798,6 +2988,7 @@ ORACLES: dict[str, str] = {
     "line_dedup_docs": LINE_DEDUP_SQL,
     "doc_pii_scrub": _pii_scrub_sql(),
     "doc_decontaminate": DECONTAM_SQL,
+    "corpus_filter_pipeline": _pipeline_sql(),
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
     "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),

@@ -106,6 +106,7 @@ def test_differentiated_entries_inside_driver_window():
         "q10_returned_items",       # multi-join agg; q3/q5 cover the skeleton
         "dedup_canonical_best_docs",  # argmax variant of dedup_canonical_docs' skeleton
         "streaming_dedup_keep",     # batch twin of the pytest-pinned streaming dedup
+        "corpus_filter_pipeline",   # composition of four in-window hash-gated stage skeletons
         "ann_ivf_probe_exhaustive", # conditional exact config of the in-window probe skeleton
         "geo_pip_zones_salted",     # salted variant of geo_pip_zones (hash-parity pinned in pytest)
         "tile_hillshade_metric_exact_z6",  # composition of in-window metric-scales + exact-hillshade gates

@@ -2611,6 +2611,107 @@ ORDER BY d.doc_id
 
 
 # ----------------------------------------------------------------------
+# exact substring span dedup (operators/spandedup.py)
+# ----------------------------------------------------------------------
+# The fixture corpus is unique word soup, so the entry plants
+# duplicated spans deterministically (both engines run the identical
+# construction): docs with doc_id % 7 == 3 gain a shared boilerplate
+# sentence (cross-doc duplication — its interior windows repeat in
+# every such doc, while windows straddling the splice boundary stay
+# unique per doc, exercising partial span coverage), and docs with
+# doc_id % 11 == 4 re-append their own first 10 tokens (same-doc
+# repetition, which Lee et al.'s corpus-wide count >= 2 rule must
+# also catch). text_clean is compared byte-for-byte cross-engine.
+
+_SPAN_W = 8
+_SPAN_BOILER = (
+    "all rights reserved terms of service apply privacy policy cookie notice"
+)
+
+
+def _span_planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.filter(F.split(F.col("text"), "[ \n]+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 3, F.lit(" " + _SPAN_BOILER)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 4,
+                F.concat(F.lit(" "), F.array_join(F.slice(tk, 1, 10), " ")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def span_dedup_docs(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al. 2022) over the span-planted
+    corpus: per-doc dup-window/covered-token stats + the cleaned text
+    with every duplicated w-token span removed."""
+    from .operators.spandedup import substring_dedup
+
+    return substring_dedup(_span_planted_documents(spark, sf_dir), w=_SPAN_W).orderBy(
+        "doc_id"
+    )
+
+
+SPAN_DEDUP_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 3 THEN ' {_SPAN_BOILER}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 4 THEN ' ' || array_to_string(
+              list_filter(string_split_regex(text, '[ \n]+'), t -> t != '')[1:10], ' ')
+            ELSE '' END AS text
+  FROM documents
+), tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), t -> t != '') AS tk
+  FROM planted
+), occ AS (
+  SELECT doc_id, w.pos AS pos, w.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'gram': array_to_string(tk[i:i+{_SPAN_W - 1}], ' ')}}
+                   FOR i IN generate_series(1, len(tk) - {_SPAN_W - 1})]) AS w
+    FROM tk WHERE len(tk) >= {_SPAN_W})
+), dupg AS (
+  SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2
+), dupocc AS (
+  SELECT doc_id, pos FROM occ JOIN dupg USING (gram)
+), covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_W - 1})) AS p FROM dupocc)
+), toks AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(generate_series(1, len(tk))) AS p FROM tk
+), kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text_clean
+  FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+  WHERE c.p IS NULL GROUP BY t.doc_id
+), dstats AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows FROM dupocc GROUP BY doc_id
+), cstats AS (
+  SELECT doc_id, COUNT(*) AS covered_tokens FROM covered GROUP BY doc_id
+)
+SELECT k.doc_id,
+  CAST(len(k.tk) AS BIGINT) AS n_tokens,
+  CAST(greatest(len(k.tk) - {_SPAN_W - 1}, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+  CASE WHEN len(k.tk) > 0
+       THEN CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / len(k.tk)
+       ELSE 0.0 END AS dup_frac,
+  coalesce(p.text_clean, '') AS text_clean
+FROM tk k
+LEFT JOIN dstats d USING (doc_id)
+LEFT JOIN cstats c USING (doc_id)
+LEFT JOIN kept p USING (doc_id)
+ORDER BY k.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # end-to-end corpus filter pipeline (capstone composition)
 # ----------------------------------------------------------------------
 # The FineWeb-style "one pass decides the corpus" composition: each
@@ -2827,12 +2928,15 @@ ORDER BY s.doc_id
 #   tier 3 — redundant variants of already-covered skeletons + the
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).
-#            geo_pip_zones_salted, tile_hillshade_metric_exact_z6 and
-#            order_priority_count were demoted here in round 5 to
-#            admit the repetition filter, corpus line dedup and PII
-#            scrub: all keep their ORACLES rows (checked every pytest
-#            run by tests/test_demoted_oracles) and each is a
-#            variant/composition of skeletons still in-window.
+#            geo_pip_zones_salted, tile_hillshade_metric_exact_z6,
+#            order_priority_count and tile_weighted_census_z6 (the
+#            weight_col variant of tile_halo_census_z6's transport
+#            skeleton) were demoted here in round 5 to admit the
+#            repetition filter, corpus line dedup, PII scrub and
+#            ExactSubstr span dedup: all keep their ORACLES rows
+#            (checked every pytest run by tests/test_demoted_oracles)
+#            and each is a variant/composition of skeletons still
+#            in-window.
 # tests/test_registry_sync.py pins tier 1 + tier 2 inside the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 1: hash-oracled ----------------------------------------
@@ -2853,7 +2957,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_box_total_z6": tile_box_total_z6,
     "tile_overview_box_total_z5": tile_overview_box_total_z5,
     "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,
-    "tile_weighted_census_z6": tile_weighted_census_z6,
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
     "normalize_acctbal": normalize_acctbal,
@@ -2872,6 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_docs": line_dedup_docs,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontaminate": doc_decontaminate,
+    "span_dedup_docs": span_dedup_docs,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -2897,6 +3001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kernel itself stays pytest-bit-exact in the seam matrix)
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
+    "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
     "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,  # deeper halo over the z6 census skeleton
     "doc_token_histogram": doc_token_histogram,  # bucketed view of doc_token_counts' oracled fn
@@ -2988,6 +3093,7 @@ ORACLES: dict[str, str] = {
     "line_dedup_docs": LINE_DEDUP_SQL,
     "doc_pii_scrub": _pii_scrub_sql(),
     "doc_decontaminate": DECONTAM_SQL,
+    "span_dedup_docs": SPAN_DEDUP_SQL,
     "corpus_filter_pipeline": _pipeline_sql(),
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),

@@ -111,6 +111,7 @@ def test_differentiated_entries_inside_driver_window():
         "geo_pip_zones_salted",     # salted variant of geo_pip_zones (hash-parity pinned in pytest)
         "tile_hillshade_metric_exact_z6",  # composition of in-window metric-scales + exact-hillshade gates
         "order_priority_count",     # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
+        "tile_weighted_census_z6",  # weight_col variant of tile_halo_census_z6's transport skeleton
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -1,0 +1,112 @@
+"""Sequence packing for LM pretraining batches.
+
+Pretraining consumes fixed-length token sequences; packing many short
+documents into one sequence (instead of padding each) is the standard
+throughput lever (T5, Raffel et al. 2020 §2.2 "packing"; GPT-style
+pipelines concat-and-chunk). This operator assigns every document to
+a (pack_group, seq_id, seq_pos) slot under a token budget using the
+deterministic NEXT-FIT rule: scan documents in ascending id order
+within a group, append to the current sequence while it fits, else
+open a new sequence. A document longer than the whole budget gets its
+own sequence and an ``overflow`` flag (the caller decides whether to
+chunk it — this operator never silently truncates).
+
+Reference parity: the reference repo is the geospatial half of this
+graft and has no text pipeline; this extends the LLM-data-pipeline
+family (SURVEY.md §6).
+
+Scale shape (100 TB corpus). Packing is sequential by nature, so the
+corpus is sharded into INDEPENDENT pack groups (``pmod(id, groups)``
+— at production scale ``pmod(xxhash64(id), groups)`` with groups
+sized so one group's (id, n_tokens) pairs fit one task, ~10^6 rows /
+16 MB per group at 10^12 docs). Each group packs alone inside one
+``applyInPandas`` task carrying one integer of running state — no
+cross-group coordination, so the stage scales linearly with
+executors. Only (id, n_tokens) enters the shuffle: 16 B per row; the
+text itself is later joined back by id for sequence assembly. The
+per-group loop is a NumPy pass over ints (state is a single running
+counter), not per-row Python object work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK_SCHEMA = (
+    "doc_id long, pack_group int, seq_id long, seq_pos long, "
+    "n_tokens long, overflow boolean"
+)
+
+
+def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    n = pdf["n_tokens"].to_numpy(np.int64)
+    seq = np.zeros(len(n), np.int64)
+    pos = np.zeros(len(n), np.int64)
+    cur_seq, acc = 0, 0
+    for i in range(len(n)):
+        if acc > 0 and acc + n[i] > budget:
+            cur_seq += 1
+            acc = 0
+        seq[i] = cur_seq
+        pos[i] = acc
+        acc += n[i]
+    pdf["seq_id"] = seq
+    pdf["seq_pos"] = pos
+    pdf["overflow"] = pdf["n_tokens"] > budget
+    return pdf[["doc_id", "pack_group", "seq_id", "seq_pos", "n_tokens", "overflow"]]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    groups: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit packing plan: (id, pack_group, seq_id, seq_pos,
+    n_tokens, overflow) for every document.
+
+    ``seq_id`` counts sequences within the group, ``seq_pos`` is the
+    document's token offset inside its sequence. Deterministic: group
+    = id mod groups, scan order = ascending id. Invariants (pinned in
+    tests/test_packing.py): non-overflow sequences fill <= budget;
+    every sequence except possibly a group's last one could not have
+    accepted the next document.
+    """
+    tk = F.filter(F.split(F.col(text_col), "[ \n]+"), lambda t: t != "")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(groups)).cast("int").alias("pack_group"),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+    )
+    # explicit repartition before the grouped map: AQE's byte-based
+    # coalescing would fold the tiny-but-stateful groups onto one task
+    # (the applyInPandas pitfall pinned in tests/test_plan_shape.py)
+    return (
+        keyed.repartition(groups, "pack_group")
+        .groupBy("pack_group")
+        .applyInPandas(lambda pdf: _pack_group(pdf, budget), PACK_SCHEMA)
+    )
+
+
+def packing_stats(plan: DataFrame, budget: int) -> DataFrame:
+    """Per-group packing efficiency: sequences used, tokens packed,
+    fill ratio vs the budget, and overflow count."""
+    per_seq = plan.groupBy("pack_group", "seq_id").agg(
+        F.sum("n_tokens").alias("_seq_tokens")
+    )
+    return (
+        per_seq.groupBy("pack_group")
+        .agg(
+            F.count("*").alias("n_sequences"),
+            F.sum("_seq_tokens").alias("n_tokens"),
+            (
+                F.sum("_seq_tokens").cast("double")
+                / (F.count("*") * F.lit(budget)).cast("double")
+            ).alias("fill_ratio"),
+        )
+    )

@@ -2712,6 +2712,64 @@ ORDER BY k.doc_id
 
 
 # ----------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# ----------------------------------------------------------------------
+# Next-fit is sequential by nature, so the Spark side shards into
+# independent pack groups and loops inside one applyInPandas task per
+# group; the DuckDB twin replays the identical scan as a recursive
+# CTE stepping one row_number level per iteration across all groups
+# at once. Same rule, two execution models — integer-exact, so the
+# hash gate is strict.
+
+_PACK_BUDGET = 1024
+_PACK_GROUPS = 8
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """Next-fit sequence-packing plan over the documents table
+    (operators/packing.pack_sequences): every doc gets its
+    (pack_group, seq_id, seq_pos) training-sequence slot under the
+    token budget."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=_PACK_BUDGET, groups=_PACK_GROUPS).orderBy(
+        "doc_id"
+    )
+
+
+PACK_SQL = f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id,
+         CAST(doc_id % {_PACK_GROUPS} AS INT) AS pack_group,
+         CAST(len(list_filter(string_split_regex(text, '[ \n]+'), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn FROM tk
+), pack AS (
+  SELECT doc_id, pack_group, rn, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_pos,
+         n_tokens AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.pack_group, o.rn, o.n_tokens,
+         CASE WHEN p.acc > 0 AND p.acc + o.n_tokens > {_PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc > 0 AND p.acc + o.n_tokens > {_PACK_BUDGET}
+              THEN 0 ELSE p.acc END,
+         CASE WHEN p.acc > 0 AND p.acc + o.n_tokens > {_PACK_BUDGET}
+              THEN o.n_tokens ELSE p.acc + o.n_tokens END
+  FROM pack p JOIN ordered o
+    ON o.pack_group = p.pack_group AND o.rn = p.rn + 1
+)
+SELECT doc_id, pack_group, seq_id, seq_pos, n_tokens,
+       n_tokens > {_PACK_BUDGET} AS overflow
+FROM pack
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # end-to-end corpus filter pipeline (capstone composition)
 # ----------------------------------------------------------------------
 # The FineWeb-style "one pass decides the corpus" composition: each
@@ -2951,7 +3009,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_cells_r7": geo_cells_r7,
     "geo_cells_parent_r5": geo_cells_parent_r5,
     "geo_tiles_z8": geo_tiles_z8,
-    "geo_tilepixel_z12": geo_tilepixel_z12,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
     "tile_halo_census_z6": tile_halo_census_z6,
     "tile_box_total_z6": tile_box_total_z6,
@@ -2976,6 +3033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontaminate": doc_decontaminate,
     "span_dedup_docs": span_dedup_docs,
+    "doc_pack_sequences": doc_pack_sequences,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -3002,6 +3060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
+    "geo_tilepixel_z12": geo_tilepixel_z12,  # raw per-point dump of the tile_pixel transform; density_z7 gates the same transform + binning (demoted r5 to admit doc_pack_sequences)
     "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,  # deeper halo over the z6 census skeleton
     "doc_token_histogram": doc_token_histogram,  # bucketed view of doc_token_counts' oracled fn
@@ -3094,6 +3153,7 @@ ORACLES: dict[str, str] = {
     "doc_pii_scrub": _pii_scrub_sql(),
     "doc_decontaminate": DECONTAM_SQL,
     "span_dedup_docs": SPAN_DEDUP_SQL,
+    "doc_pack_sequences": PACK_SQL,
     "corpus_filter_pipeline": _pipeline_sql(),
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),

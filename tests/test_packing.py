@@ -1,0 +1,69 @@
+"""Sequence packing (operators/packing.py): next-fit invariants on a
+hand-built corpus plus the maximality property — no sequence could
+have accepted the document that opened the next one."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.operators.packing import pack_sequences, packing_stats
+
+BUDGET = 10
+
+
+def _plan(spark, counts, groups=1):
+    # n tokens -> a doc of n single-letter tokens
+    rows = [(i, " ".join("t" * 1 for _ in range(c)) if c else "") for i, c in enumerate(counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return pack_sequences(docs, budget=BUDGET, groups=groups).orderBy("doc_id")
+
+
+def test_next_fit_assignment(spark):
+    # counts 4,4,4 -> [4,4],[4]; then 10 fills alone; 11 overflows alone
+    out = _plan(spark, [4, 4, 4, 10, 11]).collect()
+    assert [(r.seq_id, r.seq_pos) for r in out] == [(0, 0), (0, 4), (1, 0), (2, 0), (3, 0)]
+    assert [r.overflow for r in out] == [False, False, False, False, True]
+
+
+def test_sequences_respect_budget_and_maximality(spark):
+    counts = [3, 7, 2, 9, 1, 5, 5, 6, 4, 10, 2, 2, 2, 2, 3]
+    out = _plan(spark, counts).collect()
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for sid, rows in seqs.items():
+        total = sum(r.n_tokens for r in rows)
+        if not any(r.overflow for r in rows):
+            assert total <= BUDGET, sid
+        # maximality: the first doc of the NEXT sequence wouldn't fit
+        nxt = seqs.get(sid + 1)
+        if nxt is not None:
+            opener = min(nxt, key=lambda r: r.doc_id)
+            assert total + opener.n_tokens > BUDGET, sid
+    # seq_pos is the running offset in doc order
+    for rows in seqs.values():
+        rows = sorted(rows, key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.seq_pos == off
+            off += r.n_tokens
+
+
+def test_groups_pack_independently(spark):
+    out = _plan(spark, [6, 6, 6, 6], groups=2).collect()
+    # group 0 gets docs 0,2; group 1 gets docs 1,3 — each pair needs
+    # two sequences (6+6 > 10), seq ids restart per group
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[0].pack_group != by_doc[1].pack_group
+    for i in range(4):
+        assert by_doc[i].seq_pos == 0
+    assert by_doc[0].seq_id == 0 and by_doc[2].seq_id == 1
+    assert by_doc[1].seq_id == 0 and by_doc[3].seq_id == 1
+
+
+def test_packing_stats_fill_ratio(spark):
+    plan = _plan(spark, [4, 4, 4])
+    stats = packing_stats(plan, BUDGET).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert s.n_sequences == 2 and s.n_tokens == 12
+    assert s.fill_ratio == pytest.approx(12 / 20)

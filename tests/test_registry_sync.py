@@ -112,6 +112,7 @@ def test_differentiated_entries_inside_driver_window():
         "tile_hillshade_metric_exact_z6",  # composition of in-window metric-scales + exact-hillshade gates
         "order_priority_count",     # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
         "tile_weighted_census_z6",  # weight_col variant of tile_halo_census_z6's transport skeleton
+        "geo_tilepixel_z12",        # raw per-point dump of the tile_pixel transform; density_z7 gates it + binning
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

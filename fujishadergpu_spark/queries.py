@@ -2959,6 +2959,90 @@ ORDER BY s.doc_id
 
 
 # ----------------------------------------------------------------------
+# BM25 ranked retrieval (operators/bm25.py)
+# ----------------------------------------------------------------------
+# The query set is synthesized DETERMINISTICALLY from the fixture
+# (both engines run the same construction): every doc with
+# doc_id % 13 == 0 contributes one query — tokens 3..8 of its text.
+# The fixture's ~31-word shared vocabulary makes every query term
+# corpus-wide (df ≈ N), so ranking is decided by the full BM25
+# tf/dl/idf interplay rather than trivial unique-term hits. Both
+# engines rank on the QUANTIZED score (round(score * 1e6), ties by
+# doc id): per-term float drift across engines is ~1e-13 while the
+# quantum is 1e-6, so rank rows hash bit-identically (the
+# quantized-sum technique of the hillshade trig gates).
+
+_BM25_K = 5
+
+
+def bm25_topk_docs(spark, sf_dir):
+    """Top-5 BM25 matches per synthesized query (operators/bm25)."""
+    from .operators.bm25 import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = textfn.tokens(F.col("text"))
+    qset = d.where(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tk, 3, 6), " ").alias("text"),
+    )
+    return bm25_topk(d, qset, k=_BM25_K).orderBy("query_id", "rank")
+
+
+# operation order mirrors operators/bm25.bm25_topk term for term:
+# idf = ln(((n - df) + 0.5)/(df + 0.5) + 1.0), denom = tf +
+# k1*((1-b) + (b*dl)/avgdl), contrib = idf*(tf*(k1+1))/denom —
+# identical IEEE sequences hash identically after quantization.
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), dfr AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), qs AS (
+  SELECT doc_id AS query_id,
+         list_distinct(list_filter(
+           string_split_regex(
+             array_to_string(
+               list_filter(string_split_regex(text, ' +'), x -> x != '')[3:8],
+               ' '),
+             '[ \n]+'),
+           x -> x != '')) AS qtk
+  FROM documents WHERE doc_id % 13 = 0
+), qterms AS (
+  SELECT query_id, unnest(qtk) AS term FROM qs
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(round(SUM(
+      ln(((CAST(s.n AS DOUBLE) - d.df) + 0.5) / (d.df + 0.5) + 1.0)
+      * (t.tf * (1.2 + 1.0))
+      / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / (CAST(s.total AS DOUBLE) / s.n)))
+    ) * 1000000.0) AS BIGINT) AS score_q6
+  FROM tf t
+  JOIN qterms q USING (term)
+  JOIN dfr d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score_q6
+FROM scored
+QUALIFY rank <= {_BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -2987,11 +3071,13 @@ ORDER BY s.doc_id
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).
 #            geo_pip_zones_salted, tile_hillshade_metric_exact_z6,
-#            order_priority_count and tile_weighted_census_z6 (the
+#            order_priority_count, tile_weighted_census_z6 (the
 #            weight_col variant of tile_halo_census_z6's transport
-#            skeleton) were demoted here in round 5 to admit the
-#            repetition filter, corpus line dedup, PII scrub and
-#            ExactSubstr span dedup: all keep their ORACLES rows
+#            skeleton) and geo_cells_r7 (its res-7 cell_of is
+#            computed inside geo_cells_parent_r5's rollup-law plan)
+#            were demoted here in round 5 to admit the
+#            repetition filter, corpus line dedup, PII scrub,
+#            ExactSubstr span dedup and BM25: all keep their ORACLES rows
 #            (checked every pytest run by tests/test_demoted_oracles)
 #            and each is a variant/composition of skeletons still
 #            in-window.
@@ -3006,7 +3092,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": events_sessions,
     "customers_without_orders": customers_without_orders,
     # geospatial / tile transport
-    "geo_cells_r7": geo_cells_r7,
     "geo_cells_parent_r5": geo_cells_parent_r5,
     "geo_tiles_z8": geo_tiles_z8,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
@@ -3046,6 +3131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": media_features,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "bm25_topk_docs": bm25_topk_docs,
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -3061,6 +3147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
     "geo_tilepixel_z12": geo_tilepixel_z12,  # raw per-point dump of the tile_pixel transform; density_z7 gates the same transform + binning (demoted r5 to admit doc_pack_sequences)
+    "geo_cells_r7": geo_cells_r7,  # the res-7 cell_of is computed inside geo_cells_parent_r5's rollup-law plan (demoted r5 to admit bm25_topk_docs)
     "tile_box_total_wide_z5": tile_box_total_wide_z5,  # wider window over the z6 skeleton
     "tile_halo_census_deep_z5": tile_halo_census_deep_z5,  # deeper halo over the z6 census skeleton
     "doc_token_histogram": doc_token_histogram,  # bucketed view of doc_token_counts' oracled fn
@@ -3172,6 +3259,7 @@ ORACLES: dict[str, str] = {
     "media_features": MEDIA_FEATURES_SQL,
     "ann_topk_cosine": ANN_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "bm25_topk_docs": BM25_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

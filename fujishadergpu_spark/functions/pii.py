@@ -20,7 +20,7 @@ other's digits.
 
 Reference parity: the reference repo is the geospatial half of this
 graft and has no text pipeline; this extends the LLM-data-pipeline
-family (SURVEY.md §6).
+family (the training-data-pipeline mandate; README capability table).
 
 Scale notes (100 TB): pure per-row column expressions — no shuffle,
 no UDF, no state; Catalyst fuses the four rewrites into one codegen

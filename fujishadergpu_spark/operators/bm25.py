@@ -8,7 +8,7 @@ seed corpus, the FineWeb-Edu / DSIR pattern).
 
 Reference parity: the reference repo is the geospatial half of this
 graft and has no text pipeline; this extends the LLM-data-pipeline
-family (SURVEY.md §6) with the ranked-retrieval skeleton ANN
+family (the training-data-pipeline mandate; README capability table) with the ranked-retrieval skeleton ANN
 (operators/ann.py) provides for embeddings.
 
 Scale shape (100 TB corpus, query set << corpus):

@@ -11,7 +11,7 @@ the contaminated fraction, and a ``keep`` flag (zero hits).
 
 Reference parity: the reference repo is the geospatial half of this
 graft and has no text pipeline; this extends the LLM-data-pipeline
-family (SURVEY.md §6) alongside operators/dedup.py and
+family (the training-data-pipeline mandate; README capability table) alongside operators/dedup.py and
 operators/repetition.py.
 
 Scale shape (100 TB corpus, benchmark << corpus): the benchmark gram

@@ -13,7 +13,7 @@ chunk it — this operator never silently truncates).
 
 Reference parity: the reference repo is the geospatial half of this
 graft and has no text pipeline; this extends the LLM-data-pipeline
-family (SURVEY.md §6).
+family (the training-data-pipeline mandate; README capability table).
 
 Scale shape (100 TB corpus). Packing is sequential by nature, so the
 corpus is sharded into INDEPENDENT pack groups (``pmod(id, groups)``

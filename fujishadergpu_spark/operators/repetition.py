@@ -17,7 +17,7 @@ shape of real crawled text):
 
 Reference parity: the reference repo is the geospatial half of this
 graft and has no text pipeline; these extend the LLM-data-pipeline
-family (SURVEY.md §6) alongside operators/dedup.py.
+family (the training-data-pipeline mandate; README capability table) alongside operators/dedup.py.
 
 Scale notes (100 TB):
 - Per-doc features explode lines / bigrams and aggregate on

@@ -12,7 +12,7 @@ in otherwise-unique pages.
 
 Reference parity: the reference repo is the geospatial half of this
 graft and has no text pipeline; this extends the LLM-data-pipeline
-family (SURVEY.md §6) alongside dedup.py / repetition.py /
+family (the training-data-pipeline mandate; README capability table) alongside dedup.py / repetition.py /
 decontaminate.py.
 
 Scale shape (100 TB corpus). Lee et al. build a monolithic suffix

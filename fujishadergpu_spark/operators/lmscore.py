@@ -1,0 +1,138 @@
+"""Corpus-trained n-gram LM perplexity scoring.
+
+The CCNet quality signal (Wenzek et al., LREC 2020): score every
+document by its negative log-likelihood under a language model
+trained on a reference corpus — low-perplexity pages read like the
+reference, high-perplexity pages are gibberish, boilerplate or the
+wrong register. CCNet uses a KenLM 5-gram; this operator implements
+the same signal with an add-k-smoothed bigram model trained on the
+corpus itself (or any reference corpus passed separately), which
+keeps every probability a ratio of two counts — exactly
+cross-engine-stateable.
+
+Reference parity: the reference repo is the geospatial half of this
+graft and has no text pipeline; this extends the LLM-data-pipeline
+family (the training-data-pipeline mandate; README capability table)
+alongside textfn.quality_features (surface heuristics) and
+operators/bm25.py (retrieval-based scoring).
+
+Scale shape (100 TB corpus):
+- training is one scan → bigram explode → ONE groupBy(bigram) count
+  (map-side partial); context counts c(w1) derive from the bigram
+  table by a second vocab-sized groupBy — no second corpus scan;
+- the model relations shuffle only (token-pair, count) rows —
+  bounded by kept-vocabulary², not corpus size; the per-bigram log
+  probability is pre-folded into ONE (bigram, term) table so the
+  model meets the corpus exactly once;
+- scoring re-expands each doc's bigrams and left-joins that table on
+  the bigram key (+ a context-count join on w1 that only matters for
+  bigrams unseen in training): the corpus-sized shuffles carry
+  (doc_id, bigram) pairs, combined map-side into the per-doc sum;
+- nothing iterates, nothing collects: V and the smoothing constant
+  are the only scalars, computed by one aggregate.
+
+Cross-engine determinism (the oracle contract): each per-bigram term
+``ln((c(w1 w2) + k) / (c(w1) + k·V))`` is an identical IEEE sequence
+on both engines; the per-doc SUM is quantized to ``round(nll *
+1e6)`` AFTER negation, so engine summation-order drift (~1e-13)
+stays eleven orders below the quantum (the quantized-sum technique
+of the hillshade trig and BM25 gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text):
+    return F.filter(F.split(text, "[ \n]+"), lambda t: t != "")
+
+
+def _bigrams(tk):
+    # zip token i with token i+1; zip_with pads the shorter side with
+    # NULL, so the trailing (token, NULL) pair drops in the filter
+    return F.filter(
+        F.zip_with(
+            tk,
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda s: s.contains(" "),
+    )
+
+
+_W1_RE = "^([^ ]+) "
+
+
+def lm_score(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc bigram-LM negative log-likelihood: (id, n_bigrams,
+    nll_q6) with nll_q6 = round(−Σ ln p(w_i|w_{i-1}) · 1e6). Docs
+    with fewer than two tokens keep n_bigrams = 0 and a NULL nll_q6
+    (no bigrams — no evidence either way). ``train`` defaults to
+    ``docs`` (the CCNet self-trained configuration); bigrams unseen
+    in training back off to c(w1 w2) = 0 (and c(w1) = 0 for an
+    unseen context) under the same add-k formula."""
+    t = train if train is not None else docs
+    tb = t.select(_bigrams(_tokens(F.col(text_col))).alias("_bg"))
+    model = (
+        tb.select(F.explode("_bg").alias("_bigram"))
+        .groupBy("_bigram")
+        .agg(F.count("*").alias("_cb"))
+    )
+    ctx = (
+        model.select(F.regexp_extract("_bigram", _W1_RE, 1).alias("_w1"), "_cb")
+        .groupBy("_w1")
+        .agg(F.sum("_cb").alias("_cu"))
+    )
+    vocab = t.select(F.explode(_tokens(F.col(text_col))).alias("_tok")).agg(
+        F.countDistinct("_tok").alias("_v")
+    )
+    # pre-fold the model into one (bigram, term) relation so the
+    # corpus meets the full model in a single bigram-keyed join
+    term = F.log(
+        (F.col("_cb") + F.lit(k)) / (F.col("_cu") + F.lit(k) * F.col("_v"))
+    )
+    probs = (
+        model.withColumn("_w1", F.regexp_extract("_bigram", _W1_RE, 1))
+        .join(ctx, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("_bigram", term.alias("_t"))
+    )
+
+    occ = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(_bigrams(_tokens(F.col(text_col)))).alias("_bigram"),
+    )
+    unseen = F.log(
+        (F.lit(0) + F.lit(k))
+        / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(k) * F.col("_v"))
+    )
+    scored = (
+        occ.join(probs, "_bigram", "left")
+        .withColumn("_w1", F.regexp_extract(F.coalesce("_bigram", F.lit("")), _W1_RE, 1))
+        .join(ctx, "_w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            F.col("_bigram").isNotNull().cast("bigint").alias("_n"),
+            F.when(
+                F.col("_bigram").isNotNull(), F.coalesce(F.col("_t"), unseen)
+            ).alias("_t"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").alias("n_bigrams"),
+            F.when(
+                F.sum("_n") > 0,
+                F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint"),
+            ).alias("nll_q6"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_bigrams", "nll_q6")

@@ -3043,6 +3043,62 @@ ORDER BY query_id, rank
 
 
 # ----------------------------------------------------------------------
+# bigram LM perplexity (operators/lmscore.py)
+# ----------------------------------------------------------------------
+# Self-trained configuration (CCNet trains on a reference corpus; the
+# fixture is its own reference), so every scored bigram is seen in
+# training and the twin needs only the pre-folded probability table.
+# nll is quantized AFTER the per-doc sum (round(nll * 1e6)) — the
+# quantized-sum technique again.
+
+
+def doc_lm_perplexity(spark, sf_dir):
+    """Per-doc bigram-LM negative log-likelihood, self-trained
+    add-0.5 smoothing (operators/lmscore.lm_score)."""
+    from .operators.lmscore import lm_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_score(d, k=0.5).orderBy("doc_id")
+
+
+LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 2 THEN
+      [tk[i] || ' ' || tk[i+1] FOR i IN generate_series(1, len(tk) - 1)]
+    ELSE [] END) AS bigram
+  FROM toks
+), model AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb FROM occ GROUP BY bigram
+), ctx AS (
+  SELECT regexp_extract(bigram, '^([^ ]+) ', 1) AS w1, CAST(SUM(cb) AS BIGINT) AS cu
+  FROM model GROUP BY 1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(tk) AS tok FROM toks)
+), probs AS (
+  SELECT m.bigram, ln((m.cb + 0.5) / (c.cu + 0.5 * vv.v)) AS t
+  FROM model m
+  JOIN ctx c ON c.w1 = regexp_extract(m.bigram, '^([^ ]+) ', 1)
+  CROSS JOIN vocab vv
+), hits AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(round(-SUM(p.t) * 1000000.0) AS BIGINT) AS nll_q6
+  FROM occ o JOIN probs p USING (bigram)
+  GROUP BY o.doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_bigrams, 0) AS n_bigrams,
+       h.nll_q6 AS nll_q6
+FROM toks t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -3166,6 +3222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
+    "doc_lm_perplexity": doc_lm_perplexity,  # CCNet-style bigram-LM quality score; hash-gated past the window (quality_features + bm25 cover the scoring skeletons in-window)
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     "order_priority_count": order_priority_count,  # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
@@ -3260,6 +3317,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_cosine": ANN_SQL,
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "bm25_topk_docs": BM25_SQL,
+    "doc_lm_perplexity": LM_SCORE_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

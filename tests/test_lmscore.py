@@ -1,0 +1,69 @@
+"""Bigram LM perplexity scoring (operators/lmscore): exactness vs a
+hand-rolled Python model, the no-bigram NULL contract, and the
+unseen-bigram backoff when train != docs."""
+
+import math
+
+from pyspark.sql import Row
+
+from fujishadergpu_spark.operators.lmscore import lm_score
+
+K = 0.5
+
+
+def _naive(train_texts, score_docs, k=K):
+    toks = [t.split(" ") for t in train_texts]
+    cb: dict[tuple[str, str], int] = {}
+    for tk in toks:
+        for a, b in zip(tk, tk[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    cu: dict[str, int] = {}
+    for (a, _), n in cb.items():
+        cu[a] = cu.get(a, 0) + n
+    v = len({w for tk in toks for w in tk})
+    out = {}
+    for i, text in score_docs.items():
+        tk = text.split(" ")
+        pairs = list(zip(tk, tk[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        s = sum(
+            math.log(
+                (cb.get((a, b), 0) + k) / (cu.get(a, 0) + k * v)
+            )
+            for a, b in pairs
+        )
+        out[i] = (len(pairs), round(-s * 1e6))
+    return out
+
+
+def test_matches_naive_self_trained(spark):
+    docs = {
+        1: "a b a b c",
+        2: "c c c a",
+        3: "b a c a b",
+        4: "x",  # single token: 0 bigrams, NULL score
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {r.doc_id: (r.n_bigrams, r.nll_q6) for r in lm_score(df).collect()}
+    assert got == _naive(list(docs.values()), docs)
+
+
+def test_unseen_bigram_backoff_train_separate(spark):
+    train = {10: "a b c a b"}
+    score = {
+        1: "a b",   # seen bigram
+        2: "b b",   # seen context, unseen bigram
+        3: "z a",   # unseen context
+    }
+    tdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in train.items()])
+    sdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in score.items()])
+    got = {r.doc_id: (r.n_bigrams, r.nll_q6) for r in lm_score(sdf, train=tdf).collect()}
+    assert got == _naive(list(train.values()), score)
+    # a seen bigram is strictly more likely than either unseen case
+    # (note add-k's known artifact: an unseen CONTEXT can score higher
+    # than an unseen bigram in a seen context, because its smoothed
+    # denominator is smaller — so only the seen-vs-unseen ordering is
+    # model-guaranteed)
+    assert got[1][1] < got[2][1] and got[1][1] < got[3][1]

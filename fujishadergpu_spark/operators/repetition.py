@@ -24,18 +24,26 @@ Scale notes (100 TB):
   (doc_id, token): short-string shuffle rows keyed by the document,
   map-side partial aggregation, no all-pairs path, nothing collected
   on the driver.
-- Corpus line dedup shuffles (line, doc_id, pos) rows once — a
-  window-min partitioned by the line (one Exchange, the
-  operators/components.py discipline) — then regroups by doc_id to
-  reassemble text. Line text crosses the wire exactly once per
-  occurrence; no text enters any iteration.
+- Corpus line dedup reduces (line, doc_id, pos) rows with ONE
+  hash aggregate ``groupBy(line).agg(min(struct(doc_id, pos)))``
+  whose output IS the kept row set — map-side partial aggregation
+  collapses every occurrence of a hot boilerplate line ("Home",
+  cookie banners) to one row per map task before the Exchange, and
+  AQE can skew-split the aggregate shuffle. (A window-min
+  ``partitionBy(line)`` keeper — the previous shape — would force
+  every occurrence of a hot line into ONE task with no partial agg
+  and no AQE split: a guaranteed straggler at 100 TB. Pinned by
+  tests/test_plan_shape.py: no Window node on the keeper stage.)
+  Then one regroup by doc_id reassembles text. Line text crosses
+  the wire at most once per DISTINCT (map task, line); no text
+  enters any iteration.
 - All fractions are single CAST(x AS DOUBLE)/y divisions of exact
   integer ratios, so the DuckDB twins hash bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Gopher §A1.1 published thresholds
@@ -72,7 +80,11 @@ def repetition_features(
     dup_line_frac, dup_line_char_frac, top_bigram, top_bigram_cnt,
     top_bigram_char_frac, keep. Character fractions are measured
     against the total line characters (separators excluded), so both
-    engines agree exactly.
+    engines agree exactly. Total over the input: documents with no
+    non-empty lines (empty / whitespace-only text — common in crawled
+    corpora) still get a row, with all counts 0, all fractions 0.0
+    and ``keep = true`` (no repetition evidence is not a rejection;
+    emptiness is the length filter's job, textfn.quality_features).
     """
     did = F.col(doc_id_col)
     base = df.select(
@@ -114,7 +126,23 @@ def repetition_features(
         F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("tg")
     )
 
-    out = line_stats.join(top, "doc_id", "left")
+    # left-join onto the full input id set (the line_dedup totals
+    # discipline) so line-less documents survive with zeroed counts
+    out = (
+        base.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce(F.col("n_distinct_lines"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_lines"),
+            F.coalesce(F.col("line_chars"), F.lit(0)).alias("line_chars"),
+            F.coalesce(F.col("dup_line_chars"), F.lit(0)).alias("dup_line_chars"),
+            F.col("tg"),
+        )
+    )
     dup_line_frac = F.when(
         F.col("n_lines") > 0,
         (F.col("n_lines") - F.col("n_distinct_lines")).cast("double") / F.col("n_lines"),
@@ -160,13 +188,19 @@ def line_dedup(
     exploded = base.select(
         "doc_id", F.posexplode("lines").alias("pos", "line")
     )
-    # one Exchange: window-min of (doc_id, pos) per distinct line
-    w = Window.partitionBy("line")
+    # one hash aggregate per distinct line: min(struct(doc_id, pos))
+    # IS the kept occurrence, so its output is directly the survivor
+    # row set — map-side partial collapses hot boilerplate lines
+    # before the Exchange and AQE can skew-split it (a window-min
+    # partitionBy(line) keeper would put every occurrence of a hot
+    # line in one un-splittable task; see the module scale notes)
     kept = (
-        exploded.withColumn("keeper", F.min(F.struct("doc_id", "pos")).over(w))
-        .where(
-            (F.col("doc_id") == F.col("keeper.doc_id"))
-            & (F.col("pos") == F.col("keeper.pos"))
+        exploded.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keeper"))
+        .select(
+            F.col("keeper.doc_id").alias("doc_id"),
+            F.col("keeper.pos").alias("pos"),
+            "line",
         )
         .groupBy("doc_id")
         .agg(

@@ -2400,20 +2400,20 @@ per_line AS (
         FROM per_gram)
   WHERE rn = 1
 )
-SELECT s.doc_id,
-  CAST(s.n_lines AS BIGINT) AS n_lines,
-  CAST(s.n_distinct_lines AS BIGINT) AS n_distinct_lines,
-  CASE WHEN s.n_lines > 0 THEN CAST(s.n_lines - s.n_distinct_lines AS DOUBLE) / s.n_lines ELSE 0.0 END AS dup_line_frac,
-  CASE WHEN s.line_chars > 0 THEN CAST(s.dup_line_chars AS DOUBLE) / s.line_chars ELSE 0.0 END AS dup_line_char_frac,
+SELECT m.doc_id,
+  CAST(coalesce(s.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(s.n_distinct_lines, 0) AS BIGINT) AS n_distinct_lines,
+  CASE WHEN coalesce(s.n_lines, 0) > 0 THEN CAST(s.n_lines - s.n_distinct_lines AS DOUBLE) / s.n_lines ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN coalesce(s.line_chars, 0) > 0 THEN CAST(s.dup_line_chars AS DOUBLE) / s.line_chars ELSE 0.0 END AS dup_line_char_frac,
   coalesce(t.top_bigram, '') AS top_bigram,
   CAST(coalesce(t.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
-  CASE WHEN s.line_chars > 0 THEN CAST(coalesce(t.top_cnt * length(t.top_bigram), 0) AS DOUBLE) / s.line_chars ELSE 0.0 END AS top_bigram_char_frac,
-  (CASE WHEN s.n_lines > 0 THEN CAST(s.n_lines - s.n_distinct_lines AS DOUBLE) / s.n_lines ELSE 0.0 END) <= 0.30
-    AND (CASE WHEN s.line_chars > 0 THEN CAST(s.dup_line_chars AS DOUBLE) / s.line_chars ELSE 0.0 END) <= 0.20
-    AND (CASE WHEN s.line_chars > 0 THEN CAST(coalesce(t.top_cnt * length(t.top_bigram), 0) AS DOUBLE) / s.line_chars ELSE 0.0 END) <= 0.20
+  CASE WHEN coalesce(s.line_chars, 0) > 0 THEN CAST(coalesce(t.top_cnt * length(t.top_bigram), 0) AS DOUBLE) / s.line_chars ELSE 0.0 END AS top_bigram_char_frac,
+  (CASE WHEN coalesce(s.n_lines, 0) > 0 THEN CAST(s.n_lines - s.n_distinct_lines AS DOUBLE) / s.n_lines ELSE 0.0 END) <= 0.30
+    AND (CASE WHEN coalesce(s.line_chars, 0) > 0 THEN CAST(s.dup_line_chars AS DOUBLE) / s.line_chars ELSE 0.0 END) <= 0.20
+    AND (CASE WHEN coalesce(s.line_chars, 0) > 0 THEN CAST(coalesce(t.top_cnt * length(t.top_bigram), 0) AS DOUBLE) / s.line_chars ELSE 0.0 END) <= 0.20
     AS keep
-FROM line_stats s LEFT JOIN top t USING (doc_id)
-ORDER BY s.doc_id
+FROM ml m LEFT JOIN line_stats s USING (doc_id) LEFT JOIN top t USING (doc_id)
+ORDER BY m.doc_id
 """
 
 

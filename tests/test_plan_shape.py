@@ -121,3 +121,16 @@ def test_ngram_jaccard_shuffles_hashes_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "_gram" not in line and "text" not in line, line
+
+
+def test_line_dedup_keeper_partial_agg_no_window(spark):
+    """line_dedup's keeper must be a hash aggregate (map-side partial
+    min over the line key, AQE-skew-splittable) — NOT a window
+    partitioned by the line, which would put every occurrence of a
+    hot boilerplate line in one un-splittable task at 100 TB."""
+    from fujishadergpu_spark.operators.repetition import line_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup(d))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()

@@ -81,6 +81,29 @@ def test_line_dedup_keeper_and_counts(corpus):
     assert out[3]["n_removed"] == 0 and out[4]["text_dedup"] == "solo"
 
 
+def test_repetition_features_total_on_lineless_docs(spark):
+    """Docs with empty / whitespace-only text (no non-empty lines)
+    must still get a row — zeroed counts, 0.0 fractions, keep=true —
+    instead of silently vanishing from the output."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "\n\n"), (2, "   "), (3, "aa bb\ncc dd")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    for did in (0, 1):
+        r = out[did]
+        assert r["n_lines"] == 0 and r["n_distinct_lines"] == 0
+        assert r["dup_line_frac"] == 0.0 and r["dup_line_char_frac"] == 0.0
+        assert r["top_bigram"] == "" and r["top_bigram_cnt"] == 0
+        assert r["top_bigram_char_frac"] == 0.0 and r["keep"]
+    # "   " is one whitespace-only line with no tokens: 1 line, kept
+    assert out[2]["keep"] and out[2]["top_bigram_cnt"] == 0
+    # doc 3 proves non-empty docs still flow through the real gates
+    # (its top bigram covers 5/10 chars -> 2-gram rule rejects it)
+    assert out[3]["n_lines"] == 2 and not out[3]["keep"]
+
+
 def test_line_dedup_idempotent(corpus):
     once = line_dedup(corpus).select(
         "doc_id", F.col("text_dedup").alias("text")

@@ -12,8 +12,11 @@ family (the training-data-pipeline mandate; README capability table) with the ra
 (operators/ann.py) provides for embeddings.
 
 Scale shape (100 TB corpus, query set << corpus):
-- the postings relation (term, doc, tf) is built by ONE corpus scan +
-  one map-side-partial groupBy; document text never appears again;
+- the postings relation (term, doc, tf, dl) is built by ONE corpus
+  scan + one map-side-partial groupBy; the document length rides
+  the postings row (8 bytes) so the query path never joins the
+  corpus-sized per-doc length relation — document text and the raw
+  doc-length table never appear again after the build;
 - df/idf is a groupBy over postings — rows are (term, count), tiny;
 - the query side is exploded to (query, term) and BROADCAST against
   postings (same contract as decontaminate.py's benchmark set): the
@@ -60,10 +63,17 @@ def bm25_topk(
     stats = dl.agg(
         F.count("*").alias("_n"), F.sum("_dl").alias("_total")
     )
+    # _dl rides the postings row (constant per doc, max = the value):
+    # the scoring join below then never touches the corpus-sized dl
+    # relation (dl only feeds the single-row stats aggregate)
     tf = (
-        toks.select("_doc", F.explode("_tk").alias("_term"))
+        toks.select(
+            "_doc",
+            F.size("_tk").cast("bigint").alias("_len"),
+            F.explode("_tk").alias("_term"),
+        )
         .groupBy("_doc", "_term")
-        .agg(F.count("*").alias("_tf"))
+        .agg(F.count("*").alias("_tf"), F.max("_len").alias("_dl"))
     )
     df_rel = tf.groupBy("_term").agg(F.count("*").alias("_df"))
     qterms = queries.select(
@@ -86,7 +96,6 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(qterms), "_term")
         .join(F.broadcast(df_q), "_term")
-        .join(dl, "_doc")
         .crossJoin(F.broadcast(stats))
         .select("_q", "_doc", contrib.alias("_c"))
         .groupBy("_q", "_doc")

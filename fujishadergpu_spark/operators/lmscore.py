@@ -24,10 +24,15 @@ Scale shape (100 TB corpus):
   bounded by kept-vocabulary², not corpus size; the per-bigram log
   probability is pre-folded into ONE (bigram, term) table so the
   model meets the corpus exactly once;
-- scoring re-expands each doc's bigrams and left-joins that table on
-  the bigram key (+ a context-count join on w1 that only matters for
-  bigrams unseen in training): the corpus-sized shuffles carry
-  (doc_id, bigram) pairs, combined map-side into the per-doc sum;
+- scoring re-expands each doc's bigrams and routes them through the
+  spandedup.py dirty-only discipline: an INNER join on the bigram
+  key picks up the pre-folded term for seen bigrams, and only the
+  LEFT-ANTI remainder (model-miss bigrams — EMPTY in the
+  self-trained configuration, a minority whenever train covers the
+  corpus register) ever meets the Zipf-skewed w1-keyed context
+  join. The corpus-sized shuffles carry (doc_id, bigram) pairs on
+  the well-distributed bigram key, combined map-side into the
+  per-doc sum; w1 never keys a corpus-wide exchange;
 - nothing iterates, nothing collects: V and the smoothing constant
   are the only scalars, computed by one aggregate.
 
@@ -106,33 +111,37 @@ def lm_score(
         .select("_bigram", term.alias("_t"))
     )
 
+    ids = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(_bigrams(_tokens(F.col(text_col)))).cast("bigint").alias("n_bigrams"),
+    )
     occ = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(_bigrams(_tokens(F.col(text_col)))).alias("_bigram"),
+        F.explode(_bigrams(_tokens(F.col(text_col)))).alias("_bigram"),
     )
+    # dirty-only routing (the spandedup.py discipline): seen bigrams
+    # finish at the inner join — the pre-folded term needs nothing
+    # else; ONLY the model-miss remainder enters the w1-keyed context
+    # join, so the skewed key never carries a corpus-wide exchange
+    seen = occ.join(probs, "_bigram").select("_id", "_t")
     unseen = F.log(
         (F.lit(0) + F.lit(k))
         / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(k) * F.col("_v"))
     )
-    scored = (
-        occ.join(probs, "_bigram", "left")
-        .withColumn("_w1", F.regexp_extract(F.coalesce("_bigram", F.lit("")), _W1_RE, 1))
+    miss = (
+        occ.join(probs.select("_bigram"), "_bigram", "left_anti")
+        .withColumn("_w1", F.regexp_extract("_bigram", _W1_RE, 1))
         .join(ctx, "_w1", "left")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "_id",
-            F.col("_bigram").isNotNull().cast("bigint").alias("_n"),
-            F.when(
-                F.col("_bigram").isNotNull(), F.coalesce(F.col("_t"), unseen)
-            ).alias("_t"),
-        )
-        .groupBy("_id")
-        .agg(
-            F.sum("_n").alias("n_bigrams"),
-            F.when(
-                F.sum("_n") > 0,
-                F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint"),
-            ).alias("nll_q6"),
-        )
+        .select("_id", unseen.alias("_t"))
     )
-    return scored.select(F.col("_id").alias(id_col), "n_bigrams", "nll_q6")
+    sums = (
+        seen.unionByName(miss)
+        .groupBy("_id")
+        .agg(F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint").alias("_nll"))
+    )
+    return ids.join(sums, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, F.col("_nll")).alias("nll_q6"),
+    )

@@ -24,8 +24,13 @@ sized so one group's (id, n_tokens) pairs fit one task, ~10^6 rows /
 cross-group coordination, so the stage scales linearly with
 executors. Only (id, n_tokens) enters the shuffle: 16 B per row; the
 text itself is later joined back by id for sequence assembly. The
-per-group loop is a NumPy pass over ints (state is a single running
-counter), not per-row Python object work.
+per-group assignment is a sequential Python ``for`` over a plain
+int64 NumPy array (next-fit is inherently order-dependent — each
+decision reads the running accumulator the previous one wrote, so
+there is no exact vectorization); the loop touches ints only, never
+row objects or strings, and one group's pass is bounded by the
+group-sizing rule above (~10^6 ints per task; cost pinned by the
+tests/test_packing.py scaling smoke).
 """
 
 from __future__ import annotations
@@ -95,9 +100,11 @@ def pack_sequences(
 
 def packing_stats(plan: DataFrame, budget: int) -> DataFrame:
     """Per-group packing efficiency: sequences used, tokens packed,
-    fill ratio vs the budget, and overflow count."""
+    fill ratio vs the budget, and overflow count (documents longer
+    than the whole budget, each alone in its own sequence)."""
     per_seq = plan.groupBy("pack_group", "seq_id").agg(
-        F.sum("n_tokens").alias("_seq_tokens")
+        F.sum("n_tokens").alias("_seq_tokens"),
+        F.sum(F.col("overflow").cast("int")).alias("_overflow"),
     )
     return (
         per_seq.groupBy("pack_group")
@@ -108,5 +115,6 @@ def packing_stats(plan: DataFrame, budget: int) -> DataFrame:
                 F.sum("_seq_tokens").cast("double")
                 / (F.count("*") * F.lit(budget)).cast("double")
             ).alias("fill_ratio"),
+            F.sum("_overflow").cast("bigint").alias("n_overflow"),
         )
     )

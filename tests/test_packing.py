@@ -67,3 +67,40 @@ def test_packing_stats_fill_ratio(spark):
     s = stats[0]
     assert s.n_sequences == 2 and s.n_tokens == 12
     assert s.fill_ratio == pytest.approx(12 / 20)
+    assert s.n_overflow == 0
+
+
+def test_packing_stats_overflow_count(spark):
+    # docs of 11 and 15 tokens each overflow the budget of 10 alone;
+    # the 4+4 pair packs normally -> 3 sequences, 2 overflows
+    plan = _plan(spark, [11, 4, 4, 15])
+    s = packing_stats(plan, BUDGET).collect()[0]
+    assert s.n_sequences == 3 and s.n_overflow == 2
+
+
+def test_pack_group_scaling_smoke(spark):
+    """One group's next-fit pass over 10^5 ints must stay cheap —
+    pins the per-group sequential-loop cost the module docstring
+    budgets (~10^6 ints per task at production sizing)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from fujishadergpu_spark.operators.packing import _pack_group
+
+    n = 100_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "pack_group": np.zeros(n, dtype=np.int32),
+            "n_tokens": (np.arange(n, dtype=np.int64) * 37 % 900) + 1,
+        }
+    )
+    t0 = time.monotonic()
+    out = _pack_group(pdf, 2048)
+    dt = time.monotonic() - t0
+    assert len(out) == n and dt < 5.0
+    # spot invariant: every sequence's fill <= budget (no overflows here)
+    fills = out.groupby("seq_id")["n_tokens"].sum()
+    assert (fills <= 2048).all()

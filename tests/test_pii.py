@@ -48,11 +48,16 @@ def test_scrub_is_idempotent(spark):
     df = spark.createDataFrame(
         [(1, "a@b.co and 10.0.0.1"), (2, "ssn 000-11-2222")], ["doc_id", "text"]
     )
+    first = {
+        r["doc_id"]: r["text_clean"]
+        for r in scrub_pii(df).select("doc_id", "text_clean").collect()
+    }
     once = scrub_pii(df).select("doc_id", F.col("text_clean").alias("text"))
     again = scrub_pii(once).collect()
     for r in again:
         assert not r["has_pii"], r
-        assert r["text_clean"] == r["text_clean"]
+        # the second pass must leave the first pass's text unchanged
+        assert r["text_clean"] == first[r["doc_id"]], r
 
 
 def test_planted_corpus_counts(spark):

@@ -134,3 +134,36 @@ def test_line_dedup_keeper_partial_agg_no_window(spark):
     plan = _plan(line_dedup(d))
     assert "Window" not in plan
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_lmscore_ctx_join_input_is_probs_miss_subset(spark):
+    """The Zipf-skewed w1-keyed context join must only ever see the
+    model-miss remainder (a LEFT-ANTI join against the model), never
+    the full corpus-sized occurrence relation."""
+    from fujishadergpu_spark.operators.lmscore import lm_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    plan = lm_score(d, train=train)._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    anti = [i for i, l in enumerate(lines) if "LeftAnti" in l]
+    ctx_join = [i for i, l in enumerate(lines) if "Join LeftOuter" in l and "_w1" in l]
+    assert anti and ctx_join
+    # tree prints parent-above-child: the ctx join sits ABOVE the
+    # anti join, i.e. its input subtree is the miss remainder
+    assert min(ctx_join) < min(anti)
+
+
+def test_bm25_query_path_has_no_corpus_wide_join(spark):
+    """The scoring path must be postings + broadcast joins only — the
+    per-doc length rides the postings row, so no sort-merge join on
+    the corpus-sized dl relation survives in the plan."""
+    from fujishadergpu_spark.operators.bm25 import bm25_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = d.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    plan = _plan(bm25_topk(d, q, k=3))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -41,6 +41,12 @@ HEADLINE = [
     "doc_token_counts",
     "dedup_exact_docs",
     "ann_topk_cosine",
+    # round-5 LLM-pipeline family: the shuffle-heavy text paths get
+    # round-over-round tracking too (r5 verdict #3)
+    "span_dedup_docs",
+    "bm25_topk_docs",
+    "line_dedup_docs",
+    "doc_lm_perplexity",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
@@ -144,6 +150,55 @@ def skew_bench(spark, workdir: str):
     }
 
 
+N_SKEW_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_DOCS", "200000"))
+HOT_LINE = "click here to subscribe now and win big prizes"
+
+
+def text_skew_bench(spark, workdir: str):
+    """r5 verdict #1 regression probe: line_dedup over a corpus where
+    ONE boilerplate line is planted in 30% of 200k documents (60k
+    occurrences of a single key). The groupBy+min-struct keeper must
+    absorb it via map-side partial aggregation — under the old
+    window-partitionBy(line) keeper this shape is a one-task
+    straggler. Corpus synthesis is deterministic xxhash word soup
+    (8 lines x 6 tokens), cached in the bench workdir."""
+    from pyspark.sql import functions as FF
+
+    from fujishadergpu_spark.operators.repetition import line_dedup
+
+    src = os.path.join(workdir, f"text_skew_{N_SKEW_DOCS}.parquet")
+    if not os.path.exists(src):
+        vocab = FF.array(*[FF.lit(w) for w in (
+            "the data spark table row scan merge join filter sort key value "
+            "batch stream window group agg query part order line hash small "
+            "big fast slow customer vector column dup").split()])
+        line = lambda i: FF.concat_ws(
+            " ",
+            *[FF.element_at(
+                vocab,
+                (FF.pmod(FF.xxhash64("id", FF.lit(i * 31 + j)), FF.size(vocab)) + 1).cast("int"),
+            ) for j in range(6)],
+        )
+        body = FF.array(*[line(i) for i in range(8)])
+        hot = FF.pmod(FF.col("id"), FF.lit(10)) < 3
+        text = FF.array_join(
+            FF.when(hot, FF.concat(body, FF.array(FF.lit(HOT_LINE)))).otherwise(body),
+            "\n",
+        )
+        spark.range(N_SKEW_DOCS).select(
+            FF.col("id").alias("doc_id"), text.alias("text")
+        ).write.mode("overwrite").parquet(src)
+    d = spark.read.parquet(src)
+    n = line_dedup(d).count()  # warm + row parity (total operator)
+    times = timed_reps(lambda: materialize(line_dedup(d)), reps=3)
+    return {
+        "line_dedup_skew_docs": N_SKEW_DOCS,
+        "line_dedup_skew_rows": n,
+        "line_dedup_skew_times": times,
+        "line_dedup_skew_sec": min(times),
+    }
+
+
 def pages_pipeline(spark, n_pages: int, workdir: str):
     """End-to-end pages throughput: synth -> parquet -> geoparse ->
     PIP join -> per-tile hillshade kernel. Returns (pages_sec,
@@ -198,6 +253,7 @@ def main():
     )
 
     skew = skew_bench(spark, workdir)
+    tskew = text_skew_bench(spark, workdir)
 
     total = round(sum(per_query.values()), 3)
     total_median = round(sum(_median(v) for v in query_reps.values()), 3)
@@ -221,6 +277,7 @@ def main():
         "pip_rep_times": pip_times,
         "tile_rep_times": tile_times,
         **skew,
+        **tskew,
     }
     print(json.dumps(out))
     spark.stop()

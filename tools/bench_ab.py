@@ -35,6 +35,9 @@ from collections import defaultdict
 PROBE_QUERIES = [
     "q1_pricing_summary", "q5_local_supplier", "geo_knn_k5",
     "ann_topk_cosine", "tile_hillshade_z6", "geo_pip_zones",
+    # round-5 text family (r5 verdict #3): both arms must have these
+    # registered — true for any tree at or after the round-5 head
+    "span_dedup_docs", "line_dedup_docs", "bm25_topk_docs",
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PAGES = os.environ.get(

@@ -14,6 +14,11 @@ cell index -> PIP join -> XYZ tile kernels, every stage checkpointed
 to the lineage log partition-by-partition so a killed run resumes
 idempotently (reference --cog-only resume,
 reference core/tile_processor.py:1748-1819).
+
+The `clean-corpus` subcommand is the text family's production job:
+pii -> repetition -> line_dedup -> span_dedup -> decontaminate ->
+sample -> pack over the same lineage machinery
+(plans/clean_corpus.py).
 """
 
 from __future__ import annotations
@@ -383,6 +388,29 @@ def main(argv=None):
     p.add_argument("--zoom", type=int, default=8)
     p.add_argument("--run-id", default=None)
 
+    c = sub.add_parser(
+        "clean-corpus",
+        help="resumable 7-stage text-cleaning job: pii -> repetition -> "
+             "line_dedup -> span_dedup -> decontaminate -> sample -> pack "
+             "(lineage resume, same A18 machinery as `pipeline`)",
+    )
+    c.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--benchmark", default=None,
+                   help="parquet with a text column: eval corpus for n-gram "
+                        "decontamination (stage passes everything when absent)")
+    c.add_argument("--rates", default=None,
+                   help='JSON dict lang -> keep rate for the stratified sampler, '
+                        'e.g. \'{"en": 1.0, "de": 0.5}\'')
+    c.add_argument("--default-rate", type=float, default=1.0)
+    c.add_argument("--span-w", type=int, default=8,
+                   help="ExactSubstr window length in tokens")
+    c.add_argument("--decontam-n", type=int, default=8)
+    c.add_argument("--pack-budget", type=int, default=2048)
+    c.add_argument("--pack-groups", type=int, default=None,
+                   help="independent packing shards (default: lineage bucket count)")
+    c.add_argument("--run-id", default=None)
+
     r = sub.add_parser(
         "render",
         help="run any registered algorithm over the pages table and write quantized tiles "
@@ -424,6 +452,23 @@ def main(argv=None):
             print(f"wrote {args.n} pages to {args.out}")
         elif args.cmd == "pipeline":
             summary = run_pipeline(spark, args.pages, args.out, args.zoom, args.run_id)
+            for stage, s in summary.items():
+                print(f"stage {stage}: {s}")
+        elif args.cmd == "clean-corpus":
+            import json as _json
+
+            from .plans.clean_corpus import N_BUCKETS as _NB
+            from .plans.clean_corpus import run_clean_corpus
+
+            summary = run_clean_corpus(
+                spark, args.docs, args.out, args.run_id,
+                benchmark_path=args.benchmark,
+                rates=_json.loads(args.rates) if args.rates else None,
+                default_rate=args.default_rate,
+                span_w=args.span_w, decontam_n=args.decontam_n,
+                pack_budget=args.pack_budget,
+                pack_groups=args.pack_groups or _NB,
+            )
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")
         elif args.cmd == "render":

@@ -1,0 +1,184 @@
+"""Resumable corpus-cleaning pipeline: the production entry point for
+the LLM-training-data operator family (r5 verdict #2).
+
+The geo pipeline (cli.run_pipeline) made geoparse -> PIP -> tiles a
+first-class resumable job; this module gives the text family the same
+A18 treatment. Seven stages, chained through parquet, every stage
+written with plans/lineage.run_stage_idempotent (bucketed dynamic
+partition overwrite + lineage anti-join), so a killed run resumes
+idempotently at per-bucket granularity and a completed run re-invoked
+is a no-op:
+
+    pii          scrub_pii transform        (functions/pii.py)
+    repetition   Gopher keep-gate           (operators/repetition.py)
+    line_dedup   CCNet corpus line dedup    (operators/repetition.py)
+    span_dedup   ExactSubstr span removal   (operators/spandedup.py)
+    decontaminate benchmark n-gram gate     (operators/decontaminate.py)
+    sample       deterministic stratified   (operators/sampling.py)
+    pack         next-fit sequence packing  (operators/packing.py)
+
+Stage contract: every filter/transform stage writes the SURVIVING
+documents as (doc_id, text) partitioned by a stable hash bucket;
+``pack`` writes the packing plan partitioned by pack_group. Each
+stage reads the previous stage's parquet — never the original corpus
+— so a resumed run recomputes nothing upstream of the crash.
+
+Reference parity: the reference repo is the geospatial half of this
+graft and has no text pipeline; the resume machinery itself mirrors
+the reference's checkpoint/--cog-only design (reference
+core/tile_processor.py:1748-1819) via plans/lineage.py.
+
+Scale notes (100 TB):
+- corpus-level stages (line_dedup, span_dedup, decontaminate) are the
+  individually plan-audited operators — hash-aggregate keepers,
+  dirty-docs-only explodes, broadcast benchmark grams (their module
+  docstrings carry the per-stage contracts);
+- determinism is what makes bucketed resume SOUND: every stage is a
+  pure function of its input table (no sampling RNG, no
+  timestamps), so a resumed bucket writes byte-identical rows to the
+  ones the crashed run would have written (pinned by
+  tests/test_clean_corpus.py kill/resume equality);
+- the lineage log and per-stage outputs share one _lineage parquet,
+  one readback audit surface (plans/lineage.audit_stage works on any
+  stage path here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfn
+from ..functions.pii import scrub_pii
+from ..operators.packing import pack_sequences
+from ..operators.repetition import line_dedup, repetition_features
+from ..operators.sampling import stratified_sample
+from ..operators.spandedup import substring_dedup
+from .lineage import LineageLog, run_stage_idempotent
+
+N_BUCKETS = 64  # same resume granularity as cli.run_pipeline
+
+STAGES = (
+    "pii",
+    "repetition",
+    "line_dedup",
+    "span_dedup",
+    "decontaminate",
+    "sample",
+    "pack",
+)
+
+
+def _bucketed(df: DataFrame) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)))
+
+
+def run_clean_corpus(
+    spark: SparkSession,
+    docs_path: str,
+    out_root: str,
+    run_id: str | None = None,
+    benchmark_path: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    span_w: int = 8,
+    decontam_n: int = 8,
+    pack_budget: int = 2048,
+    pack_groups: int = N_BUCKETS,
+) -> dict:
+    """Run (or resume) the seven-stage cleaning job; returns the
+    per-stage run_stage_idempotent summaries.
+
+    ``benchmark_path``: parquet with a ``text`` column — the eval
+    corpus whose n-grams must not leak into training data; when None
+    the decontaminate stage passes every document through (gate
+    disabled, stage still materialized so a later re-run WITH a
+    benchmark is an explicit new out_root, never a silent semantic
+    change of an existing one). ``rates``: per-language keep rates
+    for the sampler (language = textfn.lang_id), absent languages
+    keep ``default_rate``.
+    """
+    lineage = LineageLog(spark, f"{out_root}/_lineage")
+    summary: dict[str, dict] = {}
+
+    def stage(name: str, df: DataFrame, key_col: str = "bucket") -> DataFrame:
+        summary[name] = run_stage_idempotent(
+            spark, df, key_col, f"{out_root}/{name}", lineage, name, run_id
+        )
+        # a stage may legitimately have ZERO survivors (e.g. rate-0
+        # sampling): the write leaves only _SUCCESS, so readback can't
+        # infer a schema — feed downstream an empty typed frame. Any
+        # other read failure propagates (the lineage.py narrow-catch
+        # discipline).
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(f"{out_root}/{name}")
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+                return spark.createDataFrame([], "doc_id long, text string")
+            raise
+
+    # 1. PII scrub — a transform, not a filter (every doc survives)
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    pii_out = stage(
+        "pii",
+        _bucketed(
+            scrub_pii(docs).select("doc_id", F.col("text_clean").alias("text"))
+        ),
+    ).select("doc_id", "text")
+
+    # 2. Gopher repetition gate — drop docs failing any §A1.1 rule
+    rep_keep = repetition_features(pii_out).where("keep").select("doc_id")
+    rep_out = stage(
+        "repetition", _bucketed(pii_out.join(rep_keep, "doc_id"))
+    ).select("doc_id", "text")
+
+    # 3. corpus-level line dedup — rewrite text to surviving lines;
+    # docs whose every line was someone else's boilerplate drop out
+    ld = line_dedup(rep_out).where(F.col("n_kept") > 0)
+    ld_out = stage(
+        "line_dedup",
+        _bucketed(ld.select("doc_id", F.col("text_dedup").alias("text"))),
+    ).select("doc_id", "text")
+
+    # 4. ExactSubstr span removal — rewrite text with corpus-duplicated
+    # spans excised; docs reduced to nothing drop out
+    sd = substring_dedup(ld_out, w=span_w).where(F.col("text_clean") != "")
+    sd_out = stage(
+        "span_dedup",
+        _bucketed(sd.select("doc_id", F.col("text_clean").alias("text"))),
+    ).select("doc_id", "text")
+
+    # 5. benchmark decontamination — drop any doc sharing an n-gram
+    # with the benchmark (Brown 2020 discipline); pass-through gate
+    # when no benchmark is supplied
+    if benchmark_path is not None:
+        from ..operators.decontaminate import decontaminate
+
+        bench = spark.read.parquet(benchmark_path).select("text")
+        dc_keep = (
+            decontaminate(sd_out, bench, n=decontam_n).where("keep").select("doc_id")
+        )
+        dc = sd_out.join(dc_keep, "doc_id")
+    else:
+        dc = sd_out
+    dc_out = stage("decontaminate", _bucketed(dc)).select("doc_id", "text")
+
+    # 6. deterministic stratified sampler — per-language keep rates,
+    # keyed on doc_id (partition/cluster-size invariant)
+    sampled = stratified_sample(
+        dc_out.withColumn("_lang", textfn.lang_id(F.col("text"))),
+        "_lang",
+        rates or {},
+        "doc_id",
+        default_rate=default_rate,
+    ).select("doc_id", "text")
+    sm_out = stage("sample", _bucketed(sampled)).select("doc_id", "text")
+
+    # 7. sequence packing — the training-batch plan, keyed by its own
+    # pack_group (natural resume unit: one group packs in one task)
+    plan = pack_sequences(sm_out, budget=pack_budget, groups=pack_groups)
+    stage("pack", plan, key_col="pack_group")
+
+    return summary

@@ -1,0 +1,188 @@
+"""clean-corpus resumable job (plans/clean_corpus.py, r5 verdict #2):
+every stage's semantics on a hand-planted corpus, no-op resume, and
+kill-mid-job resume producing output identical to an uninterrupted
+run (the test_cli_pipeline.py pattern over the lineage machinery)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fujishadergpu_spark.plans.clean_corpus import STAGES, run_clean_corpus
+
+# one boilerplate line shared by docs 0 and 3 (line_dedup signal) and
+# one 8-token span shared by docs 4 and 5 (ExactSubstr signal)
+COMMON_LINE = "shared boiler alpha beta gamma delta epsilon zeta"
+DUP_SPAN = "s1 s2 s3 s4 s5 s6 s7 s8"
+BENCH_GRAM = "q1 q2 q3 q4 q5 q6 q7 q8"
+
+DOCS = [
+    (0, COMMON_LINE + "\nd0a one two three four five six\nd0b red blue green cyan teal navy"),
+    (1, "d1a mail me at bob@example.com today please\nd1b calm words seven eight nine ten"),
+    # Gopher violation: the same line 10 times (dup_line_frac = 0.9)
+    (2, "\n".join(["rpt line again again2 again3 again4 again5 again6"] * 10)),
+    (3, COMMON_LINE + "\nd3a only lines here stay put now\nd3b more unique words linger here too"),
+    # the dup span is embedded in DISTINCT lines (a shared full line
+    # would be consumed by line_dedup before the span stage sees it)
+    (4, "d4a prefix words before the span here now\nd4b lead " + DUP_SPAN + " d4c tail"),
+    (5, "d5a zz other prefix chunk ahead of span\nd5b head " + DUP_SPAN + " d5c end"),
+    # benchmark contamination: carries the eval 8-gram verbatim
+    (6, "d6a intro tokens first\n" + BENCH_GRAM + "\nd6b outro tokens last"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cc") / "docs.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def bench_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cc") / "bench.parquet")
+    spark.createDataFrame([(BENCH_GRAM,)], "text string").write.parquet(p)
+    return p
+
+
+def _ids(spark, out, stage):
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(f"{out}/{stage}")
+    except AnalysisException:
+        return set()  # zero-survivor stage: only _SUCCESS on disk
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def _texts(spark, out, stage):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/{stage}").select("doc_id", "text").collect()
+    }
+
+
+def test_clean_corpus_stage_semantics(spark, corpus_path, bench_path, tmp_path):
+    out = str(tmp_path / "out")
+    s = run_clean_corpus(
+        spark, corpus_path, out, run_id="r1",
+        benchmark_path=bench_path, pack_budget=16, pack_groups=2,
+    )
+    assert list(s) == list(STAGES)
+    assert all(not v["skipped"] for v in s.values())
+
+    # pii: transform, total — doc 1's email redacted, nothing dropped
+    pii = _texts(spark, out, "pii")
+    assert set(pii) == set(range(7))
+    assert "<EMAIL>" in pii[1] and "bob@example.com" not in pii[1]
+
+    # repetition: the 10x-repeated-line doc is gone, the rest survive
+    assert _ids(spark, out, "repetition") == {0, 1, 3, 4, 5, 6}
+
+    # line_dedup: doc 3 loses the boilerplate line to doc 0
+    ld = _texts(spark, out, "line_dedup")
+    assert COMMON_LINE in ld[0] and COMMON_LINE not in ld[3]
+    assert "d3a" in ld[3]  # doc 3's own lines survive
+
+    # span_dedup: the corpus-duplicated 8-token span excised from BOTH
+    sd = _texts(spark, out, "span_dedup")
+    for did in (4, 5):
+        assert "s1" not in sd[did].split() and "s8" not in sd[did].split(), sd[did]
+        assert sd[did] != ""  # each doc's unique prefix survives
+    assert BENCH_GRAM in sd[6]  # a once-only gram is NOT span-duplicated
+
+    # decontaminate: the benchmark-overlapping doc is dropped
+    assert _ids(spark, out, "decontaminate") == {0, 1, 3, 4, 5}
+    # sample at default_rate=1.0 keeps everything
+    assert _ids(spark, out, "sample") == {0, 1, 3, 4, 5}
+
+    # pack: one plan row per surviving doc, budget respected
+    plan = spark.read.parquet(f"{out}/pack")
+    rows = plan.collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 3, 4, 5}
+    per_seq = (
+        plan.where(~F.col("overflow"))
+        .groupBy("pack_group", "seq_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert all(r["t"] <= 16 for r in per_seq)
+
+    # full resume: every stage skips, outputs unchanged
+    before = {st: _ids(spark, out, st) for st in STAGES[:-1]}
+    s2 = run_clean_corpus(
+        spark, corpus_path, out, run_id="r2",
+        benchmark_path=bench_path, pack_budget=16, pack_groups=2,
+    )
+    assert all(v["skipped"] for v in s2.values())
+    for st in STAGES[:-1]:
+        assert _ids(spark, out, st) == before[st], st
+
+
+def test_clean_corpus_kill_midjob_resume_equals_uninterrupted(
+    spark, corpus_path, bench_path, tmp_path, monkeypatch
+):
+    """Kill the job after line_dedup commits (fault injected into the
+    span stage), resume, and require every stage output to equal an
+    uninterrupted golden run row-for-row."""
+    import fujishadergpu_spark.plans.clean_corpus as cc
+
+    golden = str(tmp_path / "golden")
+    run_clean_corpus(
+        spark, corpus_path, golden, run_id="g",
+        benchmark_path=bench_path, pack_budget=16, pack_groups=2,
+    )
+
+    out = str(tmp_path / "killed")
+    real = cc.substring_dedup
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected kill before span_dedup")
+
+    monkeypatch.setattr(cc, "substring_dedup", boom)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        run_clean_corpus(
+            spark, corpus_path, out, run_id="k1",
+            benchmark_path=bench_path, pack_budget=16, pack_groups=2,
+        )
+    # stages up to the crash committed; the rest never ran
+    assert _ids(spark, out, "line_dedup") == {0, 1, 3, 4, 5, 6}
+    import os
+
+    assert not os.path.exists(f"{out}/span_dedup")
+
+    monkeypatch.setattr(cc, "substring_dedup", real)
+    s = run_clean_corpus(
+        spark, corpus_path, out, run_id="k2",
+        benchmark_path=bench_path, pack_budget=16, pack_groups=2,
+    )
+    # completed stages resumed as no-ops, the remainder ran
+    for st in ("pii", "repetition", "line_dedup"):
+        assert s[st]["skipped"], st
+    for st in ("span_dedup", "decontaminate", "sample", "pack"):
+        assert not s[st]["skipped"], st
+
+    # row-identical to the uninterrupted run, every stage
+    for st in STAGES[:-1]:
+        a = {tuple(r) for r in spark.read.parquet(f"{golden}/{st}").select("doc_id", "text").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{out}/{st}").select("doc_id", "text").collect()}
+        assert a == b, st
+    cols = ["doc_id", "pack_group", "seq_id", "seq_pos", "n_tokens", "overflow"]
+    a = {tuple(r) for r in spark.read.parquet(f"{golden}/pack").select(*cols).collect()}
+    b = {tuple(r) for r in spark.read.parquet(f"{out}/pack").select(*cols).collect()}
+    assert a == b
+
+
+def test_clean_corpus_without_benchmark_passes_gate(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "nobench")
+    run_clean_corpus(spark, corpus_path, out, run_id="nb", pack_budget=16, pack_groups=2)
+    # no benchmark -> decontaminate passes everything repetition+dedup kept
+    assert _ids(spark, out, "decontaminate") == {0, 1, 3, 4, 5, 6}
+
+
+def test_clean_corpus_sampler_rates_apply(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "rate0")
+    run_clean_corpus(
+        spark, corpus_path, out, run_id="r0",
+        default_rate=0.0, pack_budget=16, pack_groups=2,
+    )
+    # default_rate 0 with no per-language rates drops every doc
+    assert _ids(spark, out, "sample") == set()

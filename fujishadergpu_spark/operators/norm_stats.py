@@ -340,16 +340,23 @@ def kernel_global_stats(
     hi_p: float = 99.0,
     sample_mod: int = 4,
     log_scale: bool = True,
+    exact: bool = False,
     **kernel_params,
 ) -> tuple[float, float]:
     """(lo, scale) of the kernel's raw output pooled over a
     deterministic 1/sample_mod tile sample; central-window fallback
     (A10) when the sample is degenerate. Restricted to stretch-domain
-    kernels (STATS_STRETCH_KERNELS) — see _check_stretch_domain."""
+    kernels (STATS_STRETCH_KERNELS) — see _check_stretch_domain.
+
+    ``exact=True`` is the ORACLE-ONLY plan choice (the normalize_
+    acctbal pattern, queries.normalize_acctbal): exact ``percentile``
+    (a full sort of the pooled pixels) solely for bit-parity with
+    DuckDB ``quantile_cont``. Production always uses the default
+    ``percentile_approx`` sketch — the plan to run at 10^12 rows."""
     _check_stretch_domain(kernel, kernel_params)
     pts = _owning_tile(points, z)
     sampled = pts.filter(F.pmod(F.xxhash64("_otx", "_oty"), F.lit(sample_mod)) == 0).drop("_otx", "_oty")
-    stats = _pool_stats(sampled, z, kernel, lo_p, hi_p, log_scale, kernel_params)
+    stats = _pool_stats(sampled, z, kernel, lo_p, hi_p, log_scale, kernel_params, exact)
     if stats is not None:
         return stats
 
@@ -364,16 +371,21 @@ def kernel_global_stats(
     central = pts.filter(
         (F.abs(F.col("_otx") - cx) <= 2) & (F.abs(F.col("_oty") - cy) <= 2)
     ).drop("_otx", "_oty")
-    stats = _pool_stats(central, z, kernel, lo_p, hi_p, log_scale, kernel_params)
+    stats = _pool_stats(central, z, kernel, lo_p, hi_p, log_scale, kernel_params, exact)
     return stats if stats is not None else (0.0, 0.0)
 
 
-def _pool_stats(points, z, kernel, lo_p, hi_p, log_scale, kernel_params):
+def _pool_stats(points, z, kernel, lo_p, hi_p, log_scale, kernel_params, exact=False):
     tiles = tile_kernel(points, z, kernel=kernel, log_scale=log_scale, **kernel_params)
+    pctl = (
+        F.expr(f"percentile(v, array({lo_p / 100.0!r}, {hi_p / 100.0!r}))")
+        if exact  # oracle-only full sort; see kernel_global_stats
+        else F.percentile_approx("v", [lo_p / 100.0, hi_p / 100.0], 10000)
+    )
     row = (
         tiles.select(F.explode("result").alias("v"))
         .filter(~F.isnan("v"))
-        .agg(F.percentile_approx("v", [lo_p / 100.0, hi_p / 100.0], 10000).alias("p"))
+        .agg(pctl.alias("p"))
         .first()
     )
     if row is None or row["p"] is None:

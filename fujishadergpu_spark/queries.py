@@ -1770,6 +1770,167 @@ def tile_openness_normalized_z5(spark, sf_dir):
     )
 
 
+_OPEN_EXACT_LO_P = 0.05  # percent: q=0.0005 sits safely below the
+# duplicated-1.0 block at every fixture SF (candidate pixels are
+# >=0.3% of the pool), so the stretch is ALWAYS engaged and the A10
+# fallback branch (separately pytest-pinned) never has to be modeled
+# cross-engine
+
+
+def _openness_ray_offsets(max_distance: int = 16, num_directions: int = 16):
+    """The EXACT ray-sample offset table np_openness enumerates
+    (operators/np_kernels.np_openness: linspace distances -> int,
+    per-direction rounded (ox, oy), dist = hypot(ox, oy)) — generated
+    by the same arithmetic and inlined into BOTH engines so the twin
+    can never drift from the kernel."""
+    import math as _math
+
+    import numpy as _np
+
+    angles = _np.linspace(0, 2 * _np.pi, num_directions, endpoint=False)
+    dirs = _np.stack([_np.cos(angles), _np.sin(angles)], axis=1)
+    distances = _np.unique((_np.linspace(0.1, 1.0, 10) * max_distance).astype(int))
+    distances = distances[distances > 0]
+    out = []
+    for d in range(num_directions):
+        for r in distances:
+            ox = int(round(float(r) * float(dirs[d][0])))
+            oy = int(round(float(r) * float(dirs[d][1])))
+            if ox == 0 and oy == 0:
+                continue
+            out.append((d, ox, oy, max(_math.hypot(ox, oy), 1e-9)))
+    return out
+
+
+def tile_openness_normalized_exact_z5(spark, sf_dir):
+    """The two-stage stats->inject->stretch pipeline under the
+    cross-engine hash gate (r5 verdict #4): EXACT-percentile stats
+    pre-pass over the full tile pool (kernel_global_stats with the
+    oracle-only ``exact=True`` percentile plan and sample_mod=1 — the
+    normalize_acctbal plan-choice pattern), injected as global_stats
+    into the real rasterize -> halo exchange -> np_openness ->
+    display-stretch kernel run; per-tile Σ(stretched) quantized at
+    1e-3 (the tile_hillshade_exact_z6 quantized-sum technique:
+    cross-engine atan/pow/ln ulps are ~1e-15/pixel -> ~1e-10 on the
+    65k-pixel sum, eleven orders under the quantum, while any REAL
+    drift — ray table, halo transport, pool domain, percentile
+    interpolation, stretch algebra — moves whole units)."""
+    from .operators.norm_stats import kernel_global_stats
+    from .operators.tile_kernels import tile_kernel
+
+    p = geo_points(spark, sf_dir)
+    stats = kernel_global_stats(
+        p, 5, "openness", lo_p=_OPEN_EXACT_LO_P, hi_p=99.0,
+        sample_mod=1, exact=True, max_distance=16,
+    )
+    t = tile_kernel(p, 5, kernel="openness", log_scale=True,
+                    global_stats=stats, max_distance=16)
+    return (
+        t.select("z", "x", "y", F.explode("result").alias("v"))
+        .groupBy("z", "x", "y")
+        .agg(F.round(F.sum("v") * 1000.0).cast("long").alias("stretched_sum_q"))
+        .orderBy("x", "y")
+    )
+
+
+def _openness_exact_sql(z: int = 5, max_distance: int = 16) -> str:
+    """DuckDB twin of tile_openness_normalized_exact_z5 in WORLD
+    pixel coords, by sparse candidate algebra: a pixel's openness
+    differs from the flat value 1.0 ONLY if some ray sample reaches
+    an occupied pixel (or the pixel itself is occupied) — every other
+    pixel contributes pow(1, γ) = 1 exactly. Candidates = occupied ∪
+    occupied-minus-offset (x wraps, y clips: explode_to_tiles' halo
+    rules); per (candidate, direction) the horizon extreme is
+    max(atan((h[p+off] − h[p]) / dist)) over the inlined ray table,
+    openness = pow(clip(mean(π/2 − ext)/(π/2), 0, 1), 1/2.2) — the
+    np_openness float64 sequence op for op. The stats pool is the
+    candidate values plus (65536·n_emitted_tiles − n_candidates)
+    literal 1.0s (range()-generated, so quantile_cont sees the SAME
+    multiset Spark's exact percentile sorts); tile emission mirrors
+    the halo-17 window (kernel_halo('openness') = max_distance + 1).
+    Per-tile sum = 65536·stretch(1) + Σ(stretch(v) − stretch(1))."""
+    offs = _openness_ray_offsets(max_distance)
+    nt = 1 << z
+    npx = nt * 256
+    gx, gy = _grid_sql(z)
+    off_vals = ",".join(f"({d},{ox},{oy},{dist!r})" for d, ox, oy, dist in offs)
+    cand_vals = ",".join(f"({ox},{oy})" for ox, oy in sorted({(o[1], o[2]) for o in offs}))
+    q_lo = _OPEN_EXACT_LO_P / 100.0
+    return f"""
+WITH {PTS_SQL},
+{_halo_neighbors_sql(z, max_distance + 1)},
+emitted AS (SELECT DISTINCT x AS tx, y AS ty FROM n),
+occ AS (
+  SELECT {gx} AS px, {gy} AS py, ln(1.0 + COUNT(*)) AS h
+  FROM pts GROUP BY 1, 2
+),
+cand0 AS (
+  SELECT DISTINCT px, py FROM (
+    SELECT px, py FROM occ
+    UNION ALL
+    SELECT ((o.px - c.ox) % {npx} + {npx}) % {npx} AS px, o.py - c.oy AS py
+    FROM occ o CROSS JOIN (VALUES {cand_vals}) AS c(ox, oy)
+  ) WHERE py >= 0 AND py < {npx}
+),
+cand AS (
+  SELECT c.px, c.py, coalesce(o.h, 0.0) AS h
+  FROM cand0 c LEFT JOIN occ o ON o.px = c.px AND o.py = c.py
+),
+rays AS (
+  SELECT c.px, c.py, r.d,
+         max(atan((coalesce(o.h, 0.0) - c.h) / r.dist)) AS ext
+  FROM cand c
+  CROSS JOIN (VALUES {off_vals}) AS r(d, ox, oy, dist)
+  LEFT JOIN occ o ON o.px = ((c.px + r.ox) % {npx} + {npx}) % {npx}
+                 AND o.py = c.py + r.oy
+  GROUP BY c.px, c.py, r.d
+),
+vals AS (
+  SELECT px, py,
+         pow(least(greatest((sum(pi() / 2.0 - ext) / 16.0) / (pi() / 2.0), 0.0), 1.0),
+             (1.0 / 2.2)) AS v
+  FROM rays GROUP BY px, py
+),
+nstat AS (
+  SELECT (SELECT COUNT(*) FROM emitted) * 65536 AS n_total,
+         (SELECT COUNT(*) FROM vals) AS n_cand
+),
+pool AS (
+  SELECT v FROM vals
+  UNION ALL
+  -- range() takes constants only: enumerate to the world's pixel
+  -- bound and cut at the actual filler count (lazy generator, the
+  -- filter is a vectorized counter comparison)
+  SELECT 1.0 AS v FROM range({nt * nt * 65536}) r
+  WHERE r.range < (SELECT n_total - n_cand FROM nstat)
+),
+st AS (
+  SELECT quantile_cont(v, {q_lo!r}) AS lo,
+         quantile_cont(v, 0.99) - quantile_cont(v, {q_lo!r}) AS scale
+  FROM pool
+),
+stretched AS (
+  SELECT px, py,
+         CASE WHEN st.scale > 1e-12 THEN greatest((v - st.lo) / st.scale, 0.0)
+              ELSE v END AS sv
+  FROM vals, st
+),
+flat AS (
+  SELECT CASE WHEN st.scale > 1e-12 THEN greatest((1.0 - st.lo) / st.scale, 0.0)
+              ELSE 1.0 END AS s1
+  FROM st
+)
+SELECT {z} AS z, e.tx AS x, e.ty AS y,
+       CAST(round((65536.0 * (SELECT s1 FROM flat)
+             + coalesce(SUM(s.sv - (SELECT s1 FROM flat)), 0.0)) * 1000.0) AS BIGINT)
+         AS stretched_sum_q
+FROM emitted e
+LEFT JOIN stretched s ON s.px // 256 = e.tx AND s.py // 256 = e.ty
+GROUP BY e.tx, e.ty
+ORDER BY x, y
+"""
+
+
 def tile_hillshade_metric_z6(spark, sf_dir):
     """Metric pixel scales under driver smoke: per-tile (m/px) spacings
     from the WGS84 series feed the hillshade gradient (z_factor lifts
@@ -3157,6 +3318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
+    "tile_openness_normalized_exact_z5": tile_openness_normalized_exact_z5,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
@@ -3192,7 +3354,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
-    "tile_openness_normalized_z5": tile_openness_normalized_z5,
     "spatial_hillshade_z5": spatial_hillshade_z5,
     # tile_frangi_normalized_z5 sits first past the window: admitting
     # the hash-oracled doc_decontaminate displaced one rows-only slot,
@@ -3219,6 +3380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiscale_usm_z5": multiscale_usm_z5,  # overview-path variant; exact-USM + overview_box_total cover it
     "tile_hillshade_z6": tile_hillshade_z6,  # float32 stats variant; the float64 exact entry gates the same path
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,  # float32 metric variant; the exact metric entry gates the path
+    "tile_openness_normalized_z5": tile_openness_normalized_z5,  # percentile_approx-sketch plan variant; the exact sibling hash-gates the identical stats->inject->stretch pipeline in-window (demoted r6)
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
@@ -3301,6 +3463,7 @@ ORACLES: dict[str, str] = {
     "corpus_filter_pipeline": _pipeline_sql(),
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
+    "tile_openness_normalized_exact_z5": _openness_exact_sql(5, 16),
     "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,

@@ -122,11 +122,14 @@ def test_differentiated_entries_inside_driver_window():
     # to admit the hash-oracled doc_decontaminate: openness evidences
     # the identical raw-stat -> percentile-stretch plumbing in-window,
     # and the frangi kernel stays pytest-bit-exact in the seam matrix
+    # tile_openness_normalized_z5 was demoted past the window in round
+    # 6: tile_openness_normalized_exact_z5 hash-gates the identical
+    # stats->inject->stretch pipeline in-window (the sketch-plan
+    # variant stays a registry citizen, exercised by check_oracles)
     differentiated_rows_only = {
         "embedding_near_dup_pairs",
         "ann_ivf_index_probe",
         "tile_hillshade_filled_z5",
-        "tile_openness_normalized_z5",
         "spatial_hillshade_z5",
     }
     missing_rows_only = differentiated_rows_only - set(window)

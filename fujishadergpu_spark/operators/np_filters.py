@@ -235,6 +235,54 @@ def zoom_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return bilinear_sample(img, ys[:, None] + np.zeros((1, out_w)), xs[None, :] + np.zeros((out_h, 1)))
 
 
+PUSHPULL_EPS = 1e-6
+
+
+def pushpull_push_step(vw: np.ndarray, w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ONE push level: halve the valid-weighted pair — the loop body of
+    the push phase, factored out so the distributed pyramid
+    (operators/void_fill_dist.py) runs the byte-identical arithmetic
+    per tile (2:1 zoom_bilinear is an exact 2x2 block mean, so tile-
+    local halving equals whole-world halving on 256-aligned tiles)."""
+    ch, cw = vw.shape
+    nh, nw = max(1, ch // 2), max(1, cw // 2)
+    num = zoom_bilinear(vw, nh, nw)
+    den = zoom_bilinear(w, nh, nw)
+    wv = np.minimum(den, 1.0)
+    mean = np.where(den > PUSHPULL_EPS, num / np.maximum(den, PUSHPULL_EPS), 0.0)
+    return mean * wv, wv
+
+
+def pushpull_pull_step(vw: np.ndarray, w: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """ONE pull level: supported cells take their own valid-weighted
+    mean, unsupported cells take the upsampled coarser synthesis —
+    shared by pushpull_fill and the distributed pyramid."""
+    vl = np.where(w > PUSHPULL_EPS, vw / np.maximum(w, PUSHPULL_EPS), 0.0)
+    return np.where(w > PUSHPULL_EPS, vl, up)
+
+
+def pushpull_core(vw0: np.ndarray, w0: np.ndarray) -> np.ndarray:
+    """Push-pull recursion on an explicit (value*weight, weight) pair
+    (weights may be fractional — mid-pyramid levels). Returns the
+    synthesized surface at the input resolution; no preserve step."""
+    vws = [vw0]
+    ws = [w0]
+    # push: halve (valid-weighted) until every cell has support or 1x1
+    while max(vws[-1].shape) > 1 and float(ws[-1].min()) <= PUSHPULL_EPS:
+        nvw, nw = pushpull_push_step(vws[-1], ws[-1])
+        vws.append(nvw)
+        ws.append(nw)
+    # pull: synthesize from coarsest up; fill only unsupported cells
+    filled = np.where(
+        ws[-1] > PUSHPULL_EPS, vws[-1] / np.maximum(ws[-1], PUSHPULL_EPS), 0.0
+    )
+    for lvl in range(len(vws) - 2, -1, -1):
+        th, tw = vws[lvl].shape
+        up = zoom_bilinear(filled, th, tw)
+        filled = pushpull_pull_step(vws[lvl], ws[lvl], up)
+    return filled
+
+
 def pushpull_fill(grid: np.ndarray) -> np.ndarray:
     """Membrane-like void fill via a push-pull image pyramid: NaN
     voids are synthesized from progressively coarser valid-weighted
@@ -249,26 +297,6 @@ def pushpull_fill(grid: np.ndarray) -> np.ndarray:
         return grid.astype(np.float64, copy=True)
     if not valid.any():
         return np.zeros_like(out)
-    eps = 1e-6
     w = valid.astype(np.float64)
-    vws = [out * w]
-    ws = [w]
-    # push: halve (valid-weighted) until every cell has support or 1x1
-    while max(vws[-1].shape) > 1 and float(ws[-1].min()) <= eps:
-        ch, cw = vws[-1].shape
-        nh, nw = max(1, ch // 2), max(1, cw // 2)
-        num = zoom_bilinear(vws[-1], nh, nw)
-        den = zoom_bilinear(ws[-1], nh, nw)
-        wv = np.minimum(den, 1.0)
-        mean = np.where(den > eps, num / np.maximum(den, eps), 0.0)
-        vws.append(mean * wv)
-        ws.append(wv)
-    # pull: synthesize from coarsest up; fill only unsupported cells
-    filled = np.where(ws[-1] > eps, vws[-1] / np.maximum(ws[-1], eps), 0.0)
-    for lvl in range(len(vws) - 2, -1, -1):
-        th, tw = vws[lvl].shape
-        up = zoom_bilinear(filled, th, tw)
-        wl = ws[lvl]
-        vl = np.where(wl > eps, vws[lvl] / np.maximum(wl, eps), 0.0)
-        filled = np.where(wl > eps, vl, up)
+    filled = pushpull_core(out * w, w)
     return np.where(valid, grid, filled).astype(np.float64)

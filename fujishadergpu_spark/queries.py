@@ -1957,6 +1957,23 @@ def tile_hillshade_filled_z5(spark, sf_dir):
     return tile_kernel_stats(p, 5, kernel="hillshade", fill_surface=surface).orderBy("x", "y")
 
 
+def tile_hillshade_filled_dist_z5(spark, sf_dir):
+    """A21 void fill with the DISTRIBUTED membrane (r5 verdict #7):
+    the push-pull pyramid runs as an LOD join chain over tile
+    DataFrames (operators/void_fill_dist.pushpull_fill_tiles — no
+    driver world array during the build), then feeds the same
+    hillshade consumer. Bit-equality with the driver membrane at
+    zc <= cap is pinned by tests/test_void_fill_dist.py; this entry
+    keeps the beyond-cap production path runnable as a registry
+    citizen."""
+    from .operators.tile_kernels import tile_kernel_stats
+    from .operators.void_fill_dist import build_void_fill_surface_distributed
+
+    p = geo_points(spark, sf_dir)
+    surface = build_void_fill_surface_distributed(p, 5, zc=2, mode="enclosed")
+    return tile_kernel_stats(p, 5, kernel="hillshade", fill_surface=surface).orderBy("x", "y")
+
+
 def tile_ao_normalized_z5(spark, sf_dir):
     """Second stats-injected kernel entry (ambient_occlusion through
     the A9/A11 pre-pass->inject pipeline) — the generic stretch-domain
@@ -3387,6 +3404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_perplexity": doc_lm_perplexity,  # CCNet-style bigram-LM quality score; hash-gated past the window (quality_features + bm25 cover the scoring skeletons in-window)
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
+    "tile_hillshade_filled_dist_z5": tile_hillshade_filled_dist_z5,  # distributed-membrane variant of tile_hillshade_filled_z5; bit-equality with the driver membrane pinned in tests/test_void_fill_dist.py
     "order_priority_count": order_priority_count,  # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in

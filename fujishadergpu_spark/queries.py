@@ -1753,6 +1753,161 @@ def spatial_hillshade_z5(spark, sf_dir):
     return spatial_kernel(p, 5, "hillshade", radii=(2.0, 8.0, 64.0)).orderBy("x", "y")
 
 
+def spatial_hillshade_exact_z5(spark, sf_dir):
+    """The COMPOSED spatial mode (multi-radius + large-radius-from-
+    overview path, reference _nan_utils.py multiscale_response_fields +
+    coarse_large_radius_response) under the cross-engine hash gate
+    (r5 verdict #8). Radii are chosen so every stage is exactly
+    SQL-stateable while the full composition machinery still runs:
+    radius 1.0 takes the fine path with NO pre-smooth (np_spatial_
+    response's radius<=1 branch -> plain hillshade, the
+    tile_hillshade_exact_z6-gated kernel), and radius 16.0 with
+    overview_threshold=1.0 decimates s=4 levels to coarse zoom 1 where
+    its effective radius is again exactly 1.0 — so the coarse response
+    is plain hillshade on the log1p(block-mean) LOD field. The gate
+    therefore exercises the whole overview pipeline — _plan_radii,
+    coarse rasterize at z-s, the 0.25^s block-mean scaling, the halo'd
+    coarse kernel run, the 1-px ring crop, the broadcast ancestor
+    join, coarse_sample_coords + clamped bilinear upsample, and the
+    weighted-mean combine — with per-tile Σ(combined) quantized at
+    1e-3 (the tile_hillshade_exact_z6 technique: cross-engine libm
+    ulps are ~1e-15/px -> ~1e-9 on the pairwise 65k sum, six orders
+    under the quantum, while any REAL drift in the sample-position
+    contract, ring transport, block-mean scaling, or combine weights
+    moves whole units). The DuckDB twin reduces the upsampled tile sum
+    to a closed form: Σ_px bilinear(patch) = Σ_{Y,X} patch[Y,X]·Wy·Wx
+    with per-offset weights Wx exact dyadic rationals — and patch =
+    sin(alt) + sparse delta, so only Chebyshev-1 neighbors of occupied
+    coarse pixels carry nonzero terms."""
+    from .operators.spatial_mode import spatial_kernel
+
+    p = geo_points(spark, sf_dir)
+    t = spatial_kernel(p, 5, "hillshade", radii=(1.0, 16.0), overview_threshold=1.0)
+    return t.select(
+        "z", "x", "y",
+        F.round(F.col("resp_sum") * 1000.0).cast("long").alias("resp_sum_q"),
+    ).orderBy("x", "y")
+
+
+def _spatial_hillshade_exact_sql(z: int = 5) -> str:
+    """DuckDB twin of spatial_hillshade_exact_z5 in WORLD coords.
+
+    Fine component: identical sparse-candidate algebra to
+    _hillshade_exact_sql (flat pixels contribute exactly sin(alt)).
+    Coarse component (s=4 -> coarse world of (2^z·256)/16 px): the
+    LOD field is ln(1 + count·0.25^4) per coarse pixel; shade deltas
+    from the flat value live only on Chebyshev-1 neighbors of occupied
+    coarse pixels (y may extend one px beyond the world — the crop
+    ring over the zero-filled halo — x wraps). A fine tile's upsample
+    sum is separable: its 256 per-axis sample positions hit coarse
+    offsets o = floor((2j+17)/32) with fractions ((2j+17) mod 32)/32
+    (coarse_sample_coords at s=4; the 1-px ring makes the patch-bound
+    clamp a no-op), so Σ bilinear = Σ_{oY,oX} Wy(oY)·Wx(oX)·patch,
+    and with patch = sin(alt) + delta the flat part collapses to
+    65536·sin(alt) because the weights sum to 256 per axis."""
+    gx, gy = _grid_sql(z)
+    w = (1 << z) * 256
+    wc = w // 16  # coarse world px at s=4 (zoom z-4)
+    nine = "(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))"
+    return f"""
+WITH {PTS_SQL},
+pg AS (SELECT {gx} AS gx, {gy} AS gy FROM pts),
+cnt AS (SELECT gx, gy, CAST(COUNT(*) AS DOUBLE) AS n FROM pg GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT ((c.gx + d.dx) % {w} + {w}) % {w} AS px, c.gy + d.dy AS py
+  FROM cnt c CROSS JOIN {nine} d(dx, dy)
+  WHERE c.gy + d.dy BETWEEN 0 AND {w - 1}
+),
+nb AS (
+  SELECT a.px, a.py,
+         COALESCE(MAX(CASE WHEN o.tag = 'xm' THEN ln(1.0 + c.n) END), 0.0) AS vxm,
+         COALESCE(MAX(CASE WHEN o.tag = 'xp' THEN ln(1.0 + c.n) END), 0.0) AS vxp,
+         COALESCE(MAX(CASE WHEN o.tag = 'ym' THEN ln(1.0 + c.n) END), 0.0) AS vym,
+         COALESCE(MAX(CASE WHEN o.tag = 'yp' THEN ln(1.0 + c.n) END), 0.0) AS vyp
+  FROM cand a
+  CROSS JOIN (VALUES ('xm', -1, 0), ('xp', 1, 0), ('ym', 0, -1), ('yp', 0, 1)) o(tag, dx, dy)
+  LEFT JOIN cnt c
+    ON c.gx = ((a.px + o.dx) % {w} + {w}) % {w}
+   AND c.gy = a.py + o.dy
+  GROUP BY a.px, a.py
+),
+sh AS (
+  SELECT px, py,
+         least(1.0, greatest(0.0,
+           (sin(radians(45.0))
+            + cos(radians(45.0)) * (cos(radians(315.0)) * ((vyp - vym) / 2.0)
+                                    - sin(radians(315.0)) * ((vxp - vxm) / 2.0)))
+           / sqrt(1.0 + ((vxp - vxm) / 2.0) * ((vxp - vxm) / 2.0)
+                      + ((vyp - vym) / 2.0) * ((vyp - vym) / 2.0)))) AS shade
+  FROM nb
+),
+ftile AS (
+  SELECT px // 256 AS x, py // 256 AS y,
+         65536.0 * sin(radians(45.0)) + SUM(shade - sin(radians(45.0))) AS fsum
+  FROM sh GROUP BY 1, 2
+),
+ccnt AS (
+  SELECT gx // 16 AS cx, gy // 16 AS cy, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM pg GROUP BY 1, 2
+),
+ccand AS (
+  SELECT DISTINCT ((c.cx + d.dx) % {wc} + {wc}) % {wc} AS px, c.cy + d.dy AS py
+  FROM ccnt c CROSS JOIN {nine} d(dx, dy)
+  WHERE c.cy + d.dy BETWEEN -1 AND {wc}
+),
+cnb AS (
+  SELECT a.px, a.py,
+         COALESCE(MAX(CASE WHEN o.tag = 'xm' THEN ln(1.0 + c.n * 0.00390625) END), 0.0) AS vxm,
+         COALESCE(MAX(CASE WHEN o.tag = 'xp' THEN ln(1.0 + c.n * 0.00390625) END), 0.0) AS vxp,
+         COALESCE(MAX(CASE WHEN o.tag = 'ym' THEN ln(1.0 + c.n * 0.00390625) END), 0.0) AS vym,
+         COALESCE(MAX(CASE WHEN o.tag = 'yp' THEN ln(1.0 + c.n * 0.00390625) END), 0.0) AS vyp
+  FROM ccand a
+  CROSS JOIN (VALUES ('xm', -1, 0), ('xp', 1, 0), ('ym', 0, -1), ('yp', 0, 1)) o(tag, dx, dy)
+  LEFT JOIN ccnt c
+    ON c.cx = ((a.px + o.dx) % {wc} + {wc}) % {wc}
+   AND c.cy = a.py + o.dy
+  GROUP BY a.px, a.py
+),
+cdelta AS (
+  SELECT px, py,
+         least(1.0, greatest(0.0,
+           (sin(radians(45.0))
+            + cos(radians(45.0)) * (cos(radians(315.0)) * ((vyp - vym) / 2.0)
+                                    - sin(radians(315.0)) * ((vxp - vxm) / 2.0)))
+           / sqrt(1.0 + ((vxp - vxm) / 2.0) * ((vxp - vxm) / 2.0)
+                      + ((vyp - vym) / 2.0) * ((vyp - vym) / 2.0))))
+         - sin(radians(45.0)) AS delta
+  FROM cnb
+),
+offs AS (
+  SELECT o, SUM(wt) AS wt FROM (
+    SELECT (2 * j + 17) // 32 AS o,
+           1.0 - CAST((2 * j + 17) % 32 AS DOUBLE) / 32.0 AS wt
+    FROM range(256) t(j)
+    UNION ALL
+    SELECT (2 * j + 17) // 32 + 1 AS o,
+           CAST((2 * j + 17) % 32 AS DOUBLE) / 32.0 AS wt
+    FROM range(256) t(j)
+  ) GROUP BY o
+),
+ctile AS (
+  SELECT t.x, t.y,
+         65536.0 * sin(radians(45.0)) + COALESCE(SUM(oy.wt * ox.wt * d.delta), 0.0) AS csum
+  FROM (SELECT DISTINCT x, y FROM ftile) t
+  CROSS JOIN offs oy
+  CROSS JOIN offs ox
+  LEFT JOIN cdelta d
+    ON d.py = t.y * 16 + oy.o - 1
+   AND d.px = ((t.x * 16 + ox.o - 1) % {wc} + {wc}) % {wc}
+  GROUP BY t.x, t.y
+)
+SELECT {z} AS z, f.x, f.y,
+       CAST(round((0.5 * f.fsum + 0.5 * c.csum) * 1000.0) AS BIGINT) AS resp_sum_q
+FROM ftile f JOIN ctile c ON c.x = f.x AND c.y = f.y
+ORDER BY f.x, f.y
+"""
+
+
 def tile_openness_normalized_z5(spark, sf_dir):
     """Stats pre-pass -> broadcast -> stats-injected kernel: the A9/A11
     per-algorithm global-stats injection pipeline under driver smoke
@@ -3287,20 +3442,19 @@ ORDER BY t.doc_id
 # covers every DIFFERENTIATED code path:
 #   tier 1 — every hash-oracled entry (the strongest evidence);
 #   tier 2 — differentiated rows-only entries (distinct plumbing with
-#            no SQL-expressible twin). After round 5 only four remain
+#            no SQL-expressible twin). After round 6 only two remain
 #            in-window, each with a concrete reason:
 #            ann_ivf_index_probe (pruned probe — the exhaustive config
-#            IS hash-gated, pruning is plan/metric-pinned),
-#            tile_hillshade_filled_z5 (void-fill membrane is a
-#            driver-side BFS), tile_openness_normalized_z5
-#            (percentile_approx sample sketches aren't SQL-stateable;
-#            the kernel is pytest-bit-exact and rides the geographic
-#            metric parity test), spatial_hillshade_z5 (multi-radius
-#            overview composition — its components are individually
-#            hash-gated via overview_box_total + the exact hillshade
-#            entries). tile_frangi_normalized_z5 sits just past the
-#            window (openness covers its stretch plumbing — see the
-#            inline note);
+#            IS hash-gated, pruning is plan/metric-pinned) and
+#            tile_hillshade_filled_z5 (the MEMBRANE is hash-unstateable
+#            — the push-pull pyramid has no closed SQL form — but both
+#            builds of it, driver BFS and the distributed LOD chain,
+#            are pinned bit-equal in tests/test_void_fill_dist.py).
+#            tile_openness_normalized_z5 and spatial_hillshade_z5 were
+#            demoted in r6 when their _exact siblings hash-gated the
+#            identical pipelines in-window; tile_frangi_normalized_z5
+#            sits just past the window (openness covers its stretch
+#            plumbing — see the inline note);
 #   tier 3 — redundant variants of already-covered skeletons + the
 #            per-kernel smoke family (bit-exactness of each kernel is
 #            the pytest tiled==whole matrix, tests/test_np_kernels.py).
@@ -3336,6 +3490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
     "tile_openness_normalized_exact_z5": tile_openness_normalized_exact_z5,
+    "spatial_hillshade_exact_z5": spatial_hillshade_exact_z5,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
     "nodata_border_infer_normalize": nodata_border_infer_normalize,
@@ -3371,7 +3526,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
     "tile_hillshade_filled_z5": tile_hillshade_filled_z5,
-    "spatial_hillshade_z5": spatial_hillshade_z5,
     # tile_frangi_normalized_z5 sits first past the window: admitting
     # the hash-oracled doc_decontaminate displaced one rows-only slot,
     # and openness already evidences the identical two-stage
@@ -3398,6 +3552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_hillshade_z6": tile_hillshade_z6,  # float32 stats variant; the float64 exact entry gates the same path
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,  # float32 metric variant; the exact metric entry gates the path
     "tile_openness_normalized_z5": tile_openness_normalized_z5,  # percentile_approx-sketch plan variant; the exact sibling hash-gates the identical stats->inject->stretch pipeline in-window (demoted r6)
+    "spatial_hillshade_z5": spatial_hillshade_z5,  # pre-smooth multi-radius variant; the exact sibling hash-gates the full overview composition in-window, the sigma-pre-smooth branch stays pytest-world-oracled (demoted r6)
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
@@ -3482,6 +3637,7 @@ ORACLES: dict[str, str] = {
     "doc_stratified_sample": _stratified_sample_sql(),
     "tile_hillshade_exact_z6": _hillshade_exact_sql(6),
     "tile_openness_normalized_exact_z5": _openness_exact_sql(5, 16),
+    "spatial_hillshade_exact_z5": _spatial_hillshade_exact_sql(5),
     "tile_hillshade_metric_exact_z6": _hillshade_exact_sql(6, 2000.0),
     "doc_lang_id": LANG_ID_SQL,
     "dedup_minhash_docs": DEDUP_MINHASH_SQL,

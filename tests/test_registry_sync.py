@@ -126,11 +126,14 @@ def test_differentiated_entries_inside_driver_window():
     # 6: tile_openness_normalized_exact_z5 hash-gates the identical
     # stats->inject->stretch pipeline in-window (the sketch-plan
     # variant stays a registry citizen, exercised by check_oracles)
+    # spatial_hillshade_z5 was demoted the same way in round 6:
+    # spatial_hillshade_exact_z5 hash-gates the full overview
+    # composition in-window; the sigma-pre-smooth branch it does not
+    # reach stays world-oracled in tests/test_spatial_mode.py
     differentiated_rows_only = {
         "embedding_near_dup_pairs",
         "ann_ivf_index_probe",
         "tile_hillshade_filled_z5",
-        "spatial_hillshade_z5",
     }
     missing_rows_only = differentiated_rows_only - set(window)
     assert not missing_rows_only, f"differentiated entries past the window: {missing_rows_only}"

@@ -2113,20 +2113,20 @@ def tile_hillshade_filled_z5(spark, sf_dir):
 
 
 def tile_hillshade_filled_dist_z5(spark, sf_dir):
-    """A21 void fill with the DISTRIBUTED membrane (r5 verdict #7):
-    the push-pull pyramid runs as an LOD join chain over tile
-    DataFrames (operators/void_fill_dist.pushpull_fill_tiles — no
-    driver world array during the build), then feeds the same
-    hillshade consumer. Bit-equality with the driver membrane at
-    zc <= cap is pinned by tests/test_void_fill_dist.py; this entry
-    keeps the beyond-cap production path runnable as a registry
-    citizen."""
-    from .operators.tile_kernels import tile_kernel_stats
-    from .operators.void_fill_dist import build_void_fill_surface_distributed
+    """A21 void fill FULLY DISTRIBUTED (r5 verdict #7): the push-pull
+    membrane runs as an LOD join chain over tile DataFrames
+    (operators/void_fill_dist.pushpull_fill_tiles — no driver world
+    array) and is CONSUMED by patch-request/piece-join
+    (tile_kernel_stats_filled — no broadcast either), the
+    beyond-broadcast production route. Bit-equality with the
+    driver/broadcast path is pinned by tests/test_void_fill_dist.py;
+    this entry keeps it runnable as a registry citizen."""
+    from .operators.void_fill_dist import tile_kernel_stats_filled
 
     p = geo_points(spark, sf_dir)
-    surface = build_void_fill_surface_distributed(p, 5, zc=2, mode="enclosed")
-    return tile_kernel_stats(p, 5, kernel="hillshade", fill_surface=surface).orderBy("x", "y")
+    return tile_kernel_stats_filled(
+        p, 5, kernel="hillshade", zc=2, mode="enclosed"
+    ).orderBy("x", "y")
 
 
 def tile_ao_normalized_z5(spark, sf_dir):

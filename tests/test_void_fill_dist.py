@@ -61,6 +61,41 @@ def test_filled_hillshade_runs_on_distributed_surface(spark, points_df):
     assert ta == tb
 
 
+@pytest.mark.parametrize("kernel,kw", [("hillshade", {}), ("slope", {"unit": "degree"})])
+def test_join_based_fill_equals_broadcast_fill(spark, points_df, kernel, kw):
+    """The fully distributed consumer (patch-request/piece-join,
+    tile_kernel_stats_filled) must reproduce the broadcast-surface
+    path bit-for-bit: same tile set (incl. synthesized pointless
+    fillable tiles), same stats."""
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats
+    from fujishadergpu_spark.operators.void_fill_dist import tile_kernel_stats_filled
+
+    surf = build_void_fill_surface(points_df, 5, zc=2, mode="enclosed")
+    cols = ["z", "x", "y", "shade_sum", "shade_max", "lit_pixels"]
+    a = {tuple(r) for r in tile_kernel_stats(
+        points_df, 5, kernel=kernel, fill_surface=surf, **kw).select(*cols).collect()}
+    b = {tuple(r) for r in tile_kernel_stats_filled(
+        points_df, 5, kernel=kernel, zc=2, mode="enclosed", **kw).select(*cols).collect()}
+    assert a == b and len(a) > 1
+
+
+def test_join_based_fill_zc_equals_z_and_metric(spark, points_df):
+    """s=0 (membrane at full kernel zoom) and the metric-scale branch
+    both survive the patch path; parity vs the broadcast surface."""
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats
+    from fujishadergpu_spark.operators.void_fill_dist import tile_kernel_stats_filled
+
+    surf = build_void_fill_surface(points_df, 3, zc=3, mode="all")
+    cols = ["z", "x", "y", "shade_sum", "shade_max", "lit_pixels"]
+    a = {tuple(r) for r in tile_kernel_stats(
+        points_df, 3, kernel="hillshade", fill_surface=surf,
+        metric_scale=True, z_factor=2000.0).select(*cols).collect()}
+    b = {tuple(r) for r in tile_kernel_stats_filled(
+        points_df, 3, kernel="hillshade", zc=3, mode="all",
+        metric_scale=True, z_factor=2000.0).select(*cols).collect()}
+    assert a == b and len(a) > 1
+
+
 def test_distributed_membrane_all_mode_and_empty(spark):
     """mode='all' gates every cell; an empty input synthesizes a zero
     membrane (the pushpull_core no-data contract) without erroring."""

@@ -2750,6 +2750,116 @@ ORDER BY m.doc_id
 """
 
 
+def doc_ngram_repetition(spark, sf_dir):
+    """The FULL Gopher §A1.1 n-gram family over the synthesized
+    multi-line corpus (operators/repetition.ngram_repetition_features):
+    top-{2,3,4}-gram char fractions and overlap-aware dup-{5..10}-gram
+    char coverage (exact position-set union), keep at the published
+    thresholds. Complements doc_repetition_filter (line rules)."""
+    from .operators.repetition import ngram_repetition_features
+
+    return ngram_repetition_features(_multiline_documents(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _ngram_frac_sql(col: str, thr: float | None) -> str:
+    frac = (
+        f"CASE WHEN total_chars > 0 THEN CAST(coalesce({col}, 0) AS DOUBLE)"
+        f" / total_chars ELSE 0.0 END"
+    )
+    return frac if thr is None else f"({frac}) <= {thr}"
+
+
+DOC_NGRAM_REPETITION_SQL = f"""
+WITH {_MULTILINE_CTE},
+tk2 AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), t -> t != '') AS tk
+  FROM ml
+), toklen AS (
+  SELECT doc_id, u.cpos AS cpos, u.len AS len FROM (
+    SELECT doc_id,
+           unnest([{{'cpos': i, 'len': length(tk[i])}} FOR i IN generate_series(1, len(tk))]) AS u
+    FROM tk2)
+), totals AS (
+  SELECT t.doc_id, coalesce(a.total_chars, 0) AS total_chars
+  FROM tk2 t LEFT JOIN (
+    SELECT doc_id, CAST(SUM(len) + COUNT(*) - 1 AS BIGINT) AS total_chars
+    FROM toklen GROUP BY doc_id) a USING (doc_id)
+), ns AS (
+  SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n
+), occ AS (
+  SELECT doc_id, n, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id, n,
+           unnest(CASE WHEN len(tk) >= n THEN
+             [{{'pos': i, 'gram': array_to_string(tk[i:i+n-1], ' ')}}
+              FOR i IN generate_series(1, len(tk) - n + 1)]
+           ELSE [] END) AS u
+    FROM tk2 CROSS JOIN ns)
+), topc AS (
+  SELECT doc_id, n, CAST(cnt * length(gram) AS BIGINT) AS chars FROM (
+    SELECT doc_id, n, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rn
+    FROM (SELECT doc_id, n, gram, COUNT(*) AS cnt
+          FROM occ WHERE n <= 4 GROUP BY doc_id, n, gram))
+  WHERE rn = 1
+), duppos AS (
+  SELECT doc_id, n, pos FROM (
+    SELECT doc_id, n, pos,
+           COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+    FROM occ WHERE n >= 5)
+  WHERE cnt >= 2
+), cover AS (
+  SELECT doc_id, n, cpos, MAX(sep) AS sep FROM (
+    SELECT doc_id, n, u.cpos AS cpos, u.cpos <= pos + n - 2 AS sep FROM (
+      SELECT doc_id, n, pos,
+             unnest([{{'cpos': c}} FOR c IN generate_series(pos, pos + n - 1)]) AS u
+      FROM duppos))
+  GROUP BY doc_id, n, cpos
+), dupc AS (
+  SELECT c.doc_id, c.n,
+         CAST(SUM(t.len) + SUM(CASE WHEN c.sep THEN 1 ELSE 0 END) AS BIGINT) AS chars
+  FROM cover c JOIN toklen t ON c.doc_id = t.doc_id AND c.cpos = t.cpos
+  GROUP BY c.doc_id, c.n
+), tpiv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN chars END) AS c2,
+         MAX(CASE WHEN n = 3 THEN chars END) AS c3,
+         MAX(CASE WHEN n = 4 THEN chars END) AS c4
+  FROM topc GROUP BY doc_id
+), dpiv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 5 THEN chars END) AS c5,
+         MAX(CASE WHEN n = 6 THEN chars END) AS c6,
+         MAX(CASE WHEN n = 7 THEN chars END) AS c7,
+         MAX(CASE WHEN n = 8 THEN chars END) AS c8,
+         MAX(CASE WHEN n = 9 THEN chars END) AS c9,
+         MAX(CASE WHEN n = 10 THEN chars END) AS c10
+  FROM dupc GROUP BY doc_id
+)
+SELECT totals.doc_id,
+  CAST(total_chars AS BIGINT) AS total_chars,
+  {_ngram_frac_sql('c2', None)} AS top2_char_frac,
+  {_ngram_frac_sql('c3', None)} AS top3_char_frac,
+  {_ngram_frac_sql('c4', None)} AS top4_char_frac,
+  {_ngram_frac_sql('c5', None)} AS dup5_char_frac,
+  {_ngram_frac_sql('c6', None)} AS dup6_char_frac,
+  {_ngram_frac_sql('c7', None)} AS dup7_char_frac,
+  {_ngram_frac_sql('c8', None)} AS dup8_char_frac,
+  {_ngram_frac_sql('c9', None)} AS dup9_char_frac,
+  {_ngram_frac_sql('c10', None)} AS dup10_char_frac,
+  {_ngram_frac_sql('c2', 0.20)} AND {_ngram_frac_sql('c3', 0.18)}
+    AND {_ngram_frac_sql('c4', 0.16)} AND {_ngram_frac_sql('c5', 0.15)}
+    AND {_ngram_frac_sql('c6', 0.14)} AND {_ngram_frac_sql('c7', 0.13)}
+    AND {_ngram_frac_sql('c8', 0.12)} AND {_ngram_frac_sql('c9', 0.11)}
+    AND {_ngram_frac_sql('c10', 0.10)} AS keep
+FROM totals
+LEFT JOIN tpiv USING (doc_id)
+LEFT JOIN dpiv USING (doc_id)
+ORDER BY totals.doc_id
+"""
+
+
 def line_dedup_docs(spark, sf_dir):
     """CCNet-style corpus-level line dedup over the synthesized
     multi-line corpus (operators/repetition.line_dedup)."""
@@ -3481,7 +3591,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": customers_without_orders,
     # geospatial / tile transport
     "geo_cells_parent_r5": geo_cells_parent_r5,
-    "geo_tiles_z8": geo_tiles_z8,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
     "tile_halo_census_z6": tile_halo_census_z6,
     "tile_box_total_z6": tile_box_total_z6,
@@ -3504,6 +3613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats_by_lang": doc_stats_by_lang,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_repetition_filter": doc_repetition_filter,
+    "doc_ngram_repetition": doc_ngram_repetition,
     "line_dedup_docs": line_dedup_docs,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontaminate": doc_decontaminate,
@@ -3533,6 +3643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kernel itself stays pytest-bit-exact in the seam matrix)
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
+    "geo_tiles_z8": geo_tiles_z8,  # coarser binning of the tile_pixel transform; density_z7 gates the same transform + binning in-window (demoted r6 to admit doc_ngram_repetition)
     "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
     "geo_tilepixel_z12": geo_tilepixel_z12,  # raw per-point dump of the tile_pixel transform; density_z7 gates the same transform + binning (demoted r5 to admit doc_pack_sequences)
     "geo_cells_r7": geo_cells_r7,  # the res-7 cell_of is computed inside geo_cells_parent_r5's rollup-law plan (demoted r5 to admit bm25_topk_docs)
@@ -3628,6 +3739,7 @@ ORACLES: dict[str, str] = {
     "doc_stats_by_lang": DOC_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_repetition_filter": DOC_REPETITION_SQL,
+    "doc_ngram_repetition": DOC_NGRAM_REPETITION_SQL,
     "line_dedup_docs": LINE_DEDUP_SQL,
     "doc_pii_scrub": _pii_scrub_sql(),
     "doc_decontaminate": DECONTAM_SQL,

@@ -113,6 +113,7 @@ def test_differentiated_entries_inside_driver_window():
         "order_priority_count",     # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
         "tile_weighted_census_z6",  # weight_col variant of tile_halo_census_z6's transport skeleton
         "geo_tilepixel_z12",        # raw per-point dump of the tile_pixel transform; density_z7 gates it + binning
+        "geo_tiles_z8",             # coarser binning of the tile_pixel transform; density_z7 gates it (demoted r6)
         "geo_cells_r7",             # res-7 cell_of is computed inside geo_cells_parent_r5's rollup-law plan
         "doc_lm_perplexity",        # quality-scoring family; quality_features + bm25 gate the skeletons in-window
     }

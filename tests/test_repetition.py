@@ -141,3 +141,67 @@ def test_multiline_synthesis_plants_expected_duplicates(spark):
         dup = len(lines) - len(set(lines))
         if did % 3 == 0 and did % 7 != 0:
             assert dup >= 1, did
+
+
+# ---------------------------------------------------------------------
+# full Gopher n-gram family (ngram_repetition_features)
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ngram_corpus(spark):
+    rows = [
+        # doc 0: "a..h" twice -> every 5..8-gram duplicated, 9/10 not;
+        # cover union = all 16 tokens, 14 of 15 separators (the seam
+        # separator between the two halves is never inside one
+        # occurrence)
+        (0, "a b c d e f g h a b c d e f g h"),
+        # doc 1: 30 distinct 3-char tokens -> no dup grams, top fracs
+        # all under the published thresholds -> keep
+        (1, " ".join(f"t{i:02d}" for i in range(30))),
+        # doc 2: empty text -> total over the input, zero fracs, keep
+        (2, ""),
+        # doc 3: one token repeated 6x -> overlapping top-bigram count
+        # exceeds 1.0 by design (counts multiply, union does not)
+        (3, "x x x x x x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_repetition_hand_computed(ngram_corpus):
+    from fujishadergpu_spark.operators.repetition import (
+        ngram_repetition_features,
+    )
+
+    out = {r["doc_id"]: r for r in ngram_repetition_features(ngram_corpus).collect()}
+    assert set(out) == {0, 1, 2, 3}
+
+    d0 = out[0]  # total = 16 chars + 15 seps = 31
+    assert d0["total_chars"] == 31
+    # ties on cnt=2 break to the lexicographically greatest gram
+    assert d0["top2_char_frac"] == pytest.approx(6 / 31)   # "g h" x2
+    assert d0["top3_char_frac"] == pytest.approx(10 / 31)  # "f g h" x2
+    assert d0["top4_char_frac"] == pytest.approx(14 / 31)  # "e f g h" x2
+    # n=5..8: union covers all 16 tokens + 14 separators
+    for n in (5, 6, 7, 8):
+        assert d0[f"dup{n}_char_frac"] == pytest.approx(30 / 31), n
+    for n in (9, 10):
+        assert d0[f"dup{n}_char_frac"] == 0.0, n
+    assert d0["keep"] is False  # top3 10/31 > 0.18
+
+    d1 = out[1]  # 30*3 chars + 29 seps = 119
+    assert d1["total_chars"] == 119
+    assert d1["top2_char_frac"] == pytest.approx(7 / 119)
+    assert all(d1[f"dup{n}_char_frac"] == 0.0 for n in range(5, 11))
+    assert d1["keep"] is True
+
+    d2 = out[2]
+    assert d2["total_chars"] == 0
+    assert d2["top2_char_frac"] == 0.0 and d2["dup10_char_frac"] == 0.0
+    assert d2["keep"] is True
+
+    d3 = out[3]  # 6 chars + 5 seps = 11
+    assert d3["total_chars"] == 11
+    assert d3["top2_char_frac"] == pytest.approx(15 / 11)  # "x x" x5, 3 chars
+    assert d3["dup5_char_frac"] == pytest.approx(1.0)  # full cover
+    assert d3["keep"] is False

@@ -47,6 +47,10 @@ HEADLINE = [
     "bm25_topk_docs",
     "line_dedup_docs",
     "doc_lm_perplexity",
+    # round-6 additions: the 9x-explode Gopher n-gram family and the
+    # DSIR two-model scoring path
+    "doc_ngram_repetition",
+    "doc_dsir_weights",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

@@ -409,6 +409,15 @@ def main(argv=None):
     c.add_argument("--pack-budget", type=int, default=2048)
     c.add_argument("--pack-groups", type=int, default=None,
                    help="independent packing shards (default: lineage bucket count)")
+    c.add_argument("--ngram-rules", action="store_true",
+                   help="AND the full Gopher n-gram family (top-2/3/4-gram + "
+                        "dup-5..10-gram char fractions) into the repetition gate")
+    c.add_argument("--dsir-target", default=None,
+                   help="parquet with (doc_id, text): replace the stratified "
+                        "sampler with DSIR Gumbel-top-k importance resampling "
+                        "toward this target corpus")
+    c.add_argument("--dsir-select", type=int, default=1000,
+                   help="sample size for --dsir-target resampling")
     c.add_argument("--run-id", default=None)
 
     r = sub.add_parser(
@@ -468,6 +477,9 @@ def main(argv=None):
                 span_w=args.span_w, decontam_n=args.decontam_n,
                 pack_budget=args.pack_budget,
                 pack_groups=args.pack_groups or _NB,
+                ngram_rules=args.ngram_rules,
+                dsir_target_path=args.dsir_target,
+                dsir_select=args.dsir_select,
             )
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")

@@ -85,6 +85,9 @@ def run_clean_corpus(
     decontam_n: int = 8,
     pack_budget: int = 2048,
     pack_groups: int = N_BUCKETS,
+    ngram_rules: bool = False,
+    dsir_target_path: str | None = None,
+    dsir_select: int = 1000,
 ) -> dict:
     """Run (or resume) the seven-stage cleaning job; returns the
     per-stage run_stage_idempotent summaries.
@@ -96,7 +99,13 @@ def run_clean_corpus(
     benchmark is an explicit new out_root, never a silent semantic
     change of an existing one). ``rates``: per-language keep rates
     for the sampler (language = textfn.lang_id), absent languages
-    keep ``default_rate``.
+    keep ``default_rate``. ``ngram_rules``: AND the full Gopher
+    n-gram family (ngram_repetition_features) into the repetition
+    gate. ``dsir_target_path``: parquet with (doc_id, text) — when
+    set, the sample stage becomes DSIR Gumbel-top-``dsir_select``
+    importance resampling toward that target corpus instead of the
+    stratified-rate sampler (both are deterministic, so bucketed
+    resume stays sound either way).
     """
     lineage = LineageLog(spark, f"{out_root}/_lineage")
     summary: dict[str, dict] = {}
@@ -130,6 +139,13 @@ def run_clean_corpus(
 
     # 2. Gopher repetition gate — drop docs failing any §A1.1 rule
     rep_keep = repetition_features(pii_out).where("keep").select("doc_id")
+    if ngram_rules:
+        from ..operators.repetition import ngram_repetition_features
+
+        rep_keep = rep_keep.join(
+            ngram_repetition_features(pii_out).where("keep").select("doc_id"),
+            "doc_id",
+        )
     rep_out = stage(
         "repetition", _bucketed(pii_out.join(rep_keep, "doc_id"))
     ).select("doc_id", "text")
@@ -165,15 +181,25 @@ def run_clean_corpus(
         dc = sd_out
     dc_out = stage("decontaminate", _bucketed(dc)).select("doc_id", "text")
 
-    # 6. deterministic stratified sampler — per-language keep rates,
-    # keyed on doc_id (partition/cluster-size invariant)
-    sampled = stratified_sample(
-        dc_out.withColumn("_lang", textfn.lang_id(F.col("text"))),
-        "_lang",
-        rates or {},
-        "doc_id",
-        default_rate=default_rate,
-    ).select("doc_id", "text")
+    # 6. deterministic selection: per-language stratified rates, or —
+    # when a DSIR target corpus is supplied — Gumbel-top-k importance
+    # resampling toward it (both partition/cluster-size invariant)
+    if dsir_target_path is not None:
+        from ..operators.dsir import dsir_resample, dsir_weights
+
+        tgt = spark.read.parquet(dsir_target_path).select("doc_id", "text")
+        sel = dsir_resample(dsir_weights(dc_out, tgt), dsir_select).select(
+            "doc_id"
+        )
+        sampled = dc_out.join(sel, "doc_id")
+    else:
+        sampled = stratified_sample(
+            dc_out.withColumn("_lang", textfn.lang_id(F.col("text"))),
+            "_lang",
+            rates or {},
+            "doc_id",
+            default_rate=default_rate,
+        ).select("doc_id", "text")
     sm_out = stage("sample", _bucketed(sampled)).select("doc_id", "text")
 
     # 7. sequence packing — the training-batch plan, keyed by its own

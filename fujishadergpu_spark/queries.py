@@ -3542,6 +3542,100 @@ ORDER BY t.doc_id
 
 
 # ----------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ----------------------------------------------------------------------
+# Target = the doc_id % 5 == 0 subset (a deterministic "high-quality"
+# slice); weights under hashed unigram+bigram models, Gumbel-top-50
+# selection. The quantized-sum + identical-op-order recipe again; the
+# Gumbel noise is a universal hash of doc_id shared verbatim with the
+# twin (operators/dsir.gumbel_params(42)).
+
+_DSIR_A, _DSIR_B = 1608637543, 1273642419  # gumbel_params(42)
+_DSIR_B_BUCKETS = 10007
+_DSIR_SELECT = 50
+
+
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights + Gumbel-top-k selection
+    (operators/dsir.dsir_weights / dsir_resample)."""
+    from .operators.dsir import dsir_resample, dsir_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = d.where(F.col("doc_id") % 5 == 0)
+    w = dsir_weights(d, tgt, buckets=_DSIR_B_BUCKETS)
+    sel = dsir_resample(w, _DSIR_SELECT).select(
+        "doc_id", F.lit(True).alias("sel")
+    )
+    return (
+        w.join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "weight_q6",
+            F.coalesce("sel", F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_GRAMS_CTE = """
+  SELECT doc_id,
+         unnest(list_concat(tk,
+           CASE WHEN len(tk) >= 2 THEN
+             [tk[i] || ' ' || tk[i+1] FOR i IN generate_series(1, len(tk) - 1)]
+           ELSE [] END)) AS g
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \n]+'), t -> t != '') AS tk
+        FROM {src})
+"""
+
+_DSIR_BUCKET = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " [CAST(ascii(c) AS BIGINT) FOR c IN string_split(g, '')]),"
+    f" (acc, v) -> (acc * 1000003 + v) % 2147483647) % {_DSIR_B_BUCKETS}"
+)
+
+DOC_DSIR_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+tgt AS (SELECT doc_id, text FROM d WHERE doc_id % 5 = 0),
+occ_t AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket
+          FROM ({_DSIR_GRAMS_CTE.format(src='tgt')})),
+occ_r AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket
+          FROM ({_DSIR_GRAMS_CTE.format(src='d')})),
+gr_t AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM occ_t GROUP BY bucket),
+gr_r AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM occ_r GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(ct) FROM gr_t) AS tt, (SELECT SUM(cr) FROM gr_r) AS tr),
+lr AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         ln((coalesce(ct, 0) + 0.5) / (coalesce(tt, 0) + 0.5 * {_DSIR_B_BUCKETS}))
+         - ln((coalesce(cr, 0) + 0.5) / (coalesce(tr, 0) + 0.5 * {_DSIR_B_BUCKETS})) AS lr
+  FROM gr_t t FULL OUTER JOIN gr_r r ON t.bucket = r.bucket CROSS JOIN tot
+), sums AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(round(SUM(l.lr) * 1000000.0) AS BIGINT) AS weight_q6
+  FROM occ_r o JOIN lr l USING (bucket)
+  GROUP BY o.doc_id
+), w AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(s.weight_q6, 0) AS BIGINT) AS weight_q6
+  FROM d LEFT JOIN sums s USING (doc_id)
+), sc AS (
+  SELECT doc_id, n_grams, weight_q6,
+         CAST(round((CAST(weight_q6 AS DOUBLE) / 1000000.0
+           - ln(-ln(CAST(((doc_id % 2147483647) * {_DSIR_A} + {_DSIR_B}) % 2147483647 + 1 AS DOUBLE)
+                    / 2147483648.0))) * 1000000.0) AS BIGINT) AS score_q6
+  FROM w
+), sel AS (
+  SELECT doc_id FROM sc ORDER BY score_q6 DESC, doc_id LIMIT {_DSIR_SELECT}
+)
+SELECT w.doc_id, w.n_grams, w.weight_q6, (s.doc_id IS NOT NULL) AS selected
+FROM w LEFT JOIN sel s USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -3668,6 +3762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     "doc_lm_perplexity": doc_lm_perplexity,  # CCNet-style bigram-LM quality score; hash-gated past the window (quality_features + bm25 cover the scoring skeletons in-window)
+    "doc_dsir_weights": doc_dsir_weights,  # DSIR importance resampling; hash-gated past the window (broadcast-model scoring skeleton == lm/bm25, deterministic-sampling skeleton == doc_stratified_sample, both in-window)
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     "tile_hillshade_filled_dist_z5": tile_hillshade_filled_dist_z5,  # distributed-membrane variant of tile_hillshade_filled_z5; bit-equality with the driver membrane pinned in tests/test_void_fill_dist.py
@@ -3767,6 +3862,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "bm25_topk_docs": BM25_SQL,
     "doc_lm_perplexity": LM_SCORE_SQL,
+    "doc_dsir_weights": DOC_DSIR_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

@@ -186,3 +186,61 @@ def test_clean_corpus_sampler_rates_apply(spark, corpus_path, tmp_path):
     )
     # default_rate 0 with no per-language rates drops every doc
     assert _ids(spark, out, "sample") == set()
+
+
+def test_clean_corpus_dsir_selection(spark, corpus_path, tmp_path):
+    """--dsir-target swaps the sample stage for Gumbel-top-k importance
+    resampling toward the target corpus."""
+    from fujishadergpu_spark.operators.dsir import dsir_resample, dsir_weights
+
+    # target register = doc 1's vocabulary -> doc 1 must be sampled
+    tgt_path = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame(
+        [(100, "d1a mail me at alice@example.net today please")],
+        "doc_id long, text string",
+    ).write.parquet(tgt_path)
+
+    out = str(tmp_path / "out_dsir")
+    run_clean_corpus(
+        spark, corpus_path, out,
+        dsir_target_path=tgt_path, dsir_select=2,
+    )
+    sampled = _ids(spark, out, "sample")
+    assert len(sampled) == 2 and 1 in sampled
+
+    # the selection must equal the operator composition run directly
+    # on the decontaminate stage's output (resume-sound determinism)
+    dc = spark.read.parquet(f"{out}/decontaminate").select("doc_id", "text")
+    tgt = spark.read.parquet(tgt_path).select("doc_id", "text")
+    direct = {r["doc_id"] for r in dsir_resample(dsir_weights(dc, tgt), 2).collect()}
+    assert sampled == direct
+
+
+def test_clean_corpus_ngram_rules_gate(spark, corpus_path, tmp_path):
+    """--ngram-rules ANDs the full Gopher n-gram family into the
+    repetition gate: the stage's survivor set must equal the direct
+    conjunction of both operators' keep flags on the pii output.
+    (Short fixture docs DO trip the top-3/4-gram rules — a single
+    17-char 3-gram over a 71-char doc exceeds 0.18 — so this is a
+    real additional drop, not a no-op.)"""
+    from fujishadergpu_spark.operators.repetition import (
+        ngram_repetition_features,
+        repetition_features,
+    )
+
+    out = str(tmp_path / "out_ng")
+    run_clean_corpus(spark, corpus_path, out, ngram_rules=True)
+    pii = spark.read.parquet(f"{out}/pii").select("doc_id", "text")
+    exp = {
+        r["doc_id"] for r in repetition_features(pii).where("keep").collect()
+    } & {
+        r["doc_id"]
+        for r in ngram_repetition_features(pii).where("keep").collect()
+    }
+    got = _ids(spark, out, "repetition")
+    assert got == exp
+    # and it is a strictly tighter gate than the line rules alone here
+    line_only = {
+        r["doc_id"] for r in repetition_features(pii).where("keep").collect()
+    }
+    assert got < line_only

@@ -3636,6 +3636,56 @@ ORDER BY w.doc_id
 
 
 # ----------------------------------------------------------------------
+# deterministic shuffle + shard assignment (operators/sharding.py)
+# ----------------------------------------------------------------------
+# The corpus-layout stage: universal-hash shuffle order, exclusive
+# token prefix sum, budget-cut shard ids. Spark computes the prefix
+# via the distributed bucket-partials plan; the twin is ONE ordered
+# window over the same (h, id) order — pure int64 both sides, so the
+# full relation hashes bit-for-bit.
+
+_SHARD_BUDGET = 2048
+
+
+def doc_shards(spark, sf_dir):
+    """Deterministic corpus shuffle + token-budget shard layout
+    (operators/sharding.assign_shards): position of every document in
+    the concatenated shuffled token stream and its shard cut."""
+    from .operators.sharding import assign_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", textfn.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return assign_shards(d, _SHARD_BUDGET, n_buckets=64).orderBy("doc_id")
+
+
+def _doc_shards_sql() -> str:
+    from .operators.sampling import P31
+    from .operators.sharding import SHUFFLE_A, SHUFFLE_B
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), h AS (
+  SELECT doc_id, n_tokens,
+         ((((doc_id % {P31}) + {P31}) % {P31}) * {SHUFFLE_A} + {SHUFFLE_B}) % {P31} AS shuffle_h
+  FROM d
+), p AS (
+  SELECT doc_id, n_tokens, shuffle_h,
+         CAST(SUM(n_tokens) OVER (ORDER BY shuffle_h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS global_pos
+  FROM h
+)
+SELECT doc_id, n_tokens, shuffle_h, global_pos,
+       global_pos // {_SHARD_BUDGET} AS shard_id,
+       global_pos % {_SHARD_BUDGET} AS shard_off
+FROM p ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -3680,7 +3730,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_local_supplier": q5_local_supplier,
     "top_customers_per_nation": top_customers_per_nation,
-    "events_hourly": events_hourly,
     "events_sessions": events_sessions,
     "customers_without_orders": customers_without_orders,
     # geospatial / tile transport
@@ -3726,6 +3775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "bm25_topk_docs": bm25_topk_docs,
+    "doc_shards": doc_shards,
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -3738,6 +3788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "geo_tiles_z8": geo_tiles_z8,  # coarser binning of the tile_pixel transform; density_z7 gates the same transform + binning in-window (demoted r6 to admit doc_ngram_repetition)
+    "events_hourly": events_hourly,  # date_trunc group-agg; q1 gates the decimal-sum group-agg skeleton and events_sessions keeps the events table + temporal axis in-window (demoted r6 to admit doc_shards)
     "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
     "geo_tilepixel_z12": geo_tilepixel_z12,  # raw per-point dump of the tile_pixel transform; density_z7 gates the same transform + binning (demoted r5 to admit doc_pack_sequences)
     "geo_cells_r7": geo_cells_r7,  # the res-7 cell_of is computed inside geo_cells_parent_r5's rollup-law plan (demoted r5 to admit bm25_topk_docs)
@@ -3863,6 +3914,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk_docs": BM25_SQL,
     "doc_lm_perplexity": LM_SCORE_SQL,
     "doc_dsir_weights": DOC_DSIR_SQL,
+    "doc_shards": _doc_shards_sql(),
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

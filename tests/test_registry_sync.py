@@ -117,6 +117,7 @@ def test_differentiated_entries_inside_driver_window():
         "geo_cells_r7",             # res-7 cell_of is computed inside geo_cells_parent_r5's rollup-law plan
         "doc_lm_perplexity",        # quality-scoring family; quality_features + bm25 gate the skeletons in-window
         "doc_dsir_weights",         # data-mixing scoring family; lm/bm25 (broadcast-model scoring) + stratified_sample (deterministic selection) gate the skeletons in-window
+        "events_hourly",            # date_trunc group-agg; q1 (decimal-sum group-agg) + events_sessions (events table, temporal) gate the skeletons in-window (demoted r6 to admit doc_shards)
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

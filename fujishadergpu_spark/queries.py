@@ -3686,6 +3686,137 @@ FROM p ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# trainable quality classifier (operators/classifier.py)
+# ----------------------------------------------------------------------
+# A hash gate over a distributed TRAINING LOOP: standardized-feature
+# full-batch logistic GD (3 steps) on hashed term frequencies, then
+# score every document with the trained model. Label: the quantized
+# keyword-frequency rule tf_q(spark)+tf_q(data)+tf_q(query) >= 95000
+# -- integer-exact on both engines. The optimizer state is
+# scaled-integer end-to-end (classifier.py docstring), so the twin --
+# the moment pre-pass + steps unrolled as CTEs -- reproduces the
+# trained margins bit-for-bit.
+
+_CLF_BUCKETS = 512
+_CLF_LR = 2.0
+_CLF_STEPS = 3
+_CLF_LABEL_TFQ = 95000
+
+
+def _clf_kw_buckets():
+    from .operators.classifier import poly31_py
+
+    return sorted(poly31_py(t) % _CLF_BUCKETS for t in ("spark", "data", "query"))
+
+
+def doc_classifier_scores(spark, sf_dir):
+    """Train the hashed-LR quality classifier on the corpus (label =
+    keyword-frequency rule) and score it (operators/classifier
+    train_lr + score_lr): exact int64 margins of the TRAINED model."""
+    from .operators.classifier import hashed_tf, score_lr, train_lr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kwb = _clf_kw_buckets()
+    kw = (
+        hashed_tf(d, buckets=_CLF_BUCKETS)
+        .where(F.col("bucket").isin(kwb))
+        .groupBy("_id")
+        .agg(F.sum("tf_q").alias("_s"))
+        .select(F.col("_id").alias("doc_id"), "_s")
+    )
+    lab = d.join(kw, "doc_id", "left").withColumn(
+        "label", (F.coalesce("_s", F.lit(0)) >= _CLF_LABEL_TFQ).cast("int")
+    )
+    model = train_lr(
+        lab, "label", buckets=_CLF_BUCKETS, lr=_CLF_LR, steps=_CLF_STEPS
+    )
+    return score_lr(d, model, buckets=_CLF_BUCKETS).orderBy("doc_id")
+
+
+_CLF_BUCKET_EXPR = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " [CAST(ascii(c) AS BIGINT) FOR c IN string_split(g, '')]),"
+    f" (acc, v) -> (acc * 1000003 + v) % 2147483647) % {_CLF_BUCKETS}"
+)
+
+
+def _doc_classifier_sql() -> str:
+    kwb = ", ".join(str(b) for b in _clf_kw_buckets())
+    lr = _CLF_LR
+    head = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[ \n]+'), t -> t != '')) AS g
+  FROM documents
+), cnt AS (
+  SELECT doc_id, {_CLF_BUCKET_EXPR} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+), occ AS (
+  SELECT doc_id, bucket,
+         CAST(round((cnt * 1000000.0) / SUM(cnt) OVER (PARTITION BY doc_id)) AS BIGINT) AS tf_q
+  FROM cnt
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+st AS (
+  SELECT bucket, mu, sqrt(greatest(ssqn - mu * mu, 1000000.0)) AS sig
+  FROM (SELECT bucket, CAST(sq AS DOUBLE) / n AS mu, CAST(ssq AS DOUBLE) / n AS ssqn
+        FROM (SELECT bucket, SUM(tf_q) AS sq, SUM(tf_q * tf_q) AS ssq
+              FROM occ GROUP BY 1) CROSS JOIN nn)
+), lab AS (
+  SELECT d.doc_id, CASE WHEN coalesce(k.s, 0) >= {_CLF_LABEL_TFQ} THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN
+       (SELECT doc_id, SUM(tf_q) AS s FROM occ WHERE bucket IN ({kwb}) GROUP BY 1) k
+       USING (doc_id)
+),
+r1 AS (SELECT doc_id, CAST(round((y - 0.5) * 1000000.0) AS BIGINT) AS rq FROM lab),
+a1 AS (SELECT o.bucket, SUM(o.tf_q * r.rq) AS sxr
+       FROM occ o JOIN r1 r USING (doc_id) GROUP BY 1),
+rr1 AS (SELECT CAST(SUM(rq) AS BIGINT) AS r FROM r1),
+w1 AS (SELECT a.bucket,
+              CAST(round(({lr} * (CAST(a.sxr AS DOUBLE) - s.mu * CAST(rr.r AS DOUBLE))) / (s.sig * n)) AS BIGINT) AS wq
+       FROM a1 a JOIN st s USING (bucket) CROSS JOIN rr1 rr CROSS JOIN nn),
+o1 AS (SELECT CAST(round(({lr} * CAST(r AS DOUBLE)) / n) AS BIGINT) AS w0
+       FROM rr1 CROSS JOIN nn)"""
+    step = """,
+v{k} AS (SELECT bucket, vq, CAST(round(mu * vq) AS BIGINT) AS bq
+       FROM (SELECT w.bucket, CAST(round((1000000.0 * w.wq) / s.sig) AS BIGINT) AS vq, s.mu AS mu
+             FROM w{p} w JOIN st s USING (bucket))),
+b{k} AS (SELECT (SELECT w0 FROM o{p}) * 1000000 - coalesce(SUM(bq), 0) AS bias FROM v{k}),
+mg{k} AS (SELECT l.doc_id, l.y, CAST(coalesce(d.dot, 0) + b.bias AS BIGINT) AS marg
+       FROM lab l LEFT JOIN (SELECT doc_id, SUM(tf_q * vq) AS dot
+                             FROM occ JOIN v{k} USING (bucket) GROUP BY 1) d USING (doc_id)
+       CROSS JOIN b{k} b),
+r{k} AS (SELECT doc_id,
+       CAST(round((y - 1.0 / (1.0 + exp(-(CAST(marg AS DOUBLE) / 1000000000000.0)))) * 1000000.0) AS BIGINT) AS rq
+       FROM mg{k}),
+a{k} AS (SELECT o.bucket, SUM(o.tf_q * r.rq) AS sxr
+       FROM occ o JOIN r{k} r USING (doc_id) GROUP BY 1),
+rr{k} AS (SELECT CAST(SUM(rq) AS BIGINT) AS r FROM r{k}),
+w{k} AS (SELECT a.bucket,
+              coalesce(w.wq, 0)
+              + CAST(round(({lr} * (CAST(a.sxr AS DOUBLE) - s.mu * CAST(rr.r AS DOUBLE))) / (s.sig * n)) AS BIGINT) AS wq
+       FROM a{k} a JOIN st s USING (bucket) LEFT JOIN w{p} w USING (bucket)
+       CROSS JOIN rr{k} rr CROSS JOIN nn),
+o{k} AS (SELECT (SELECT w0 FROM o{p}) + CAST(round(({lr} * CAST(r AS DOUBLE)) / n) AS BIGINT) AS w0
+       FROM rr{k} CROSS JOIN nn)"""
+    parts = [head]
+    for k in range(2, _CLF_STEPS + 1):
+        parts.append(step.format(k=k, p=k - 1, lr=lr))
+    T = _CLF_STEPS
+    parts.append(f""",
+vf AS (SELECT bucket, vq, CAST(round(mu * vq) AS BIGINT) AS bq
+       FROM (SELECT w.bucket, CAST(round((1000000.0 * w.wq) / s.sig) AS BIGINT) AS vq, s.mu AS mu
+             FROM w{T} w JOIN st s USING (bucket))),
+bf AS (SELECT (SELECT w0 FROM o{T}) * 1000000 - coalesce(SUM(bq), 0) AS bias FROM vf),
+mf AS (SELECT d.doc_id, CAST(coalesce(dd.dot, 0) + b.bias AS BIGINT) AS marg
+       FROM documents d LEFT JOIN (SELECT doc_id, SUM(tf_q * vq) AS dot
+                                   FROM occ JOIN vf USING (bucket) GROUP BY 1) dd USING (doc_id)
+       CROSS JOIN bf b)
+SELECT doc_id, marg AS score_q12, (marg > 0) AS pred
+FROM mf ORDER BY doc_id""")
+    return "".join(parts)
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -3745,7 +3876,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_hillshade_exact_z5": spatial_hillshade_exact_z5,
     "normalize_acctbal": normalize_acctbal,
     "nodata_infer_normalize": nodata_infer_normalize,
-    "nodata_border_infer_normalize": nodata_border_infer_normalize,
     "tile_metric_scales_z6": tile_metric_scales_z6,
     "geo_pip_zones": geo_pip_zones,
     "geo_knn_k5": geo_knn_k5,
@@ -3776,6 +3906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "bm25_topk_docs": bm25_topk_docs,
     "doc_shards": doc_shards,
+    "doc_classifier_scores": doc_classifier_scores,
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -3809,6 +3940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_hillshade_metric_z6": tile_hillshade_metric_z6,  # float32 metric variant; the exact metric entry gates the path
     "tile_openness_normalized_z5": tile_openness_normalized_z5,  # percentile_approx-sketch plan variant; the exact sibling hash-gates the identical stats->inject->stretch pipeline in-window (demoted r6)
     "spatial_hillshade_z5": spatial_hillshade_z5,  # pre-smooth multi-radius variant; the exact sibling hash-gates the full overview composition in-window, the sigma-pre-smooth branch stays pytest-world-oracled (demoted r6)
+    "nodata_border_infer_normalize": nodata_border_infer_normalize,  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; the border argmax rule stays pinned in tests/test_encoding.py + its oracle under the demoted guard (demoted r6 to admit doc_classifier_scores)
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
@@ -3915,6 +4047,7 @@ ORACLES: dict[str, str] = {
     "doc_lm_perplexity": LM_SCORE_SQL,
     "doc_dsir_weights": DOC_DSIR_SQL,
     "doc_shards": _doc_shards_sql(),
+    "doc_classifier_scores": _doc_classifier_sql(),
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

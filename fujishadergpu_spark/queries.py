@@ -3817,6 +3817,84 @@ FROM mf ORDER BY doc_id""")
 
 
 # ----------------------------------------------------------------------
+# SemDeDup (operators/semdedup.py)
+# ----------------------------------------------------------------------
+# Exhaustive-configuration gate (the IVF technique): at m=1 every
+# vector shares one cluster, so the within-cluster pair search is
+# PROVABLY the exact all-pairs cosine threshold — the twin is the
+# planted-twin corpus of embedding_near_dup_pairs + the recursive-CTE
+# transitive closure of the components oracle. The pruned m>1 path is
+# recall/plan-pinned in tests/test_semdedup.py.
+
+
+def semdedup_keep(spark, sf_dir):
+    """SemDeDup keep-list at the provably-exhaustive m=1 config
+    (operators/semdedup.semdedup, keep='min_id'): root + keeper of
+    every vector's duplicate group on the planted-twin corpus."""
+    import numpy as np
+
+    from .operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    planted = (
+        a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") % 5 == 0)
+        .select(
+            (-F.col("a.vec_id") - 1).alias("vec_id"),
+            F.zip_with(
+                "a.embedding", "b.embedding", lambda x, y: x * 0.97 + y * 0.08
+            ).alias("embedding"),
+        )
+    )
+    return (
+        semdedup(
+            e.unionByName(planted),
+            m=1,
+            threshold=0.9,
+            keep="min_id",
+            centroids=np.eye(1, 64),
+        )
+        .select("vec_id", "root", "keep")
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = """
+WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tw AS (
+  SELECT -a.vec_id - 1 AS vec_id,
+         [a.e[i] * 0.97 + b.e[i] * 0.08 FOR i IN generate_series(1, 64)] AS e
+  FROM base a JOIN base b ON a.vec_id + 1 = b.vec_id
+  WHERE a.vec_id % 5 = 0
+),
+c AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+pairs AS (
+  SELECT l.vec_id AS u, r.vec_id AS v
+  FROM c l JOIN c r ON l.vec_id < r.vec_id
+  WHERE list_inner_product(l.e, r.e) /
+        (sqrt(list_inner_product(l.e, l.e)) * sqrt(list_inner_product(r.e, r.e))) >= 0.9
+),
+edges AS (
+  SELECT u, v FROM pairs
+  UNION
+  SELECT v, u FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT re.id, e.v FROM reach re JOIN edges e ON e.u = re.r
+),
+comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+SELECT cc.vec_id,
+       COALESCE(comp.c, cc.vec_id) AS root,
+       (COALESCE(comp.c, cc.vec_id) = cc.vec_id) AS keep
+FROM c cc LEFT JOIN comp ON comp.id = cc.vec_id
+ORDER BY cc.vec_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -3895,7 +3973,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_lang_id": doc_lang_id,
     "dedup_minhash_docs": dedup_minhash_docs,
-    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash_docs": dedup_simhash_docs,
     "url_canonical_dedup": url_canonical_dedup,
@@ -3907,6 +3984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_docs": bm25_topk_docs,
     "doc_shards": doc_shards,
     "doc_classifier_scores": doc_classifier_scores,
+    "semdedup_keep": semdedup_keep,
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -3919,6 +3997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "geo_tiles_z8": geo_tiles_z8,  # coarser binning of the tile_pixel transform; density_z7 gates the same transform + binning in-window (demoted r6 to admit doc_ngram_repetition)
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,  # its pair machinery (ngram_jaccard_pairs) is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)
     "events_hourly": events_hourly,  # date_trunc group-agg; q1 gates the decimal-sum group-agg skeleton and events_sessions keeps the events table + temporal axis in-window (demoted r6 to admit doc_shards)
     "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
     "geo_tilepixel_z12": geo_tilepixel_z12,  # raw per-point dump of the tile_pixel transform; density_z7 gates the same transform + binning (demoted r5 to admit doc_pack_sequences)
@@ -4048,6 +4127,7 @@ ORACLES: dict[str, str] = {
     "doc_dsir_weights": DOC_DSIR_SQL,
     "doc_shards": _doc_shards_sql(),
     "doc_classifier_scores": _doc_classifier_sql(),
+    "semdedup_keep": SEMDEDUP_SQL,
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

@@ -119,6 +119,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_dsir_weights",         # data-mixing scoring family; lm/bm25 (broadcast-model scoring) + stratified_sample (deterministic selection) gate the skeletons in-window
         "events_hourly",            # date_trunc group-agg; q1 (decimal-sum group-agg) + events_sessions (events table, temporal) gate the skeletons in-window (demoted r6 to admit doc_shards)
         "nodata_border_infer_normalize",  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; border argmax pinned in tests/test_encoding.py (demoted r6 to admit doc_classifier_scores)
+        "dedup_ngram_jaccard_docs",  # its pair machinery is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

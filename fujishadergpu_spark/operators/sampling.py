@@ -83,3 +83,69 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         thresh = F.when(F.col(strata_col) == s, F.lit(int(round(r * DENOM)))).otherwise(thresh)
     return df.filter(sample_hash(F.col(key_col)) < thresh)
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    targets: dict[str, float],
+    token_budget: int,
+) -> dict[str, int]:
+    """Per-stratum keep thresholds (DENOM units) that steer the
+    corpus toward a target token mixture under a budget — the
+    data-mixing allocation step (the mixture weights of Gopher /
+    The Pile recipes, computed rather than hand-tuned):
+
+        thr_s = min(DENOM, rhalf(((budget·share_s) / T_s) · DENOM))
+
+    with T_s the stratum's token mass. ONE tiny aggregate (bounded by
+    the number of strata — languages/domains, never corpus-sized) is
+    collected; the float chain per stratum is mirrored literally by
+    the DuckDB twin (queries.DOC_MIXTURE_SQL), rounding half-away
+    (Python round() is banker's — the classifier._rhalf discipline).
+    Oversubscribed strata (T_s < budget·share_s) clamp to keep-all;
+    strata missing from ``targets`` get 0."""
+    from .classifier import _rhalf
+
+    for s, share in targets.items():
+        if share < 0:
+            raise ValueError(f"share for stratum {s!r} must be >= 0, got {share}")
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    totals = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_ts"))
+        .collect()
+    )
+    out = {}
+    for r in totals:
+        share = targets.get(r[strata_col], 0.0)
+        ts = r["_ts"] or 0
+        if ts > 0 and share > 0:
+            out[r[strata_col]] = min(
+                DENOM, _rhalf(((token_budget * share) / ts) * float(DENOM))
+            )
+        else:
+            out[r[strata_col]] = 0
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    targets: dict[str, float],
+    token_budget: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministically sample toward the target token mixture:
+    computed thresholds (mixture_thresholds) become a literal CASE
+    chain over the stratified_sample draw — no join, pushed to the
+    scan, partition/cluster-size invariant, nested in the budget
+    (a smaller budget selects a subset of a larger one)."""
+    thrs = mixture_thresholds(df, strata_col, token_col, targets, token_budget)
+    thresh = F.lit(0)
+    for s, t in sorted(thrs.items()):
+        thresh = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thresh)
+    return df.filter(sample_hash(F.col(key_col)) < thresh)

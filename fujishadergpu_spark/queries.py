@@ -3895,6 +3895,61 @@ ORDER BY cc.vec_id
 
 
 # ----------------------------------------------------------------------
+# domain mixture allocation (operators/sampling.mixture_sample)
+# ----------------------------------------------------------------------
+# Data-mixing with COMPUTED rates: per-language token masses → keep
+# thresholds steering toward a 50/20/30 en/de/zh token mixture under
+# a 15k-token budget, applied through the deterministic universal-hash
+# draw. The twin recomputes the same threshold chain in SQL (identical
+# op order + half-away rounding), so the exact selected set hashes.
+
+_MIX_TARGETS = {"en": 0.5, "de": 0.2, "zh": 0.3}
+_MIX_BUDGET = 15000
+
+
+def doc_mixture_sample(spark, sf_dir):
+    """Budgeted mixture sampling (operators/sampling.mixture_sample):
+    the exact selected (doc_id, lang, n_tokens) set under computed
+    per-language thresholds."""
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", textfn.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        mixture_sample(d, "lang", "n_tokens", _MIX_TARGETS, _MIX_BUDGET, "doc_id")
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _doc_mixture_sql() -> str:
+    from .operators.sampling import DENOM, P31, SAMPLE_A, SAMPLE_B
+
+    tg = ", ".join(f"('{s}', {r})" for s, r in sorted(_MIX_TARGETS.items()))
+    draw = f"(((((doc_id % {P31}) + {P31}) % {P31}) * {SAMPLE_A} + {SAMPLE_B}) % {P31} % {DENOM})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (SELECT lang, SUM(n_tokens) AS ts FROM d GROUP BY 1),
+tg(lang, share) AS (VALUES {tg}),
+thr AS (
+  SELECT t.lang,
+         CASE WHEN t.ts > 0 AND g.share > 0
+              THEN LEAST({DENOM}, CAST(round(((CAST({_MIX_BUDGET} AS DOUBLE) * g.share) / t.ts) * {float(DENOM)}) AS BIGINT))
+              ELSE 0 END AS th
+  FROM tot t JOIN tg g USING (lang)
+)
+SELECT d.doc_id, d.lang, d.n_tokens
+FROM d JOIN thr USING (lang)
+WHERE {draw} < thr.th
+ORDER BY d.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -3961,7 +4016,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_counts": doc_token_counts,
     "doc_extract_text_roundtrip": doc_extract_text_roundtrip,
     "doc_quality": doc_quality,
-    "doc_stats_by_lang": doc_stats_by_lang,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_repetition_filter": doc_repetition_filter,
     "doc_ngram_repetition": doc_ngram_repetition,
@@ -3985,6 +4039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shards": doc_shards,
     "doc_classifier_scores": doc_classifier_scores,
     "semdedup_keep": semdedup_keep,
+    "doc_mixture_sample": doc_mixture_sample,
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -3997,6 +4052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_frangi_normalized_z5": tile_frangi_normalized_z5,
     # ---- tier 3: redundant variants + per-kernel smokes ---------------
     "geo_tiles_z8": geo_tiles_z8,  # coarser binning of the tile_pixel transform; density_z7 gates the same transform + binning in-window (demoted r6 to admit doc_ngram_repetition)
+    "doc_stats_by_lang": doc_stats_by_lang,  # group-agg with decimal sums + countDistinct; q1 gates the skeleton and the documents table stays in-window via eight doc_* gates (demoted r6 to admit doc_mixture_sample)
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,  # its pair machinery (ngram_jaccard_pairs) is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)
     "events_hourly": events_hourly,  # date_trunc group-agg; q1 gates the decimal-sum group-agg skeleton and events_sessions keeps the events table + temporal axis in-window (demoted r6 to admit doc_shards)
     "tile_weighted_census_z6": tile_weighted_census_z6,  # weight_col variant of tile_halo_census_z6's transport skeleton (demoted r5 to admit span_dedup_docs)
@@ -4128,6 +4184,7 @@ ORACLES: dict[str, str] = {
     "doc_shards": _doc_shards_sql(),
     "doc_classifier_scores": _doc_classifier_sql(),
     "semdedup_keep": SEMDEDUP_SQL,
+    "doc_mixture_sample": _doc_mixture_sql(),
     "quantize_acctbal": QUANTIZE_SQL,
 }
 

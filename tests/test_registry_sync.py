@@ -120,6 +120,7 @@ def test_differentiated_entries_inside_driver_window():
         "events_hourly",            # date_trunc group-agg; q1 (decimal-sum group-agg) + events_sessions (events table, temporal) gate the skeletons in-window (demoted r6 to admit doc_shards)
         "nodata_border_infer_normalize",  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; border argmax pinned in tests/test_encoding.py (demoted r6 to admit doc_classifier_scores)
         "dedup_ngram_jaccard_docs",  # its pair machinery is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)
+        "doc_stats_by_lang",        # group-agg skeleton gated by q1; documents table in-window via eight doc_* gates (demoted r6 to admit doc_mixture_sample)
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

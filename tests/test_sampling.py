@@ -77,3 +77,83 @@ def test_full_range_keys_do_not_overflow(spark):
     )
     vals = [r["h"] for r in df.select(sample_hash(F.col("k")).alias("h")).collect()]
     assert all(0 <= v < 1_000_000 for v in vals), vals
+
+
+# ----------------------- mixture allocation ---------------------------
+
+import pytest  # noqa: E402
+
+from fujishadergpu_spark.operators.sampling import (  # noqa: E402
+    DENOM,
+    mixture_sample,
+    mixture_thresholds,
+)
+
+
+def _tokens(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " +"), lambda t: t != "")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+
+
+def test_mixture_thresholds_match_hand_computation(spark):
+    from fujishadergpu_spark.operators.classifier import _rhalf
+
+    d = _tokens(spark)
+    targets = {"en": 0.5, "de": 0.2}
+    thrs = mixture_thresholds(d, "lang", "n_tokens", targets, 15000)
+    totals = {
+        r["lang"]: r["ts"]
+        for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("ts")).collect()
+    }
+    for lang, ts in totals.items():
+        share = targets.get(lang, 0.0)
+        want = (
+            min(DENOM, _rhalf(((15000 * share) / ts) * float(DENOM)))
+            if share > 0
+            else 0
+        )
+        assert thrs[lang] == want, lang
+
+
+def test_mixture_budget_is_nested(spark):
+    d = _tokens(spark)
+    targets = {"en": 0.5, "de": 0.2, "zh": 0.3}
+    small = {r["doc_id"] for r in mixture_sample(d, "lang", "n_tokens", targets, 8000, "doc_id").collect()}
+    big = {r["doc_id"] for r in mixture_sample(d, "lang", "n_tokens", targets, 16000, "doc_id").collect()}
+    assert small < big  # shrinking the budget never churns the subset
+
+
+def test_mixture_steers_token_mass(spark):
+    d = _tokens(spark)
+    targets = {"en": 0.5, "de": 0.5}
+    out = mixture_sample(d, "lang", "n_tokens", targets, 10000, "doc_id")
+    got = {
+        r["lang"]: r["ts"]
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("ts")).collect()
+    }
+    assert set(got) <= {"en", "de"}  # zero-share strata excluded
+    # each selected stratum lands near its 5000-token allocation
+    for lang, ts in got.items():
+        assert 3000 < ts < 7000, (lang, ts)
+
+
+def test_mixture_oversubscription_clamps_to_keep_all(spark):
+    d = _tokens(spark)
+    thrs = mixture_thresholds(d, "lang", "n_tokens", {"de": 1.0}, 10_000_000)
+    assert thrs["de"] == DENOM  # budget >> stratum mass -> keep all
+    kept = mixture_sample(d, "lang", "n_tokens", {"de": 1.0}, 10_000_000, "doc_id")
+    assert kept.count() == d.where(F.col("lang") == "de").count()
+
+
+def test_mixture_rejects_bad_params(spark):
+    d = _tokens(spark)
+    with pytest.raises(ValueError):
+        mixture_thresholds(d, "lang", "n_tokens", {"en": -0.1}, 1000)
+    with pytest.raises(ValueError):
+        mixture_thresholds(d, "lang", "n_tokens", {"en": 0.5}, 0)

@@ -390,9 +390,9 @@ def main(argv=None):
 
     c = sub.add_parser(
         "clean-corpus",
-        help="resumable 7-stage text-cleaning job: pii -> repetition -> "
+        help="resumable 8-stage text-cleaning job: pii -> repetition -> "
              "line_dedup -> span_dedup -> decontaminate -> sample -> pack "
-             "(lineage resume, same A18 machinery as `pipeline`)",
+             "-> shard (lineage resume, same A18 machinery as `pipeline`)",
     )
     c.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     c.add_argument("--out", required=True)
@@ -418,6 +418,14 @@ def main(argv=None):
                         "toward this target corpus")
     c.add_argument("--dsir-select", type=int, default=1000,
                    help="sample size for --dsir-target resampling")
+    c.add_argument("--mixture-targets", default=None,
+                   help='JSON dict lang -> target token share: replace the '
+                        'stratified sampler with budgeted token-mixture '
+                        'thresholds, e.g. \'{"en": 0.7, "de": 0.3}\'')
+    c.add_argument("--mixture-budget", type=int, default=1_000_000,
+                   help="token budget for --mixture-targets selection")
+    c.add_argument("--shard-budget", type=int, default=1_048_576,
+                   help="tokens per shard in the final shuffled shard layout")
     c.add_argument("--run-id", default=None)
 
     r = sub.add_parser(
@@ -480,6 +488,11 @@ def main(argv=None):
                 ngram_rules=args.ngram_rules,
                 dsir_target_path=args.dsir_target,
                 dsir_select=args.dsir_select,
+                mixture_targets=_json.loads(args.mixture_targets)
+                if args.mixture_targets
+                else None,
+                mixture_budget=args.mixture_budget,
+                shard_budget=args.shard_budget,
             )
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")

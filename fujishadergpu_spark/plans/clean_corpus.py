@@ -3,7 +3,7 @@ the LLM-training-data operator family (r5 verdict #2).
 
 The geo pipeline (cli.run_pipeline) made geoparse -> PIP -> tiles a
 first-class resumable job; this module gives the text family the same
-A18 treatment. Seven stages, chained through parquet, every stage
+A18 treatment. Eight stages, chained through parquet, every stage
 written with plans/lineage.run_stage_idempotent (bucketed dynamic
 partition overwrite + lineage anti-join), so a killed run resumes
 idempotently at per-bucket granularity and a completed run re-invoked
@@ -14,8 +14,11 @@ is a no-op:
     line_dedup   CCNet corpus line dedup    (operators/repetition.py)
     span_dedup   ExactSubstr span removal   (operators/spandedup.py)
     decontaminate benchmark n-gram gate     (operators/decontaminate.py)
-    sample       deterministic stratified   (operators/sampling.py)
+    sample       deterministic selection    (operators/sampling.py /
+                 stratified | mixture | DSIR  sampling.mixture_sample /
+                                              operators/dsir.py)
     pack         next-fit sequence packing  (operators/packing.py)
+    shard        shuffled shard layout      (operators/sharding.py)
 
 Stage contract: every filter/transform stage writes the SURVIVING
 documents as (doc_id, text) partitioned by a stable hash bucket;
@@ -66,7 +69,10 @@ STAGES = (
     "decontaminate",
     "sample",
     "pack",
+    "shard",
 )
+# stages whose output is (doc_id, text); pack/shard write plan tables
+DOC_STAGES = STAGES[:6]
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -88,8 +94,11 @@ def run_clean_corpus(
     ngram_rules: bool = False,
     dsir_target_path: str | None = None,
     dsir_select: int = 1000,
+    mixture_targets: dict[str, float] | None = None,
+    mixture_budget: int = 1_000_000,
+    shard_budget: int = 1_048_576,
 ) -> dict:
-    """Run (or resume) the seven-stage cleaning job; returns the
+    """Run (or resume) the eight-stage cleaning job; returns the
     per-stage run_stage_idempotent summaries.
 
     ``benchmark_path``: parquet with a ``text`` column — the eval
@@ -104,9 +113,15 @@ def run_clean_corpus(
     gate. ``dsir_target_path``: parquet with (doc_id, text) — when
     set, the sample stage becomes DSIR Gumbel-top-``dsir_select``
     importance resampling toward that target corpus instead of the
-    stratified-rate sampler (both are deterministic, so bucketed
-    resume stays sound either way).
+    stratified-rate sampler. ``mixture_targets``/``mixture_budget``:
+    third selection mode — budgeted token-mixture thresholds
+    (sampling.mixture_sample) over lang_id strata. All three are
+    deterministic, so bucketed resume stays sound with any of them.
+    ``shard_budget``: token budget of the final shuffled shard-layout
+    stage (operators/sharding.assign_shards).
     """
+    if dsir_target_path is not None and mixture_targets is not None:
+        raise ValueError("dsir_target_path and mixture_targets are exclusive selection modes")
     lineage = LineageLog(spark, f"{out_root}/_lineage")
     summary: dict[str, dict] = {}
 
@@ -192,6 +207,19 @@ def run_clean_corpus(
             "doc_id"
         )
         sampled = dc_out.join(sel, "doc_id")
+    elif mixture_targets is not None:
+        from ..operators.sampling import mixture_sample
+
+        sampled = mixture_sample(
+            dc_out.withColumn("_lang", textfn.lang_id(F.col("text"))).withColumn(
+                "_nt", textfn.token_count(F.col("text")).cast("long")
+            ),
+            "_lang",
+            "_nt",
+            mixture_targets,
+            mixture_budget,
+            "doc_id",
+        ).select("doc_id", "text")
     else:
         sampled = stratified_sample(
             dc_out.withColumn("_lang", textfn.lang_id(F.col("text"))),
@@ -206,5 +234,15 @@ def run_clean_corpus(
     # pack_group (natural resume unit: one group packs in one task)
     plan = pack_sequences(sm_out, budget=pack_budget, groups=pack_groups)
     stage("pack", plan, key_col="pack_group")
+
+    # 8. shard layout — deterministic corpus shuffle + token-budget
+    # cut over the SELECTED documents (the loader-manifest output;
+    # keyed by shard_id, its natural resume unit)
+    from ..operators.sharding import assign_shards
+
+    toks = sm_out.select(
+        "doc_id", textfn.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    stage("shard", assign_shards(toks, shard_budget), key_col="shard_id")
 
     return summary

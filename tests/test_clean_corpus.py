@@ -6,7 +6,7 @@ run (the test_cli_pipeline.py pattern over the lineage machinery)."""
 import pytest
 from pyspark.sql import functions as F
 
-from fujishadergpu_spark.plans.clean_corpus import STAGES, run_clean_corpus
+from fujishadergpu_spark.plans.clean_corpus import DOC_STAGES, STAGES, run_clean_corpus
 
 # one boilerplate line shared by docs 0 and 3 (line_dedup signal) and
 # one 8-token span shared by docs 4 and 5 (ExactSubstr signal)
@@ -106,14 +106,24 @@ def test_clean_corpus_stage_semantics(spark, corpus_path, bench_path, tmp_path):
     )
     assert all(r["t"] <= 16 for r in per_seq)
 
+    # shard: one layout row per sampled doc, contiguous token stream
+    sh = spark.read.parquet(f"{out}/shard").collect()
+    assert {r["doc_id"] for r in sh} == {0, 1, 3, 4, 5}
+    starts = sorted(r["global_pos"] for r in sh)
+    toks = {r["doc_id"]: r["n_tokens"] for r in sh}
+    assert starts[0] == 0 and starts[-1] + 1 <= sum(toks.values())
+    assert all(
+        r["shard_id"] * 1_048_576 + r["shard_off"] == r["global_pos"] for r in sh
+    )
+
     # full resume: every stage skips, outputs unchanged
-    before = {st: _ids(spark, out, st) for st in STAGES[:-1]}
+    before = {st: _ids(spark, out, st) for st in DOC_STAGES}
     s2 = run_clean_corpus(
         spark, corpus_path, out, run_id="r2",
         benchmark_path=bench_path, pack_budget=16, pack_groups=2,
     )
     assert all(v["skipped"] for v in s2.values())
-    for st in STAGES[:-1]:
+    for st in DOC_STAGES:
         assert _ids(spark, out, st) == before[st], st
 
 
@@ -157,17 +167,21 @@ def test_clean_corpus_kill_midjob_resume_equals_uninterrupted(
     # completed stages resumed as no-ops, the remainder ran
     for st in ("pii", "repetition", "line_dedup"):
         assert s[st]["skipped"], st
-    for st in ("span_dedup", "decontaminate", "sample", "pack"):
+    for st in ("span_dedup", "decontaminate", "sample", "pack", "shard"):
         assert not s[st]["skipped"], st
 
     # row-identical to the uninterrupted run, every stage
-    for st in STAGES[:-1]:
+    for st in DOC_STAGES:
         a = {tuple(r) for r in spark.read.parquet(f"{golden}/{st}").select("doc_id", "text").collect()}
         b = {tuple(r) for r in spark.read.parquet(f"{out}/{st}").select("doc_id", "text").collect()}
         assert a == b, st
     cols = ["doc_id", "pack_group", "seq_id", "seq_pos", "n_tokens", "overflow"]
     a = {tuple(r) for r in spark.read.parquet(f"{golden}/pack").select(*cols).collect()}
     b = {tuple(r) for r in spark.read.parquet(f"{out}/pack").select(*cols).collect()}
+    assert a == b
+    scols = ["doc_id", "n_tokens", "global_pos", "shard_id", "shard_off"]
+    a = {tuple(r) for r in spark.read.parquet(f"{golden}/shard").select(*scols).collect()}
+    b = {tuple(r) for r in spark.read.parquet(f"{out}/shard").select(*scols).collect()}
     assert a == b
 
 
@@ -214,6 +228,47 @@ def test_clean_corpus_dsir_selection(spark, corpus_path, tmp_path):
     tgt = spark.read.parquet(tgt_path).select("doc_id", "text")
     direct = {r["doc_id"] for r in dsir_resample(dsir_weights(dc, tgt), 2).collect()}
     assert sampled == direct
+
+
+def test_clean_corpus_mixture_selection(spark, corpus_path, tmp_path):
+    """--mixture-targets swaps the sample stage for budgeted
+    token-mixture thresholds; the selection must equal the operator
+    composition run directly on the decontaminate output, and the
+    shard layout must cover exactly the selected docs."""
+    from fujishadergpu_spark.functions import textfn
+    from fujishadergpu_spark.operators.sampling import mixture_sample
+
+    targets = {"en": 1.0, "und": 1.0}
+    out = str(tmp_path / "out_mix")
+    run_clean_corpus(
+        spark, corpus_path, out,
+        mixture_targets=targets, mixture_budget=40,
+        pack_budget=16, pack_groups=2,
+    )
+    sampled = _ids(spark, out, "sample")
+
+    dc = spark.read.parquet(f"{out}/decontaminate").select("doc_id", "text")
+    direct = {
+        r["doc_id"]
+        for r in mixture_sample(
+            dc.withColumn("_lang", textfn.lang_id(F.col("text"))).withColumn(
+                "_nt", textfn.token_count(F.col("text")).cast("long")
+            ),
+            "_lang", "_nt", targets, 40, "doc_id",
+        ).collect()
+    }
+    assert sampled == direct
+    # a 40-token budget over this ~100-token corpus is a real cut
+    assert set() < sampled < _ids(spark, out, "decontaminate")
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/shard").collect()} == sampled
+
+
+def test_clean_corpus_selection_modes_exclusive(spark, corpus_path, tmp_path):
+    with pytest.raises(ValueError, match="exclusive selection modes"):
+        run_clean_corpus(
+            spark, corpus_path, str(tmp_path / "x"),
+            dsir_target_path="unused", mixture_targets={"en": 1.0},
+        )
 
 
 def test_clean_corpus_ngram_rules_gate(spark, corpus_path, tmp_path):

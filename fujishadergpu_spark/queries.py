@@ -3950,6 +3950,122 @@ ORDER BY d.doc_id
 
 
 # ----------------------------------------------------------------------
+# C4 heuristic cleaning rules (operators/c4.py, Raffel 2020 §2.2)
+# ----------------------------------------------------------------------
+# The fixture documents are single-line and unpunctuated, so both
+# engines first synthesize the same punctuated corpus: lines = 8-token
+# chunks with a terminal suffix cycling '.', '!', '?', '"', '' by
+# (doc_id + i) % 5 (the '' arm exercises the terminal-punct drop; the
+# final short chunk exercises the min-5-words drop), plus planted
+# page-level signals — a javascript line (doc_id % 11), a lorem-ipsum
+# line (% 13), a curly-brace line (% 17), and a blocklisted word
+# (% 19). All four C4 page gates and all three line gates fire on
+# real fixture rows at sf0.01.
+
+_C4_BLOCKWORD = "badwordx"
+_C4_SUFFIXES = (".", "!", "?", '"', "")
+_C4_JS_LINE = "please enable javascript to view this page."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet consectetur."
+_C4_BRACE_LINE = "inline code follows { return x } done."
+_C4_BLOCK_LINE = f"this page contains {_C4_BLOCKWORD} content today."
+
+
+def _c4_documents(spark, sf_dir):
+    from .operators.repetition import _empty_str_array
+
+    d = _t(spark, sf_dir, "documents")
+    tk = textfn.tokens(F.col("text"))
+    nl = F.ceil(F.size(tk) / F.lit(float(_LINE_TOKENS))).cast("int")
+    sfx = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
+    ls0 = F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.concat(
+                F.array_join(
+                    F.slice(tk, (i - F.lit(1)) * _LINE_TOKENS + F.lit(1), _LINE_TOKENS),
+                    " ",
+                ),
+                F.element_at(sfx, (F.pmod(F.col("doc_id") + i, F.lit(5)) + F.lit(1)).cast("int")),
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+
+    def planted(mod, line):
+        return F.when(
+            F.col("doc_id") % mod == 0, F.array(F.lit(line))
+        ).otherwise(_empty_str_array())
+
+    ls = F.concat(
+        ls0,
+        planted(11, _C4_JS_LINE),
+        planted(13, _C4_LOREM_LINE),
+        planted(17, _C4_BRACE_LINE),
+        planted(19, _C4_BLOCK_LINE),
+    )
+    return d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+
+
+def doc_c4_filter(spark, sf_dir):
+    """C4 line/page heuristic gates (operators/c4.c4_features) over the
+    synthesized punctuated corpus: per-doc line counts, the rewritten
+    kept-line text, and the page keep verdict."""
+    from .operators.c4 import c4_features
+
+    return c4_features(
+        _c4_documents(spark, sf_dir), blocklist=[_C4_BLOCKWORD]
+    ).orderBy("doc_id")
+
+
+DOC_C4_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk
+  FROM documents
+), ln0 AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN
+      [array_to_string(tk[(i-1)*{_LINE_TOKENS}+1:(i-1)*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')
+         || (['.', '!', '?', '"', ''])[((doc_id + i) % 5) + 1]
+       FOR i IN generate_series(1, CAST(ceil(len(tk)/{_LINE_TOKENS}.0) AS INT))]
+    ELSE [] END AS ls
+  FROM toks
+), ml AS (
+  SELECT doc_id, array_to_string(
+    list_concat(list_concat(list_concat(list_concat(ls,
+      CASE WHEN doc_id % 11 = 0 THEN ['{_C4_JS_LINE}'] ELSE [] END),
+      CASE WHEN doc_id % 13 = 0 THEN ['{_C4_LOREM_LINE}'] ELSE [] END),
+      CASE WHEN doc_id % 17 = 0 THEN ['{_C4_BRACE_LINE}'] ELSE [] END),
+      CASE WHEN doc_id % 19 = 0 THEN ['{_C4_BLOCK_LINE}'] ELSE [] END
+    ), chr(10)) AS text
+  FROM ln0
+), la AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> l != '') AS la
+  FROM ml
+), kept AS (
+  SELECT doc_id, text, la,
+         list_filter(la, l ->
+           right(l, 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(string_split_regex(l, ' +'), t -> t != '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM la
+)
+SELECT doc_id,
+       CAST(len(la) AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(kl, chr(10)), '') AS text_clean,
+       (len(kl) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{{')
+        AND len(list_intersect(
+              list_distinct(list_filter(
+                string_split_regex(lower(text), '[ \\n]+'), w -> w != '')),
+              ['{_C4_BLOCKWORD}'])) = 0) AS keep
+FROM kept ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -4081,6 +4197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
     "doc_lm_perplexity": doc_lm_perplexity,  # CCNet-style bigram-LM quality score; hash-gated past the window (quality_features + bm25 cover the scoring skeletons in-window)
     "doc_dsir_weights": doc_dsir_weights,  # DSIR importance resampling; hash-gated past the window (broadcast-model scoring skeleton == lm/bm25, deterministic-sampling skeleton == doc_stratified_sample, both in-window)
+    "doc_c4_filter": doc_c4_filter,  # C4 line/page heuristics; hash-gated past the window (per-row column-expression gate skeleton == doc_repetition_filter/doc_quality, both in-window)
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     "tile_hillshade_filled_dist_z5": tile_hillshade_filled_dist_z5,  # distributed-membrane variant of tile_hillshade_filled_z5; bit-equality with the driver membrane pinned in tests/test_void_fill_dist.py
@@ -4181,6 +4298,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk_docs": BM25_SQL,
     "doc_lm_perplexity": LM_SCORE_SQL,
     "doc_dsir_weights": DOC_DSIR_SQL,
+    "doc_c4_filter": DOC_C4_SQL,
     "doc_shards": _doc_shards_sql(),
     "doc_classifier_scores": _doc_classifier_sql(),
     "semdedup_keep": SEMDEDUP_SQL,

@@ -117,6 +117,7 @@ def test_differentiated_entries_inside_driver_window():
         "geo_cells_r7",             # res-7 cell_of is computed inside geo_cells_parent_r5's rollup-law plan
         "doc_lm_perplexity",        # quality-scoring family; quality_features + bm25 gate the skeletons in-window
         "doc_dsir_weights",         # data-mixing scoring family; lm/bm25 (broadcast-model scoring) + stratified_sample (deterministic selection) gate the skeletons in-window
+        "doc_c4_filter",            # per-row column-expression gate family; doc_repetition_filter + doc_quality gate the skeletons in-window
         "events_hourly",            # date_trunc group-agg; q1 (decimal-sum group-agg) + events_sessions (events table, temporal) gate the skeletons in-window (demoted r6 to admit doc_shards)
         "nodata_border_infer_normalize",  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; border argmax pinned in tests/test_encoding.py (demoted r6 to admit doc_classifier_scores)
         "dedup_ngram_jaccard_docs",  # its pair machinery is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)

@@ -1,0 +1,110 @@
+"""Corpus vocabulary building and coverage — the tokenizer-prep step
+of a training-data pipeline: the global top-k unigram relation (the
+seed vocabulary / frequency table a BPE trainer consumes) and the
+per-document in-vocabulary coverage signal (OOV-heavy documents are a
+standard quality cull, cf. CCNet's LM-perplexity gate which this
+complements with a model-free signal).
+
+100-TB shape:
+- ``vocab_topk``: explode -> hash-aggregate with map-side partial
+  combine (the only corpus-wide exchange carries (word, partial
+  count) pairs, not text), then a rank over the VOCABULARY-sized
+  aggregate (bounded: web-corpus distinct-word counts are ~10^8,
+  and the window input is the aggregated relation, never the corpus).
+  The final ``limit k`` is driver-bounded by construction.
+- ``vocab_coverage``: the vocabulary is top-k (bounded), so it ships
+  as a broadcast hash join against the exploded token relation; the
+  per-doc re-aggregate groups on doc_id with map-side partials. Text
+  itself never joins or shuffles — only (doc_id, token) pairs.
+
+Determinism: ties in the top-k cut are broken by word ascending, so
+the vocabulary is a pure function of the corpus (no hash ordering).
+
+Reference parity note: the geospatial reference has no text pipeline;
+this module is part of the web-scale training-data mandate
+(SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfn
+
+
+def _tokens_lower(df: DataFrame, doc_id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(doc_id_col).alias("_doc"),
+        F.explode(textfn.tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The top-``k`` lowercased whitespace unigrams: (word, n_occ,
+    n_docs, rank), rank 1-based by count desc then word asc."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    counts = (
+        _tokens_lower(df, doc_id_col, text_col)
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.count_distinct("_doc").alias("n_docs"),
+        )
+    )
+    # global top-k via orderBy().limit(k): Spark plans this as
+    # TakeOrderedAndProject (per-partition partial top-k, merge of k
+    # each) — never a single-partition global sort/window over the
+    # whole vocabulary. The rank window then runs over k rows only.
+    top = counts.orderBy(F.desc("n_occ"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "word", "n_occ", "n_docs", "rank"
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage against a bounded ``vocab``
+    relation (a ``word`` column, e.g. vocab_topk output): one row per
+    input document (total — zero-token docs get zeroed counts and
+    oov_rate 0.0) with n_tokens, n_in_vocab, n_oov, oov_rate."""
+    toks = _tokens_lower(df, doc_id_col, text_col)
+    hits = (
+        toks.join(
+            F.broadcast(vocab.select(F.col("word"), F.lit(True).alias("_in"))),
+            "word",
+            "left",
+        )
+        .groupBy("_doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in"), 1).otherwise(0)).alias("n_in_vocab"),
+        )
+    )
+    base = df.select(F.col(doc_id_col).alias("_doc")).distinct()
+    out = base.join(hits, "_doc", "left").select(
+        F.col("_doc").alias(doc_id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_in_vocab", F.lit(0)).cast("bigint").alias("n_in_vocab"),
+    )
+    return out.withColumns(
+        {
+            "n_oov": (F.col("n_tokens") - F.col("n_in_vocab")).alias("n_oov"),
+            "oov_rate": F.when(
+                F.col("n_tokens") > 0,
+                (F.col("n_tokens") - F.col("n_in_vocab")).cast("double")
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        }
+    )

@@ -3950,6 +3950,80 @@ ORDER BY d.doc_id
 
 
 # ----------------------------------------------------------------------
+# vocabulary building + coverage (operators/vocab.py)
+# ----------------------------------------------------------------------
+# The tokenizer-prep relation (global top-k unigrams, deterministic
+# tie-break word asc) and the per-doc OOV quality signal against it.
+# Pure count arithmetic both sides; oov_rate is int/int division,
+# which hashes identically across engines (driver-contract rule).
+
+# the fixture corpus has 31 distinct words: k=20 leaves a real OOV
+# tail, so the coverage gate exercises misses as well as hits
+_VOCAB_K = 20
+
+_VOCAB_CTE = f"""
+vtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS word
+  FROM documents
+), vcounts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM vtoks GROUP BY word
+), vocab AS (
+  SELECT word, n_occ, n_docs,
+         CAST(row_number() OVER (ORDER BY n_occ DESC, word) AS BIGINT) AS rank
+  FROM vcounts
+  ORDER BY n_occ DESC, word LIMIT {_VOCAB_K}
+)"""
+
+
+def doc_vocab_topk(spark, sf_dir):
+    """Global top-k unigram vocabulary (operators/vocab.vocab_topk):
+    the frequency relation a BPE trainer consumes."""
+    from .operators.vocab import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), _VOCAB_K).orderBy("rank")
+
+
+DOC_VOCAB_TOPK_SQL = f"""
+WITH {_VOCAB_CTE}
+SELECT word, n_occ, n_docs, rank FROM vocab ORDER BY rank
+"""
+
+
+def doc_vocab_coverage(spark, sf_dir):
+    """Per-document coverage against the corpus' own top-k vocabulary
+    (operators/vocab.vocab_coverage): the model-free OOV quality cull."""
+    from .operators.vocab import vocab_coverage, vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, vocab_topk(d, _VOCAB_K)).orderBy("doc_id")
+
+
+DOC_VOCAB_COVERAGE_SQL = f"""
+WITH {_VOCAB_CTE},
+per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+  FROM vtoks t LEFT JOIN vocab v USING (word)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_in_vocab, 0) AS n_in_vocab,
+       COALESCE(p.n_tokens, 0) - COALESCE(p.n_in_vocab, 0) AS n_oov,
+       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN (p.n_tokens - p.n_in_vocab) / p.n_tokens
+            ELSE 0.0 END AS oov_rate
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # C4 heuristic cleaning rules (operators/c4.py, Raffel 2020 §2.2)
 # ----------------------------------------------------------------------
 # The fixture documents are single-line and unpunctuated, so both
@@ -4198,6 +4272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_perplexity": doc_lm_perplexity,  # CCNet-style bigram-LM quality score; hash-gated past the window (quality_features + bm25 cover the scoring skeletons in-window)
     "doc_dsir_weights": doc_dsir_weights,  # DSIR importance resampling; hash-gated past the window (broadcast-model scoring skeleton == lm/bm25, deterministic-sampling skeleton == doc_stratified_sample, both in-window)
     "doc_c4_filter": doc_c4_filter,  # C4 line/page heuristics; hash-gated past the window (per-row column-expression gate skeleton == doc_repetition_filter/doc_quality, both in-window)
+    "doc_vocab_topk": doc_vocab_topk,  # vocabulary build; hash-gated past the window (explode+group-agg skeleton == doc_token_counts, top-k == bm25's WindowGroupLimit, both in-window)
+    "doc_vocab_coverage": doc_vocab_coverage,  # OOV coverage; hash-gated past the window (broadcast-probe + per-doc re-agg skeleton == doc_decontaminate, in-window)
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     "tile_hillshade_filled_dist_z5": tile_hillshade_filled_dist_z5,  # distributed-membrane variant of tile_hillshade_filled_z5; bit-equality with the driver membrane pinned in tests/test_void_fill_dist.py
@@ -4299,6 +4375,8 @@ ORACLES: dict[str, str] = {
     "doc_lm_perplexity": LM_SCORE_SQL,
     "doc_dsir_weights": DOC_DSIR_SQL,
     "doc_c4_filter": DOC_C4_SQL,
+    "doc_vocab_topk": DOC_VOCAB_TOPK_SQL,
+    "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_shards": _doc_shards_sql(),
     "doc_classifier_scores": _doc_classifier_sql(),
     "semdedup_keep": SEMDEDUP_SQL,

@@ -1,0 +1,72 @@
+"""Vocabulary building + coverage (operators/vocab.py): counts,
+deterministic tie-break at the top-k cut, coverage totality, and the
+broadcast-probe plan shape."""
+
+import pytest
+
+from fujishadergpu_spark.operators.vocab import vocab_coverage, vocab_topk
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "Apple banana banana date"),   # lowercased: apple counts here too
+    (2, "cherry cherry cherry"),
+    (3, ""),                            # zero-token doc: coverage total
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_vocab_counts_and_rank(spark):
+    v = {r["word"]: r.asDict() for r in vocab_topk(_df(spark), 10).collect()}
+    assert v["apple"]["n_occ"] == 3 and v["apple"]["n_docs"] == 2
+    assert v["banana"]["n_occ"] == 3 and v["banana"]["n_docs"] == 2
+    assert v["cherry"]["n_occ"] == 4 and v["cherry"]["n_docs"] == 2
+    assert v["date"]["n_occ"] == 1
+    # rank: cherry(4), then the 3-count tie broken word-asc
+    assert v["cherry"]["rank"] == 1
+    assert v["apple"]["rank"] == 2 and v["banana"]["rank"] == 3
+    assert v["date"]["rank"] == 4
+
+
+def test_topk_cut_is_deterministic(spark):
+    # k=2 cuts INSIDE the apple/banana tie: word asc keeps apple
+    words = {r["word"] for r in vocab_topk(_df(spark), 2).collect()}
+    assert words == {"cherry", "apple"}
+
+
+def test_topk_rejects_nonpositive_k(spark):
+    with pytest.raises(ValueError, match="k must be positive"):
+        vocab_topk(_df(spark), 0)
+
+
+def test_coverage_total_and_exact(spark):
+    d = _df(spark)
+    cov = {
+        r["doc_id"]: r.asDict()
+        for r in vocab_coverage(d, vocab_topk(d, 2)).collect()
+    }
+    assert set(cov) == {0, 1, 2, 3}
+    # vocab = {cherry, apple}; doc 0 tokens: apple x2, banana, cherry
+    assert cov[0]["n_tokens"] == 4 and cov[0]["n_in_vocab"] == 3
+    assert cov[0]["n_oov"] == 1 and cov[0]["oov_rate"] == pytest.approx(0.25)
+    # doc 1: apple, banana x2, date -> 1 in-vocab
+    assert cov[1]["n_in_vocab"] == 1 and cov[1]["n_oov"] == 3
+    assert cov[2]["n_oov"] == 0 and cov[2]["oov_rate"] == 0.0
+    # zero-token doc: zeroed counts, rate 0.0, never a dropped row
+    assert cov[3]["n_tokens"] == 0 and cov[3]["oov_rate"] == 0.0
+
+
+def test_coverage_vocab_join_is_broadcast(spark):
+    """The token->vocab probe must be a broadcast hash join: the
+    corpus-sized exploded relation never shuffles to meet the bounded
+    vocabulary."""
+    d = _df(spark)
+    plan = (
+        vocab_coverage(d, vocab_topk(d, 2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -3950,6 +3950,63 @@ ORDER BY d.doc_id
 
 
 # ----------------------------------------------------------------------
+# embedding-space decontamination (operators/decontaminate.py)
+# ----------------------------------------------------------------------
+# The semantic complement of the n-gram gate: drop training docs whose
+# embedding lands within cosine-threshold of any benchmark embedding.
+# The raw table's max cross cosine is ~0.42, so the benchmark is
+# PLANTED as blended twins of every vec_id%5==0 vector (the hash-green
+# embedding_near_dup_pairs construction — cos ~0.95-0.99 to their
+# source). Gated in the EXHAUSTIVE config, which is provably exact
+# (broadcast scan of the bounded bench side — the
+# ann_ivf_probe_exhaustive discipline); the banded scale path is
+# equality-pinned against it in tests/test_decontaminate.py.
+
+
+def emb_decontaminate_docs(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (operators/decontaminate.embedding_decontaminate, exhaustive
+    config) with planted contaminated twins."""
+    from .operators.decontaminate import embedding_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    bench = (
+        a.join(b, F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") % 5 == 0)
+        .select(
+            F.zip_with(
+                "a.embedding", "b.embedding", lambda x, y: x * 0.97 + y * 0.08
+            ).alias("embedding")
+        )
+    )
+    return embedding_decontaminate(
+        e, bench, id_col="vec_id", dim=64, threshold=0.9, exhaustive=True
+    ).orderBy("vec_id")
+
+
+EMB_DECONTAM_SQL = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bench AS (
+  SELECT DISTINCT [a.e[i] * 0.97 + b.e[i] * 0.08 FOR i IN generate_series(1, 64)] AS be
+  FROM base a JOIN base b ON a.vec_id + 1 = b.vec_id
+  WHERE a.vec_id % 5 = 0
+),
+hits AS (
+  SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM base c, bench
+  WHERE list_inner_product(c.e, be) /
+        (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(be, be))) >= 0.9
+  GROUP BY c.vec_id
+)
+SELECT b.vec_id, COALESCE(h.n_hits, 0) AS n_hits,
+       (COALESCE(h.n_hits, 0) = 0) AS keep
+FROM base b LEFT JOIN hits h USING (vec_id)
+ORDER BY b.vec_id
+"""
+
+
+# ----------------------------------------------------------------------
 # vocabulary building + coverage (operators/vocab.py)
 # ----------------------------------------------------------------------
 # The tokenizer-prep relation (global top-k unigrams, deterministic
@@ -4274,6 +4331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_c4_filter": doc_c4_filter,  # C4 line/page heuristics; hash-gated past the window (per-row column-expression gate skeleton == doc_repetition_filter/doc_quality, both in-window)
     "doc_vocab_topk": doc_vocab_topk,  # vocabulary build; hash-gated past the window (explode+group-agg skeleton == doc_token_counts, top-k == bm25's WindowGroupLimit, both in-window)
     "doc_vocab_coverage": doc_vocab_coverage,  # OOV coverage; hash-gated past the window (broadcast-probe + per-doc re-agg skeleton == doc_decontaminate, in-window)
+    "emb_decontaminate_docs": emb_decontaminate_docs,  # embedding-space decontamination; hash-gated past the window (broadcast-gate skeleton == doc_decontaminate, exact-cosine verify == embedding_near_dup_pairs/ann_topk_cosine, all in-window)
     "geo_pip_zones_salted": geo_pip_zones_salted,  # salted variant of geo_pip_zones; hash-parity pinned in pytest + the skew bench
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     "tile_hillshade_filled_dist_z5": tile_hillshade_filled_dist_z5,  # distributed-membrane variant of tile_hillshade_filled_z5; bit-equality with the driver membrane pinned in tests/test_void_fill_dist.py
@@ -4377,6 +4435,7 @@ ORACLES: dict[str, str] = {
     "doc_c4_filter": DOC_C4_SQL,
     "doc_vocab_topk": DOC_VOCAB_TOPK_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
+    "emb_decontaminate_docs": EMB_DECONTAM_SQL,
     "doc_shards": _doc_shards_sql(),
     "doc_classifier_scores": _doc_classifier_sql(),
     "semdedup_keep": SEMDEDUP_SQL,

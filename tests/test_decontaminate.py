@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from fujishadergpu_spark.operators.decontaminate import (
     decontaminate,
+    embedding_decontaminate,
     token_ngrams,
 )
 
@@ -81,3 +82,99 @@ def test_probe_is_broadcast(spark, corpus, bench_df):
     the probe join — the corpus side must never shuffle its text."""
     plan = decontaminate(corpus, bench_df, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------
+# embedding-space decontamination
+# ---------------------------------------------------------------------
+
+
+def _emb_fixture(spark):
+    """40 deterministic corpus vectors; a benchmark of blended twins
+    of ids 0,8,16,24,32 (cosine ~0.98 to their source) plus one
+    far-away probe that matches nothing."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "doc_id long, embedding array<float>",
+    )
+    twins = [
+        [float(0.97 * vecs[i][j] + 0.08 * vecs[i + 1][j]) for j in range(16)]
+        for i in range(0, 40, 8)
+    ]
+    far = [[100.0] + [0.0] * 15]
+    bench = spark.createDataFrame(
+        [(e,) for e in twins + far], "embedding array<float>"
+    )
+    return corpus, bench
+
+
+def test_embedding_decontaminate_exhaustive(spark):
+    corpus, bench = _emb_fixture(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in embedding_decontaminate(
+            corpus, bench, dim=16, threshold=0.9, exhaustive=True
+        ).collect()
+    }
+    assert set(out) == set(range(40))  # total
+    flagged = {d for d, r in out.items() if not r["keep"]}
+    assert flagged == {0, 8, 16, 24, 32}
+    assert all(out[d]["n_hits"] == 1 for d in flagged)
+    assert all(out[d]["n_hits"] == 0 for d in set(out) - flagged)
+
+
+def test_embedding_decontaminate_banded_matches_exhaustive(spark):
+    """The sketch-gated scale path must reproduce the exact gate on the
+    planted fixture (recall 1.0 there; precision structurally 1.0)."""
+    corpus, bench = _emb_fixture(spark)
+    kw = dict(dim=16, threshold=0.9)
+    exact = sorted(
+        tuple(r)
+        for r in embedding_decontaminate(
+            corpus, bench, exhaustive=True, **kw
+        ).collect()
+    )
+    banded = sorted(
+        tuple(r)
+        for r in embedding_decontaminate(
+            corpus, bench, exhaustive=False, **kw
+        ).collect()
+    )
+    assert exact == banded
+
+
+def test_embedding_decontaminate_bench_is_broadcast(spark):
+    corpus, bench = _emb_fixture(spark)
+    for exhaustive in (True, False):
+        plan = (
+            embedding_decontaminate(
+                corpus, bench, dim=16, threshold=0.9, exhaustive=exhaustive
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Broadcast" in plan, exhaustive
+        if exhaustive:
+            # one broadcast scan + one aggregate: no shuffle join at all
+            assert "SortMergeJoin" not in plan
+        else:
+            # the embedding probe itself must be the broadcast join;
+            # only the ids-only totality back-join may merge-join
+            assert "_ce" not in plan.split("SortMergeJoin")[-1].split("\n")[0]
+
+
+def test_embedding_decontaminate_duplicate_bench_counts_once(spark):
+    corpus, bench = _emb_fixture(spark)
+    doubled = bench.unionByName(bench)
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in embedding_decontaminate(
+            corpus, doubled, dim=16, threshold=0.9, exhaustive=True
+        ).collect()
+    }
+    assert out[0] == 1  # distinct benchmark embeddings, not rows

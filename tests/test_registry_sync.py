@@ -120,6 +120,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_c4_filter",            # per-row column-expression gate family; doc_repetition_filter + doc_quality gate the skeletons in-window
         "doc_vocab_topk",           # explode+group-agg skeleton == doc_token_counts; distributed top-k == bm25's WindowGroupLimit, both in-window
         "doc_vocab_coverage",       # broadcast-probe + per-doc re-agg skeleton == doc_decontaminate, in-window
+        "emb_decontaminate_docs",   # broadcast-gate skeleton == doc_decontaminate; exact-cosine verify == embedding_near_dup_pairs/ann_topk_cosine, all in-window
         "events_hourly",            # date_trunc group-agg; q1 (decimal-sum group-agg) + events_sessions (events table, temporal) gate the skeletons in-window (demoted r6 to admit doc_shards)
         "nodata_border_infer_normalize",  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; border argmax pinned in tests/test_encoding.py (demoted r6 to admit doc_classifier_scores)
         "dedup_ngram_jaccard_docs",  # its pair machinery is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)

@@ -17,7 +17,7 @@ reference core/tile_processor.py:1748-1819).
 
 The `clean-corpus` subcommand is the text family's production job:
 pii -> repetition -> line_dedup -> span_dedup -> decontaminate ->
-sample -> pack over the same lineage machinery
+sample -> pack -> shard over the same lineage machinery
 (plans/clean_corpus.py).
 """
 

@@ -151,7 +151,12 @@ def _fold_model(w, w0, stats):
     v_rows = []
     bias = 0
     for b in sorted(w):
-        mu, sig = stats[b]
+        # a model bucket absent from the stats corpus has tf 0 in every
+        # document there, which is exactly what _bucket_stats would
+        # report as mu=0, var=0 -> sigma at the floor; default to that
+        # instead of a KeyError when scoring a corpus that lacks the
+        # bucket
+        mu, sig = stats.get(b, (0.0, math.sqrt(SIGMA_FLOOR_Q2)))
         vq = _rhalf((Q * w[b]) / sig)
         bias -= _rhalf(mu * vq)
         v_rows.append((b, vq))
@@ -241,7 +246,13 @@ def score_lr(
     exact int64 standardized margin (scale 1e12), pred its sign.
     Total over the input (token-less docs get the pure bias margin).
     ``stats`` defaults to the scoring corpus's own moments (the
-    training configuration passes the training moments)."""
+    training configuration passes the training moments). NOTE the
+    default is a TWO-PASS plan — the bounded moments pre-pass scans
+    the corpus once (the A9 global-stats discipline, as in
+    norm_stats), then the margin join scans it again; production
+    scoring at scale should pass ``train_stats(...)`` of the training
+    corpus, which is both the statistically right standardization and
+    a single-pass plan."""
     spark = df.sparkSession
     occ = hashed_tf(df, id_col, text_col, buckets)
     if stats is None:

@@ -166,14 +166,16 @@ def embedding_decontaminate(
         (n_hits == 0).alias("keep"),
     ]
     if exhaustive:
-        # the broadcast cross product contains EVERY corpus row, so a
-        # conditional aggregate is total by construction — no back-join,
-        # no second corpus-wide exchange
+        # a LEFT broadcast nested-loop join contains EVERY corpus row
+        # even when the benchmark is empty (a plain cross join would
+        # silently drop the whole corpus there), so a conditional
+        # aggregate is total by construction — no back-join, no second
+        # corpus-wide exchange. NULL _be -> cosine NULL -> otherwise(0).
         hit = F.when(
             _cosine(F.col("_ce"), F.col("_be")) >= threshold, 1
         ).otherwise(0)
         return (
-            c.join(F.broadcast(b))
+            c.join(F.broadcast(b), F.lit(True), "left")
             .groupBy("_id")
             .agg(F.sum(hit).alias("_hits"))
             .select(*out(F.col("_hits")))

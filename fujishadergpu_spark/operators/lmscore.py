@@ -51,7 +51,10 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text):
-    return F.filter(F.split(text, "[ \n]+"), lambda t: t != "")
+    # coalesce keeps the pipeline total over NULL text: split(NULL)
+    # propagates NULL through every array fn, so size() would emit
+    # NULL/-1 instead of the 0 an empty document must score
+    return F.filter(F.split(F.coalesce(text, F.lit("")), "[ \n]+"), lambda t: t != "")
 
 
 def _bigrams(tk):

@@ -234,6 +234,12 @@ def pushpull_fill_tiles(points: DataFrame, zc: int) -> DataFrame:
             .applyInPandas(_make_pull(zoom_child), _FILLED_SCHEMA)
         )
 
+    # materialize the membrane once and cut its lineage BEFORE dropping
+    # the level caches its pull chain references — returning the lazy
+    # plan after unpersist would force a full pyramid recompute when
+    # the consumer first materializes it. The zc-level surface is
+    # bounded (zc cap), so the checkpoint is small.
+    filled = filled.localCheckpoint(eager=True)
     for df in levels.values():
         df.unpersist()
     return filled
@@ -557,15 +563,7 @@ def build_void_fill_surface_distributed(
 
     # bounded-overview connectivity (exact when zc <= cap)
     zcls = min(zc, CLASSIFY_ZC_CAP)
-    n_cls = (1 << zcls) * TILE_PX
-    world_cls = np.zeros((n_cls, n_cls), dtype=np.float64)
-    for r in rasterize_tiles(points, zcls).collect():
-        world_cls[r["y"] * TILE_PX : (r["y"] + 1) * TILE_PX,
-                  r["x"] * TILE_PX : (r["x"] + 1) * TILE_PX] = unpack_grid(r["grid"], TILE_PX)
-    if mode == "enclosed":
-        fillable_cls = ~_exterior_voids(world_cls == 0)
-    else:
-        fillable_cls = np.ones_like(world_cls, dtype=bool)
+    fillable_cls = _classify_fillable(points, zcls, mode)
     s = zc - zcls
     fillable = (
         np.repeat(np.repeat(fillable_cls, 1 << s, axis=0), 1 << s, axis=1)

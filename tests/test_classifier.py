@@ -98,3 +98,16 @@ def test_features_are_quantized_frequencies(spark):
         by_doc.setdefault(r["_id"], []).append(r["tf_q"])
     for vals in by_doc.values():
         assert abs(sum(vals) - 1_000_000) <= len(vals)
+
+
+def test_scoring_corpus_missing_trained_buckets(spark):
+    """Scoring a corpus that lacks some trained buckets with the
+    default (corpus-own) stats must not crash: an absent bucket's
+    moments default to what _bucket_stats would report for an all-zero
+    feature (mu 0, sigma at the floor)."""
+    model = train_lr(_labeled(spark), "label", buckets=B, steps=1)
+    tiny = spark.createDataFrame(
+        [(900001, "zzqy"), (900002, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["score_q12"] for r in score_lr(tiny, model, buckets=B).collect()}
+    assert set(out) == {900001, 900002}  # total, no KeyError

@@ -178,3 +178,16 @@ def test_embedding_decontaminate_duplicate_bench_counts_once(spark):
         ).collect()
     }
     assert out[0] == 1  # distinct benchmark embeddings, not rows
+
+
+def test_embedding_decontaminate_empty_benchmark_is_total(spark):
+    """An empty benchmark must keep every document in BOTH modes —
+    a plain cross join would silently drop the whole corpus."""
+    corpus, bench = _emb_fixture(spark)
+    empty = bench.limit(0)
+    for exhaustive in (True, False):
+        out = embedding_decontaminate(
+            corpus, empty, dim=16, threshold=0.9, exhaustive=exhaustive
+        ).collect()
+        assert len(out) == 40, exhaustive
+        assert all(r["keep"] and r["n_hits"] == 0 for r in out), exhaustive

@@ -67,3 +67,14 @@ def test_unseen_bigram_backoff_train_separate(spark):
     # denominator is smaller — so only the seen-vs-unseen ordering is
     # model-guaranteed)
     assert got[1][1] < got[2][1] and got[1][1] < got[3][1]
+
+
+def test_null_and_empty_text_total(spark):
+    """NULL text must behave like empty text: n_bigrams 0, never a
+    NULL/-1 count (split(NULL) would otherwise propagate)."""
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_bigrams"] for r in lm_score(df).collect()}
+    assert got[1] == 0 and got[2] == 0
+    assert got[0] == 3

@@ -47,10 +47,13 @@ HEADLINE = [
     "bm25_topk_docs",
     "line_dedup_docs",
     "doc_lm_perplexity",
-    # round-6 additions: the 9x-explode Gopher n-gram family and the
-    # DSIR two-model scoring path
+    # round-6 additions: the 9x-explode Gopher n-gram family, the
+    # DSIR two-model scoring path, the shuffle-order prefix-sum shard
+    # layout, and the cluster+cosine SemDeDup keeper
     "doc_ngram_repetition",
     "doc_dsir_weights",
+    "doc_shards",
+    "semdedup_keep",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
@@ -261,10 +264,17 @@ def main():
 
     total = round(sum(per_query.values()), 3)
     total_median = round(sum(_median(v) for v in query_reps.values()), 3)
+    # the suite GREW round over round (12 -> 16 -> 20 queries): the raw
+    # headline is not comparable across rounds. This subset is the
+    # original 12-query round-1..5 suite — compare THIS series to past
+    # rounds' `value`, and the full `value` only within a round.
+    r5_suite = HEADLINE[:12]
+    total_r5_comparable = round(sum(per_query[n] for n in r5_suite), 3)
     out = {
         "metric": "headline-suite seconds (sf0.1) + pages pipeline throughput",
-        "value": total,  # sum of per-query mins (round-comparable series)
+        "value": total,  # sum of per-query mins over the FULL current suite
         "value_median": total_median,  # one outlier can't flip this one
+        "value_r5_comparable": total_r5_comparable,  # the original 12-query series
         "unit": "sec",
         "queries": per_query,
         "query_rep_times": query_reps,

@@ -56,6 +56,17 @@ def scrub_text(text: Column) -> Column:
     return out
 
 
+def redact_text(text) -> "F.Column":
+    """The sequential PII rewrite as ONE composable column expression
+    (the same chain scrub_pii applies) — for pipelines that need the
+    redacted text inline without reshaping their relation (e.g. the
+    streaming ingest chain, which must keep its timestamp column)."""
+    t = text if not isinstance(text, str) else F.col(text)
+    for _, pat, token in PII_RULES:
+        t = F.regexp_replace(t, pat, token)
+    return t
+
+
 def scrub_pii(df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document PII counts + redacted text.
 

@@ -59,8 +59,11 @@ def c4_features(
     blocklist: list[str] | None = None,
 ) -> DataFrame:
     """One row per input document (total, the repetition_features
-    discipline): n_lines, n_kept (lines passing the C4 line rules),
-    text_clean (kept lines re-joined), and keep (page gate verdict).
+    discipline): the INPUT COLUMNS passed through plus n_lines,
+    n_kept (lines passing the C4 line rules), text_clean (kept lines
+    re-joined), and keep (page gate verdict). Pure column expressions
+    end to end — no aggregation, no UDF — so the operator is
+    STREAMING-SAFE (usable before a watermarked sink with no state).
 
     Documents with no surviving line get text_clean = '' and
     keep = false (n_kept 0 < min_sentences), never a dropped row.
@@ -89,12 +92,13 @@ def c4_features(
         )
         bad = F.array(*[F.lit(w.lower()) for w in sorted(set(blocklist))])
         page_ok = page_ok & ~F.arrays_overlap(words, bad)
-    return df.select(
-        F.col(doc_id_col).alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, "\n").alias("text_clean"),
-        page_ok.alias("keep"),
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept": F.size(kept).cast("long"),
+            "text_clean": F.array_join(kept, "\n"),
+            "keep": page_ok,
+        }
     )
 
 
@@ -109,5 +113,5 @@ def c4_filter(
     return (
         c4_features(df, doc_id_col, text_col, **kw)
         .where("keep")
-        .select("doc_id", F.col("text_clean").alias("text"))
+        .select(doc_id_col, F.col("text_clean").alias("text"))
     )

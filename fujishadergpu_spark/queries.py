@@ -4143,9 +4143,11 @@ def doc_c4_filter(spark, sf_dir):
     kept-line text, and the page keep verdict."""
     from .operators.c4 import c4_features
 
-    return c4_features(
-        _c4_documents(spark, sf_dir), blocklist=[_C4_BLOCKWORD]
-    ).orderBy("doc_id")
+    return (
+        c4_features(_c4_documents(spark, sf_dir), blocklist=[_C4_BLOCKWORD])
+        .select("doc_id", "n_lines", "n_kept", "text_clean", "keep")
+        .orderBy("doc_id")
+    )
 
 
 DOC_C4_SQL = f"""

@@ -4199,6 +4199,176 @@ FROM kept ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py, Sennrich 2016)
+# ----------------------------------------------------------------------
+# The iteration-0 pair-count relation is pure SQL (hash-gated); the
+# iterative trainer and the merge-table tokenizer are gated in pytest
+# against an independent pure-Python reference (tests/test_bpe.py) —
+# the argmax loop is not SQL-stateable, so those two entries are
+# registered rows-only with this documented reason.
+
+_BPE_MERGES = 6  # small: each merge costs one Spark job at gate scale
+
+
+def bpe_pair_counts(spark, sf_dir):
+    """Iteration-0 adjacent-symbol pair counts (operators/bpe.py):
+    the relation the first BPE merge is argmaxed from."""
+    from .operators.bpe import pair_counts
+
+    return pair_counts(_t(spark, sf_dir, "documents")).orderBy("rank")
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH wtoks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS word
+  FROM documents
+), wcounts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM wtoks GROUP BY word
+), syms AS (
+  SELECT list_append(string_split(word, ''), '</w>') AS s, n FROM wcounts
+), pairs AS (
+  SELECT unnest([{'l': s[i], 'r': s[i + 1]} for i in generate_series(1, len(s) - 1)]) AS p, n
+  FROM syms WHERE len(s) >= 2
+), agg AS (
+  SELECT p.l AS sym_l, p.r AS sym_r, CAST(sum(n) AS BIGINT) AS n_occ
+  FROM pairs GROUP BY 1, 2
+)
+SELECT sym_l, sym_r, n_occ,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, sym_l, sym_r) AS BIGINT) AS rank
+FROM agg ORDER BY rank
+"""
+
+
+def bpe_merges_table(spark, sf_dir):
+    """The trained BPE merge table (rows-only: the iterate-argmax
+    loop has no SQL twin; parity vs a pure-Python reference trainer
+    is pinned in tests/test_bpe.py)."""
+    from .operators.bpe import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, sym_l string, sym_r string, merged string, n_occ long"
+    ).orderBy("rank")
+
+
+def doc_bpe_token_counts(spark, sf_dir):
+    """Per-document subword counts under the trained merge table
+    (rows-only: depends on the iterative trainer; the vocabulary-sided
+    tokenize-and-join-back plan is pinned in tests/test_bpe.py)."""
+    from .operators.bpe import bpe_tokenize_docs, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_tokenize_docs(d, bpe_train(d, n_merges=_BPE_MERGES)).orderBy("doc_id")
+
+
+# ----------------------------------------------------------------------
+# context-window chunking (operators/chunking.py)
+# ----------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def doc_chunk_windows(spark, sf_dir):
+    """Fixed-size token windows with overlap (operators/chunking.py):
+    the documents->training-examples fan-out."""
+    from .operators.chunking import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), _CHUNK_SIZE, _CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+DOC_CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks WHERE len(t) > 0
+), ch AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, CAST(floor((greatest(n - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE - 1}) / {_CHUNK_STRIDE}) AS BIGINT))) AS i
+  FROM c
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_SIZE}, n - i * {_CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+       t[CAST(i * {_CHUNK_STRIDE} + 1 AS INT)] AS first_tok,
+       t[CAST(i * {_CHUNK_STRIDE} + least({_CHUNK_SIZE}, n - i * {_CHUNK_STRIDE}) AS INT)] AS last_tok
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+# ----------------------------------------------------------------------
+# domain-level curation (operators/domains.py)
+# ----------------------------------------------------------------------
+# Quality sums cross the engines as exact decimals (cast each per-row
+# double score to DECIMAL(28,12) BEFORE summing — order-free), then
+# surface as DOUBLE (the q1 discipline); the keep verdict compares in
+# the decimal domain so it is partitioning-invariant too.
+
+_DOMAIN_MIN_DOCS = 10
+_DOMAIN_MIN_AVG_Q = 0.55
+
+
+def domain_quality_stats(spark, sf_dir):
+    """Per-source aggregates + the domain keep verdict
+    (operators/domains.py): site-level curation signals."""
+    from .operators.domains import domain_stats
+
+    st = domain_stats(_t(spark, sf_dir, "documents"))
+    keep = (F.col("n_docs") >= _DOMAIN_MIN_DOCS) & (
+        F.col("sum_quality")
+        >= F.lit(_DOMAIN_MIN_AVG_Q).cast("decimal(28,12)") * F.col("n_docs")
+    )
+    return st.select(
+        "domain",
+        "n_docs",
+        "n_langs",
+        "n_tokens",
+        "n_chars",
+        F.col("sum_quality").cast("double").alias("sum_quality"),
+        "avg_tokens",
+        keep.alias("domain_keep"),
+    ).orderBy("domain")
+
+
+DOMAIN_STATS_SQL = f"""
+WITH f AS (
+  SELECT source AS domain, lang,
+         CAST(length(text) AS BIGINT) AS nchars,
+         CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS ntok,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces
+  FROM documents
+), q AS (
+  SELECT domain, lang, nchars, ntok,
+    CAST(
+      (CASE WHEN nchars > 0 THEN CAST(alpha AS DOUBLE) / nchars ELSE 0.0 END) * 0.5
+      + (CASE WHEN nchars - spaces >= 3.0 * ntok AND nchars - spaces <= 10.0 * ntok AND ntok > 0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN ntok >= 10 AND ntok <= 100000 THEN 0.2 ELSE 0.0 END)
+    AS DECIMAL(28,12)) AS qd
+  FROM f
+), s AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         CAST(sum(nchars) AS BIGINT) AS n_chars,
+         sum(qd) AS sum_qd
+  FROM q GROUP BY domain
+)
+SELECT domain, n_docs, n_langs, n_tokens, n_chars,
+       CAST(sum_qd AS DOUBLE) AS sum_quality,
+       CAST(n_tokens AS DOUBLE) / n_docs AS avg_tokens,
+       (n_docs >= {_DOMAIN_MIN_DOCS}
+        AND sum_qd >= CAST({_DOMAIN_MIN_AVG_Q} AS DECIMAL(28,12)) * n_docs) AS domain_keep
+FROM s ORDER BY domain
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -4338,6 +4508,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_hillshade_metric_exact_z6": tile_hillshade_metric_exact_z6,  # composition of two in-window gates (metric scales + exact hillshade)
     "tile_hillshade_filled_dist_z5": tile_hillshade_filled_dist_z5,  # distributed-membrane variant of tile_hillshade_filled_z5; bit-equality with the driver membrane pinned in tests/test_void_fill_dist.py
     "order_priority_count": order_priority_count,  # CASE-count agg over a date-filtered semi-join; q1 + q5 cover the skeleton
+    "bpe_pair_counts": bpe_pair_counts,  # BPE iteration-0 relation; hash-gated past the window (explode+group-agg skeleton == doc_token_counts/doc_vocab_topk, sequence()-explode == knn ring_candidates, all in-window)
+    "bpe_merges_table": bpe_merges_table,  # rows-only: iterate-argmax trainer has no SQL twin; pinned vs a pure-Python reference in tests/test_bpe.py
+    "doc_bpe_token_counts": doc_bpe_token_counts,  # rows-only: depends on the iterative trainer; tokenize-vocabulary-then-join-back plan pinned in tests/test_bpe.py
+    "doc_chunk_windows": doc_chunk_windows,  # context-window fan-out; hash-gated past the window (sequence()-explode + array arithmetic skeleton == tile halo/knn entries in-window)
+    "domain_quality_stats": domain_quality_stats,  # site-level curation; hash-gated past the window (decimal-sum group-agg skeleton == q1/doc_stats_by_lang, quality expressions == doc_quality, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -4443,6 +4618,9 @@ ORACLES: dict[str, str] = {
     "semdedup_keep": SEMDEDUP_SQL,
     "doc_mixture_sample": _doc_mixture_sql(),
     "quantize_acctbal": QUANTIZE_SQL,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "doc_chunk_windows": DOC_CHUNK_WINDOWS_SQL,
+    "domain_quality_stats": DOMAIN_STATS_SQL,
 }
 
 

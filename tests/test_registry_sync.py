@@ -125,6 +125,9 @@ def test_differentiated_entries_inside_driver_window():
         "nodata_border_infer_normalize",  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; border argmax pinned in tests/test_encoding.py (demoted r6 to admit doc_classifier_scores)
         "dedup_ngram_jaccard_docs",  # its pair machinery is the edge input of dedup_cluster_components' in-window closure gate (demoted r6 to admit semdedup_keep)
         "doc_stats_by_lang",        # group-agg skeleton gated by q1; documents table in-window via eight doc_* gates (demoted r6 to admit doc_mixture_sample)
+        "bpe_pair_counts",          # BPE iteration-0 relation; explode+group-agg skeleton == doc_token_counts/doc_vocab_topk in-window
+        "doc_chunk_windows",        # context-window fan-out; sequence()-explode + array-arithmetic skeleton == tile halo/knn entries in-window
+        "domain_quality_stats",     # site-level curation; decimal-sum group-agg == q1/doc_stats_by_lang, quality exprs == doc_quality, in-window
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

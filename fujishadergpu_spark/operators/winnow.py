@@ -1,0 +1,108 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+scheme): hash every k-gram, slide a window of w consecutive gram
+hashes, and keep the minimum hash of each window (rightmost position
+on ties). The selected (hash, position) set is the fingerprint: any
+shared substring of length >= w + k - 1 between two documents is
+GUARANTEED to surface as a shared fingerprint hash — the local-
+guarantee complement to the probabilistic MinHash/SimHash family in
+operators/dedup.py.
+
+100-TB shape:
+- Gram hashing is a sequence() explode (the knn ring_candidates
+  discipline) + the poly31 char fold over k-char grams (bounded
+  arrays — the np_filters 65k-array rule does not apply).
+- The window-minimum runs per document (Window.partitionBy(doc_id)
+  ORDER BY position, a w-row frame): partition breadth is bounded by
+  document length, and doc_id is a high-cardinality key — the
+  opposite of line_dedup's hot-line hazard, no skew surface.
+- Selection packs (hash, position) into ONE int64
+  (hash * 2^32 + (2^32-1 - pos), min == (min hash, rightmost pos))
+  so the frame aggregates a single long; the distinct-select output
+  is fingerprint-density-sized (~2/(w+1) of grams), ids+longs only.
+- Documents longer than 2^32-1 chars would collide in the packing —
+  loud-fail guarded (the zc-cap discipline).
+
+Cross-engine determinism: poly31 gram hashes match DuckDB's
+list_reduce fold bit-for-bit (operators/dedup.poly31_hash contract);
+packing/unpacking is integer arithmetic; the frame minimum is
+order-free. Documents shorter than k chars produce zero grams and
+zero fingerprints by design (documented drop; pair the output with a
+left join when totality is needed, as tests/test_winnow.py shows).
+
+Reference parity note: the geospatial reference has no text pipeline;
+this module is part of the web-scale training-data mandate
+(SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import poly31_hash
+
+_POS_M = 1 << 32  # position packing modulus (max document length)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The winnowed fingerprint set: one row per selected
+    (doc_id, pos, gram_hash), pos = 1-based gram start. Guarantees
+    every match of length >= w + k - 1 is covered."""
+    if k <= 0 or w <= 0:
+        raise ValueError(f"k and w must be positive, got {k}, {w}")
+    t = F.col(text_col)
+    base = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        t.alias("_txt"),
+        (F.length(t) - F.lit(k - 1)).cast("long").alias("_n"),
+    ).where(F.col("_n") >= 1)
+    grams = base.select(
+        "doc_id",
+        "_n",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n"))).alias("i"),
+        F.col("_txt"),
+    ).select(
+        "doc_id",
+        "_n",
+        "i",
+        poly31_hash(F.substring(F.col("_txt"), F.col("i").cast("int"), k)).alias("_h"),
+    )
+    # overflow guard: poly31 < 2^31 and pos < 2^32 keep the packed
+    # key under 2^63; positions beyond the modulus must fail loudly
+    packed = grams.select(
+        "doc_id",
+        "_n",
+        "i",
+        (
+            F.when(
+                F.col("i") < F.lit(_POS_M),
+                F.col("_h") * F.lit(_POS_M) + (F.lit(_POS_M - 1) - F.col("i")),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(f"winnow_fingerprints: document exceeds {_POS_M - 1} chars")
+                )
+            )
+        ).alias("_pk"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        packed.withColumn("_fp", F.min("_pk").over(frame))
+        # only windows with a full w grams select a fingerprint
+        .where(F.col("i") <= F.col("_n") - F.lit(w - 1))
+        .select("doc_id", "_fp")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_M - 1) - F.col("_fp").bitwiseAND(F.lit(_POS_M - 1))).alias("pos"),
+        F.shiftright("_fp", 32).alias("gram_hash"),
+    )

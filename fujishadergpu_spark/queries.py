@@ -4301,6 +4301,52 @@ FROM ch ORDER BY doc_id, chunk_id
 
 
 # ----------------------------------------------------------------------
+# winnowing fingerprints (operators/winnow.py, Schleimer 2003)
+# ----------------------------------------------------------------------
+
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowed (pos, gram_hash) fingerprint sets — the MOSS
+    local-guarantee dedup primitive (operators/winnow.py)."""
+    from .operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id", "pos", "gram_hash")
+
+
+DOC_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) - {_WINNOW_K - 1} AS BIGINT) AS n
+  FROM documents WHERE length(text) >= {_WINNOW_K}
+), grams AS (
+  SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text FROM base
+), gh AS (
+  SELECT doc_id, n, i,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT) FOR c IN string_split(substring(text, CAST(i AS INT), {_WINNOW_K}), '')]),
+           (acc, v) -> (acc * 1000003 + v) % 2147483647) AS h
+  FROM grams
+), packed AS (
+  SELECT doc_id, n, i, h * 4294967296 + (4294967295 - i) AS pk FROM gh
+), sel AS (
+  SELECT doc_id, n, i,
+         min(pk) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM packed
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel WHERE i <= n - {_WINNOW_W - 1}
+)
+SELECT doc_id,
+       CAST(4294967295 - (fp % 4294967296) AS BIGINT) AS pos,
+       CAST(fp // 4294967296 AS BIGINT) AS gram_hash
+FROM fps ORDER BY doc_id, pos, gram_hash
+"""
+
+
+# ----------------------------------------------------------------------
 # domain-level curation (operators/domains.py)
 # ----------------------------------------------------------------------
 # Quality sums cross the engines as exact decimals (cast each per-row
@@ -4513,6 +4559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_token_counts": doc_bpe_token_counts,  # rows-only: depends on the iterative trainer; tokenize-vocabulary-then-join-back plan pinned in tests/test_bpe.py
     "doc_chunk_windows": doc_chunk_windows,  # context-window fan-out; hash-gated past the window (sequence()-explode + array arithmetic skeleton == tile halo/knn entries in-window)
     "domain_quality_stats": domain_quality_stats,  # site-level curation; hash-gated past the window (decimal-sum group-agg skeleton == q1/doc_stats_by_lang, quality expressions == doc_quality, in-window)
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,  # MOSS winnowing; hash-gated past the window (poly31 fold == dedup_simhash_docs, per-doc frame window == events_sessions machinery, both in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -4621,6 +4668,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "doc_chunk_windows": DOC_CHUNK_WINDOWS_SQL,
     "domain_quality_stats": DOMAIN_STATS_SQL,
+    "doc_winnow_fingerprints": DOC_WINNOW_SQL,
 }
 
 

@@ -128,6 +128,7 @@ def test_differentiated_entries_inside_driver_window():
         "bpe_pair_counts",          # BPE iteration-0 relation; explode+group-agg skeleton == doc_token_counts/doc_vocab_topk in-window
         "doc_chunk_windows",        # context-window fan-out; sequence()-explode + array-arithmetic skeleton == tile halo/knn entries in-window
         "domain_quality_stats",     # site-level curation; decimal-sum group-agg == q1/doc_stats_by_lang, quality exprs == doc_quality, in-window
+        "doc_winnow_fingerprints",  # MOSS winnowing; poly31 fold == dedup_simhash_docs, per-doc frame window == events machinery, in-window
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -418,6 +418,18 @@ def main(argv=None):
                         "toward this target corpus")
     c.add_argument("--dsir-select", type=int, default=1000,
                    help="sample size for --dsir-target resampling")
+    c.add_argument("--domain-min-docs", type=int, default=None,
+                   help="enable the site-level keep gate before pii: drop "
+                        "documents whose domain has fewer docs than this or "
+                        "a mean quality below --domain-min-avg-quality")
+    c.add_argument("--domain-min-avg-quality", type=float, default=0.5)
+    c.add_argument("--domain-col", default="source",
+                   help="corpus column holding the domain/source key")
+    c.add_argument("--chunk-size", type=int, default=None,
+                   help="append a context-window fan-out stage after shard: "
+                        "token windows of this size (training examples)")
+    c.add_argument("--chunk-stride", type=int, default=None,
+                   help="window stride (default: --chunk-size, non-overlapping)")
     c.add_argument("--mixture-targets", default=None,
                    help='JSON dict lang -> target token share: replace the '
                         'stratified sampler with budgeted token-mixture '
@@ -493,6 +505,11 @@ def main(argv=None):
                 else None,
                 mixture_budget=args.mixture_budget,
                 shard_budget=args.shard_budget,
+                domain_min_docs=args.domain_min_docs,
+                domain_min_avg_quality=args.domain_min_avg_quality,
+                domain_col=args.domain_col,
+                chunk_size=args.chunk_size,
+                chunk_stride=args.chunk_stride,
             )
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")

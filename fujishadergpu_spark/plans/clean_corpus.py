@@ -73,6 +73,11 @@ STAGES = (
 )
 # stages whose output is (doc_id, text); pack/shard write plan tables
 DOC_STAGES = STAGES[:6]
+# opt-in stages: "domain" (site-level keep gate, operators/domains.py)
+# runs BEFORE pii when domain_min_docs is set; "chunk" (context-window
+# fan-out, operators/chunking.py) appends after shard when chunk_size
+# is set. Both ride the same idempotent-stage machinery.
+OPTIONAL_STAGES = ("domain", "chunk")
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -97,6 +102,11 @@ def run_clean_corpus(
     mixture_targets: dict[str, float] | None = None,
     mixture_budget: int = 1_000_000,
     shard_budget: int = 1_048_576,
+    domain_min_docs: int | None = None,
+    domain_min_avg_quality: float = 0.5,
+    domain_col: str = "source",
+    chunk_size: int | None = None,
+    chunk_stride: int | None = None,
 ) -> dict:
     """Run (or resume) the eight-stage cleaning job; returns the
     per-stage run_stage_idempotent summaries.
@@ -119,6 +129,14 @@ def run_clean_corpus(
     deterministic, so bucketed resume stays sound with any of them.
     ``shard_budget``: token budget of the final shuffled shard-layout
     stage (operators/sharding.assign_shards).
+
+    Optional stages: ``domain_min_docs`` enables a site-level keep
+    gate BEFORE pii (operators/domains.py — the corpus parquet must
+    carry ``domain_col``; a ``lang`` column feeds n_langs when
+    present); ``chunk_size`` appends a context-window fan-out stage
+    after shard (operators/chunking.py, stride defaults to
+    chunk_size = non-overlapping). Both are pure functions of their
+    input, so bucketed resume stays sound.
     """
     if dsir_target_path is not None and mixture_targets is not None:
         raise ValueError("dsir_target_path and mixture_targets are exclusive selection modes")
@@ -143,8 +161,29 @@ def run_clean_corpus(
                 return spark.createDataFrame([], "doc_id long, text string")
             raise
 
+    # 0. (opt-in) domain-level keep gate — site verdicts from exact
+    # decimal quality aggregates, broadcast back (operators/domains.py)
+    raw = spark.read.parquet(docs_path)
+    if domain_min_docs is not None:
+        from ..operators.domains import domain_filter, domain_stats
+
+        cols = ["doc_id", "text", domain_col] + (
+            ["lang"] if "lang" in raw.columns else []
+        )
+        dom = domain_filter(
+            raw.select(*cols),
+            domain_stats(raw.select(*cols), domain_col=domain_col),
+            min_docs=domain_min_docs,
+            min_avg_quality=domain_min_avg_quality,
+            domain_col=domain_col,
+        ).where("domain_keep")
+        docs = stage("domain", _bucketed(dom.select("doc_id", "text"))).select(
+            "doc_id", "text"
+        )
+    else:
+        docs = raw.select("doc_id", "text")
+
     # 1. PII scrub — a transform, not a filter (every doc survives)
-    docs = spark.read.parquet(docs_path).select("doc_id", "text")
     pii_out = stage(
         "pii",
         _bucketed(
@@ -244,5 +283,13 @@ def run_clean_corpus(
         "doc_id", textfn.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     stage("shard", assign_shards(toks, shard_budget), key_col="shard_id")
+
+    # 9. (opt-in) context-window fan-out — the training-example table
+    # (operators/chunking.py; stride defaults to non-overlapping)
+    if chunk_size is not None:
+        from ..operators.chunking import chunk_windows
+
+        ch = chunk_windows(sm_out, chunk_size, chunk_stride or chunk_size)
+        stage("chunk", _bucketed(ch))
 
     return summary

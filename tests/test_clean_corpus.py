@@ -299,3 +299,49 @@ def test_clean_corpus_ngram_rules_gate(spark, corpus_path, tmp_path):
         r["doc_id"] for r in repetition_features(pii).where("keep").collect()
     }
     assert got < line_only
+
+
+def test_clean_corpus_domain_gate_stage(spark, tmp_path):
+    """Opt-in domain stage: a junk-heavy site is dropped wholesale
+    BEFORE pii; the stage appears first in the summary."""
+    docs = [
+        (0, "solid reasonable prose with plenty of words here today", "good.example"),
+        (1, "more decent text content for training corpora right now", "good.example"),
+        (2, "x", "junk.example"),
+        (3, "", "junk.example"),
+        (4, "lonely but fine document under a one-doc domain", "single.example"),
+    ]
+    src = str(tmp_path / "dom_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "dom_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="dm", pack_budget=16, pack_groups=2,
+        domain_min_docs=2, domain_min_avg_quality=0.5,
+    )
+    assert list(s) == ["domain", *STAGES]
+    # junk.example fails mean quality; single.example fails min_docs
+    assert _ids(spark, out, "domain") == {0, 1}
+    assert _ids(spark, out, "pii") == {0, 1}
+
+
+def test_clean_corpus_chunk_stage(spark, corpus_path, tmp_path):
+    """Opt-in chunk stage: appended after shard, windows cover every
+    surviving token with the configured size/stride."""
+    out = str(tmp_path / "chunk_out")
+    s = run_clean_corpus(
+        spark, corpus_path, out, run_id="ck", pack_budget=16, pack_groups=2,
+        chunk_size=4, chunk_stride=2,
+    )
+    assert list(s) == [*STAGES, "chunk"]
+    ch = spark.read.parquet(f"{out}/chunk")
+    assert {r["doc_id"] for r in ch.select("doc_id").distinct().collect()} == _ids(
+        spark, out, "sample"
+    )
+    sample = _texts(spark, out, "sample")
+    by_doc = {}
+    for r in ch.collect():
+        by_doc.setdefault(r["doc_id"], set()).update(
+            range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"])
+        )
+    for d, text in sample.items():
+        assert by_doc[d] == set(range(len(text.split()))), d

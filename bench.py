@@ -54,6 +54,10 @@ HEADLINE = [
     "doc_dsir_weights",
     "doc_shards",
     "semdedup_keep",
+    # late round-6: the winnowing per-doc frame window (gram explode +
+    # packed-min selection) and the chunking sequence()-explode fan-out
+    "doc_winnow_fingerprints",
+    "doc_chunk_windows",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

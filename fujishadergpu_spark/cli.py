@@ -425,6 +425,10 @@ def main(argv=None):
     c.add_argument("--domain-min-avg-quality", type=float, default=0.5)
     c.add_argument("--domain-col", default="source",
                    help="corpus column holding the domain/source key")
+    c.add_argument("--strip-boilerplate", action="store_true",
+                   help="insert the jusText-style chrome strip between the "
+                        "domain gate and pii: rewrite each doc to its content "
+                        "lines, drop pure-chrome docs")
     c.add_argument("--chunk-size", type=int, default=None,
                    help="append a context-window fan-out stage after shard: "
                         "token windows of this size (training examples)")
@@ -508,6 +512,7 @@ def main(argv=None):
                 domain_min_docs=args.domain_min_docs,
                 domain_min_avg_quality=args.domain_min_avg_quality,
                 domain_col=args.domain_col,
+                strip_boilerplate=args.strip_boilerplate,
                 chunk_size=args.chunk_size,
                 chunk_stride=args.chunk_stride,
             )

@@ -74,10 +74,13 @@ STAGES = (
 # stages whose output is (doc_id, text); pack/shard write plan tables
 DOC_STAGES = STAGES[:6]
 # opt-in stages: "domain" (site-level keep gate, operators/domains.py)
-# runs BEFORE pii when domain_min_docs is set; "chunk" (context-window
-# fan-out, operators/chunking.py) appends after shard when chunk_size
-# is set. Both ride the same idempotent-stage machinery.
-OPTIONAL_STAGES = ("domain", "chunk")
+# runs BEFORE pii when domain_min_docs is set; "boilerplate"
+# (jusText-style chrome strip, operators/boilerplate.py) runs after
+# the domain gate when strip_boilerplate is set — extraction-time
+# cleaning belongs ahead of the corpus-level stages; "chunk"
+# (context-window fan-out, operators/chunking.py) appends after shard
+# when chunk_size is set. All ride the same idempotent-stage machinery.
+OPTIONAL_STAGES = ("domain", "boilerplate", "chunk")
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -105,6 +108,7 @@ def run_clean_corpus(
     domain_min_docs: int | None = None,
     domain_min_avg_quality: float = 0.5,
     domain_col: str = "source",
+    strip_boilerplate: bool = False,
     chunk_size: int | None = None,
     chunk_stride: int | None = None,
 ) -> dict:
@@ -133,9 +137,12 @@ def run_clean_corpus(
     Optional stages: ``domain_min_docs`` enables a site-level keep
     gate BEFORE pii (operators/domains.py — the corpus parquet must
     carry ``domain_col``; a ``lang`` column feeds n_langs when
-    present); ``chunk_size`` appends a context-window fan-out stage
-    after shard (operators/chunking.py, stride defaults to
-    chunk_size = non-overlapping). Both are pure functions of their
+    present); ``strip_boilerplate`` inserts the jusText-style chrome
+    strip (operators/boilerplate.py) between the domain gate and pii,
+    rewriting each doc to its content lines and dropping docs that
+    were pure chrome; ``chunk_size`` appends a context-window fan-out
+    stage after shard (operators/chunking.py, stride defaults to
+    chunk_size = non-overlapping). All are pure functions of their
     input, so bucketed resume stays sound.
     """
     if dsir_target_path is not None and mixture_targets is not None:
@@ -182,6 +189,17 @@ def run_clean_corpus(
         )
     else:
         docs = raw.select("doc_id", "text")
+
+    # 0b. (opt-in) jusText-style boilerplate strip — rewrite each doc
+    # to its content lines; docs that were pure chrome drop out
+    if strip_boilerplate:
+        from ..operators.boilerplate import boilerplate_strip
+
+        bp = boilerplate_strip(docs).where(F.col("n_content") > 0)
+        docs = stage(
+            "boilerplate",
+            _bucketed(bp.select("doc_id", F.col("text_content").alias("text"))),
+        ).select("doc_id", "text")
 
     # 1. PII scrub — a transform, not a filter (every doc survives)
     pii_out = stage(

@@ -4415,6 +4415,122 @@ FROM s ORDER BY domain
 
 
 # ----------------------------------------------------------------------
+# boilerplate removal (operators/boilerplate.py, Pomikalek 2011)
+# ----------------------------------------------------------------------
+# The fixture text is single-line word soup, so the entry plants a
+# block-structured page deterministically (both engines build the
+# identical strings from doc_id arithmetic): line i of a doc is, by
+# (doc_id + 3i) % 4 — 0: a soup slice plus six stopwords (good),
+# 1: the bare soup slice (bad/near from natural stopword hits),
+# 2: the nav stub "home" (short), 3: the slice plus three stopwords
+# (near). The classifier itself is the real operator: context-free
+# stopword-density classes + the nearest-decisive-neighbour rescue.
+
+_BP_GOOD_SFX = " the of and is in the"
+_BP_NEAR_SFX = " and to it"
+_BP_NAV_LINE = "home"
+
+
+def _boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.repetition import _empty_str_array
+
+    d = _t(spark, sf_dir, "documents")
+    tk = textfn.tokens(F.col("text"))
+    nl = F.ceil(F.size(tk) / F.lit(float(_LINE_TOKENS))).cast("int")
+
+    def line(i):
+        base = F.array_join(
+            F.slice(tk, (i - F.lit(1)) * _LINE_TOKENS + F.lit(1), _LINE_TOKENS), " "
+        )
+        kind = F.pmod(F.col("doc_id") + F.lit(3) * i, F.lit(4))
+        return (
+            F.when(kind == 0, F.concat(base, F.lit(_BP_GOOD_SFX)))
+            .when(kind == 1, base)
+            .when(kind == 2, F.lit(_BP_NAV_LINE))
+            .otherwise(F.concat(base, F.lit(_BP_NEAR_SFX)))
+        )
+
+    ls = F.when(F.size(tk) > 0, F.transform(F.sequence(F.lit(1), nl), line)).otherwise(
+        _empty_str_array()
+    )
+    return d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+
+
+def doc_boilerplate_strip(spark, sf_dir):
+    """jusText-style boilerplate removal over the synthesized
+    block-structured corpus (operators/boilerplate.boilerplate_strip):
+    per-doc line/content counts + the content-only rewrite."""
+    from .operators.boilerplate import boilerplate_strip
+
+    return boilerplate_strip(_boilerplate_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+_BP_SW_SQL = "['a','and','for','in','is','it','of','that','the','to']"
+
+DOC_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk
+  FROM documents
+), ml AS (
+  SELECT doc_id, array_to_string(
+    CASE WHEN len(tk) > 0 THEN
+      [CASE CAST((doc_id + 3*i) % 4 AS INT)
+         WHEN 0 THEN array_to_string(tk[(i-1)*{_LINE_TOKENS}+1:(i-1)*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ') || '{_BP_GOOD_SFX}'
+         WHEN 1 THEN array_to_string(tk[(i-1)*{_LINE_TOKENS}+1:(i-1)*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ')
+         WHEN 2 THEN '{_BP_NAV_LINE}'
+         ELSE array_to_string(tk[(i-1)*{_LINE_TOKENS}+1:(i-1)*{_LINE_TOKENS}+{_LINE_TOKENS}], ' ') || '{_BP_NEAR_SFX}'
+       END
+       FOR i IN generate_series(1, CAST(ceil(len(tk)/{_LINE_TOKENS}.0) AS INT))]
+    ELSE [] END, chr(10)) AS text
+  FROM toks
+), la AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> l != '') AS la FROM ml
+), lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id,
+           unnest([{{'line': la[i], 'pos': i - 1}} FOR i IN generate_series(1, len(la))]) AS u
+    FROM la
+  )
+), feat AS (
+  SELECT doc_id, pos, line,
+    len(list_filter(string_split_regex(line, ' +'), t -> t != '')) AS n_words,
+    len(list_filter(string_split_regex(line, ' +'),
+        t -> t != '' AND list_contains({_BP_SW_SQL}, lower(t)))) AS n_stop
+  FROM lines
+), cls AS (
+  SELECT doc_id, pos, line,
+    CASE WHEN n_words < 3 THEN 'short'
+         WHEN n_words > 0 AND CAST(n_stop AS DOUBLE)/n_words >= 0.32 THEN 'good'
+         WHEN n_words > 0 AND CAST(n_stop AS DOUBLE)/n_words >= 0.18 THEN 'near'
+         ELSE 'bad' END AS cls
+  FROM feat
+), ctx AS (
+  SELECT doc_id, pos, line, cls,
+    last_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e,
+    first_value(CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_e
+  FROM cls
+), fin AS (
+  SELECT doc_id, pos, line,
+    (cls = 'good' OR (cls IN ('short','near')
+       AND (coalesce(prev_e = 'good', FALSE) OR coalesce(next_e = 'good', FALSE)))) AS is_content
+  FROM ctx
+), agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         coalesce(sum(CASE WHEN is_content THEN 1 END), 0) AS n_content,
+         coalesce(string_agg(CASE WHEN is_content THEN line END, chr(10) ORDER BY pos), '') AS text_content
+  FROM fin GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_content, 0) AS BIGINT) AS n_content,
+       coalesce(a.text_content, '') AS text_content
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -4560,6 +4676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk_windows": doc_chunk_windows,  # context-window fan-out; hash-gated past the window (sequence()-explode + array arithmetic skeleton == tile halo/knn entries in-window)
     "domain_quality_stats": domain_quality_stats,  # site-level curation; hash-gated past the window (decimal-sum group-agg skeleton == q1/doc_stats_by_lang, quality expressions == doc_quality, in-window)
     "doc_winnow_fingerprints": doc_winnow_fingerprints,  # MOSS winnowing; hash-gated past the window (poly31 fold == dedup_simhash_docs, per-doc frame window == events_sessions machinery, both in-window)
+    "doc_boilerplate_strip": doc_boilerplate_strip,  # jusText-style block classifier; hash-gated past the window (per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -4669,6 +4786,7 @@ ORACLES: dict[str, str] = {
     "doc_chunk_windows": DOC_CHUNK_WINDOWS_SQL,
     "domain_quality_stats": DOMAIN_STATS_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
+    "doc_boilerplate_strip": DOC_BOILERPLATE_SQL,
 }
 
 

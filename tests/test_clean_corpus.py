@@ -345,3 +345,24 @@ def test_clean_corpus_chunk_stage(spark, corpus_path, tmp_path):
         )
     for d, text in sample.items():
         assert by_doc[d] == set(range(len(text.split()))), d
+
+
+def test_clean_corpus_boilerplate_stage(spark, tmp_path):
+    """Opt-in boilerplate stage: chrome lines stripped, pure-chrome
+    docs dropped, stage runs before pii."""
+    good = "the cat is in the house and it is warm"
+    chrome = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(0, chrome + "\n" + good), (1, "home\nmenu\nlogin")]
+    src = str(tmp_path / "bp_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "bp_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="bp", pack_budget=16, pack_groups=2,
+        strip_boilerplate=True,
+    )
+    assert list(s) == ["boilerplate", *STAGES]
+    # doc 1 was pure chrome (all-short, no decisive neighbour): gone
+    assert _ids(spark, out, "boilerplate") == {0}
+    # doc 0 keeps only its content line
+    assert _texts(spark, out, "boilerplate")[0] == good
+    assert _ids(spark, out, "pii") == {0}

@@ -1303,9 +1303,11 @@ SELECT url, CAST(warc_ts AS BIGINT) AS warc_ts FROM r WHERE rn = 1 ORDER BY url
 """
 
 
-def _simhash_sql(max_hamming: int = 3) -> str:
-    """DuckDB twin of dedup_simhash_docs, generated from the SAME
-    simhash_bit_params coefficients so the engines cannot drift."""
+def _simhash_sums_pack() -> tuple[str, str]:
+    """The 64 per-bit SUM expressions and the two's-complement pack
+    expression of the poly31 SimHash, generated from the SAME
+    simhash_bit_params coefficients as the Spark side so the engines
+    cannot drift. Shared by every SimHash-bearing oracle."""
     a, b = dedup.simhash_bit_params()
     p = (1 << 31) - 1
     sums = ",\n         ".join(
@@ -1318,6 +1320,37 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         f"CASE WHEN s_{i} > 0 THEN CAST({-(1 << 63) if i == 63 else (1 << i)} AS BIGINT) ELSE 0 END"
         for i in range(64)
     )
+    return sums, pack
+
+
+def _simhash_sig_cte(src: str, prefix: str) -> str:
+    """CTE chain (comma-joined, no WITH) computing (doc_id, sh) —
+    the poly31 SimHash of relation ``src`` — as ``{prefix}sig``."""
+    p = (1 << 31) - 1
+    sums, pack = _simhash_sums_pack()
+    return f"""{prefix}toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
+  FROM {src}
+), {prefix}th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+           (acc, v) -> (acc * 1000003 + v) % {p}) AS h
+  FROM {prefix}toks
+), {prefix}bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM {prefix}th GROUP BY doc_id
+), {prefix}sig AS (SELECT doc_id, {pack} AS sh FROM {prefix}bits)"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup_simhash_docs, generated from the SAME
+    simhash_bit_params coefficients so the engines cannot drift."""
+    p = (1 << 31) - 1
+    sums, pack = _simhash_sums_pack()
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -4531,6 +4564,104 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 
 
 # ----------------------------------------------------------------------
+# incremental cross-snapshot dedup (operators/increment.py)
+# ----------------------------------------------------------------------
+# Corpus split by doc_id parity (scale-free): evens are the kept
+# corpus, odds the new crawl. Plants, by arithmetic both engines
+# replay: every seen doc_id % 10 == 0 re-arrives verbatim at
+# id + 100000 (exact_seen), every seen % 14 == 0 re-arrives with its
+# TOKENS REVERSED at id + 200000 — SimHash is a bag-of-tokens
+# signature, so the reversal is an exact-hash miss but a guaranteed
+# hamming-0 near hit — and every odd % 9 == 0 doc is duplicated
+# inside the batch at id + 300000 (batch_dup on the higher id). The
+# exact gate's verdict is equality of the normalized STRING on both
+# engines (Spark compares (xxhash64, length) 16-byte keys — same
+# verdict absent a 2^-64 collision; DuckDB has no xxhash64).
+
+
+def incremental_dedup_docs(spark, sf_dir):
+    """Incremental dedup of a synthesized recrawl batch against the
+    even-doc corpus snapshot (operators/increment.incremental_dedup):
+    per-batch-doc exact/near/in-batch verdicts + keep."""
+    from .operators.increment import (
+        exact_snapshot,
+        incremental_dedup,
+        simhash_snapshot,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = d.where(F.col("doc_id") % 2 == 0)
+    tk = textfn.tokens(F.col("text"))
+    newb = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            seen.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            seen.where(F.col("doc_id") % 14 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.array_join(F.reverse(tk), " ").alias("text"),
+            )
+        )
+        .unionByName(
+            d.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 9 == 0)).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(
+        newb, exact_snapshot(seen), simhash_snapshot(seen)
+    ).orderBy("doc_id")
+
+
+def _incremental_sql() -> str:
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    return f"""
+WITH seen AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM seen WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_reverse(list_filter(string_split_regex(text, ' +'), x -> x != '')), ' ') AS text
+  FROM seen WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 9 = 0
+), nk AS (
+  SELECT doc_id, {norm} AS norm FROM newb
+), keeper AS (
+  SELECT norm, min(doc_id) AS kid FROM nk GROUP BY norm
+), snorm AS (
+  SELECT DISTINCT {norm} AS norm FROM seen
+), ex AS (
+  SELECT nk.doc_id, (nk.doc_id != k.kid) AS batch_dup,
+         (s.norm IS NOT NULL) AS exact_seen
+  FROM nk JOIN keeper k USING (norm) LEFT JOIN snorm s USING (norm)
+), {_simhash_sig_cte('newb', 'n_')}, {_simhash_sig_cte('seen', 's_')},
+ssig AS (SELECT DISTINCT sh FROM s_sig),
+nband AS (
+  SELECT doc_id, sh, d.i AS band, (sh >> (16 * d.i)) & 65535 AS key
+  FROM n_sig CROSS JOIN (VALUES (0), (1), (2), (3)) d(i)
+), sband AS (
+  SELECT sh AS ssh, d.i AS band, (sh >> (16 * d.i)) & 65535 AS key
+  FROM ssig CROSS JOIN (VALUES (0), (1), (2), (3)) d(i)
+), near AS (
+  SELECT DISTINCT doc_id FROM nband JOIN sband USING (band, key)
+  WHERE bit_count(xor(sh, ssh)) <= 3
+)
+SELECT ex.doc_id, ex.batch_dup, ex.exact_seen,
+       (near.doc_id IS NOT NULL) AS near_seen,
+       (NOT ex.batch_dup AND NOT ex.exact_seen AND near.doc_id IS NULL) AS keep
+FROM ex LEFT JOIN near USING (doc_id) ORDER BY ex.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -4677,6 +4808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quality_stats": domain_quality_stats,  # site-level curation; hash-gated past the window (decimal-sum group-agg skeleton == q1/doc_stats_by_lang, quality expressions == doc_quality, in-window)
     "doc_winnow_fingerprints": doc_winnow_fingerprints,  # MOSS winnowing; hash-gated past the window (poly31 fold == dedup_simhash_docs, per-doc frame window == events_sessions machinery, both in-window)
     "doc_boilerplate_strip": doc_boilerplate_strip,  # jusText-style block classifier; hash-gated past the window (per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window)
+    "incremental_dedup_docs": incremental_dedup_docs,  # cross-snapshot recrawl gate; hash-gated past the window (min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -4787,6 +4919,7 @@ ORACLES: dict[str, str] = {
     "domain_quality_stats": DOMAIN_STATS_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "doc_boilerplate_strip": DOC_BOILERPLATE_SQL,
+    "incremental_dedup_docs": _incremental_sql(),
 }
 
 

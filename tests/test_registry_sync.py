@@ -130,6 +130,7 @@ def test_differentiated_entries_inside_driver_window():
         "domain_quality_stats",     # site-level curation; decimal-sum group-agg == q1/doc_stats_by_lang, quality exprs == doc_quality, in-window
         "doc_winnow_fingerprints",  # MOSS winnowing; poly31 fold == dedup_simhash_docs, per-doc frame window == events machinery, in-window
         "doc_boilerplate_strip",    # jusText block classifier; per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window
+        "incremental_dedup_docs",   # cross-snapshot recrawl gate; min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

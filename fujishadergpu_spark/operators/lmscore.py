@@ -148,3 +148,85 @@ def lm_score(
         "n_bigrams",
         F.when(F.col("n_bigrams") > 0, F.col("_nll")).alias("nll_q6"),
     )
+
+
+# ------------------- CCNet head/middle/tail buckets -------------------
+# CCNet (Wenzek et al. 2020, §3.4) partitions each language's corpus
+# into three equal-mass perplexity buckets — head (most fluent),
+# middle, tail — and most LLM recipes then keep head+middle or
+# reweight by bucket. Thresholds are per-group rank statistics of the
+# score; assignment is a pure comparison against them.
+
+DEFAULT_CUTS = ((1, 3), (2, 3))
+
+
+def ppl_bucket_thresholds(
+    scored: DataFrame,
+    group_col: str | None = None,
+    cuts: tuple = DEFAULT_CUTS,
+    score_col: str = "nll_q6",
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group bucket thresholds: (group?, th1..thK) where th_i is
+    the ceil(n * num/den)-th smallest score (rank statistic in the
+    exact INTEGER domain — num/den are the cut fractions, so there is
+    no floating-point quantile interpolation to drift cross-engine).
+
+    exact=False (production): percentile_approx sketches — map-side
+    combinable, one tiny aggregate over the corpus, group count rows
+    out. exact=True (oracle/validation scale ONLY — the
+    norm_stats.py:316 plan-choice pattern): sorts each group's scores
+    into one array on a single task; rank extraction is then literal.
+    At 100 TB exact mode would collect a language's whole score
+    column into one row — always use the sketch in production.
+    """
+    g = [group_col] if group_col else []
+    s = scored.where(F.col(score_col).isNotNull())
+    if exact:
+        agg = s.groupBy(*g).agg(
+            F.sort_array(F.collect_list(score_col)).alias("_arr")
+        )
+        n = F.size("_arr")
+        ths = [
+            F.element_at(
+                "_arr", F.floor((n * F.lit(num) + F.lit(den - 1)) / F.lit(den)).cast("int")
+            ).alias(f"th{i + 1}")
+            for i, (num, den) in enumerate(cuts)
+        ]
+        return agg.select(*g, *ths)
+    qs = s.groupBy(*g).agg(
+        F.percentile_approx(
+            score_col, [num / den for num, den in cuts], 10000
+        ).alias("_q")
+    )
+    return qs.select(
+        *g, *[F.element_at("_q", i + 1).alias(f"th{i + 1}") for i in range(len(cuts))]
+    )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    group_col: str | None = None,
+    score_col: str = "nll_q6",
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Assign each scored row its bucket by broadcast-joining the
+    (bounded, one-row-per-group) threshold relation and comparing —
+    zero additional shuffle on the corpus side. Rows with a NULL
+    score get 'unscored' (the lm_score no-evidence contract); rows of
+    a group absent from ``thresholds`` (no scored member) ditto."""
+    k = len(labels) - 1
+    # LEFT join keeps rows of groups with no scored member (their
+    # thresholds are NULL -> 'unscored'): totality in one pass
+    joined = (
+        scored.join(F.broadcast(thresholds), group_col, "left")
+        if group_col
+        else scored.crossJoin(F.broadcast(thresholds))
+    )
+    sc = F.col(score_col)
+    expr = F.lit(labels[-1])
+    for i in range(k - 1, -1, -1):
+        expr = F.when(sc <= F.col(f"th{i + 1}"), F.lit(labels[i])).otherwise(expr)
+    expr = F.when(sc.isNull() | F.col("th1").isNull(), F.lit("unscored")).otherwise(expr)
+    return joined.select(*scored.columns, expr.alias("bucket"))

@@ -3537,8 +3537,9 @@ def doc_lm_perplexity(spark, sf_dir):
     return lm_score(d, k=0.5).orderBy("doc_id")
 
 
-LM_SCORE_SQL = """
-WITH toks AS (
+# shared LM core (self-trained add-0.5 bigram model -> per-doc nll);
+# reused verbatim by the perplexity-bucket twin below
+_LM_CORE_CTE = """toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk
   FROM documents
 ), occ AS (
@@ -3565,12 +3566,60 @@ WITH toks AS (
          CAST(round(-SUM(p.t) * 1000000.0) AS BIGINT) AS nll_q6
   FROM occ o JOIN probs p USING (bigram)
   GROUP BY o.doc_id
-)
+)"""
+
+LM_SCORE_SQL = f"""
+WITH {_LM_CORE_CTE}
 SELECT t.doc_id,
        coalesce(h.n_bigrams, 0) AS n_bigrams,
        h.nll_q6 AS nll_q6
 FROM toks t LEFT JOIN hits h USING (doc_id)
 ORDER BY t.doc_id
+"""
+
+
+def doc_ppl_buckets(spark, sf_dir):
+    """CCNet §3.4 head/middle/tail perplexity buckets per language
+    (operators/lmscore.ppl_buckets): rank-statistic thresholds in the
+    exact integer domain (exact=True — the oracle-scale plan choice;
+    production uses the percentile_approx sketch)."""
+    from .operators.lmscore import lm_score, ppl_bucket_thresholds, ppl_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = lm_score(d.select("doc_id", "text"), k=0.5).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    th = ppl_bucket_thresholds(scored, "lang", exact=True)
+    return (
+        ppl_buckets(scored, th, "lang")
+        .select("doc_id", "lang", "n_bigrams", "nll_q6", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+PPL_BUCKETS_SQL = f"""
+WITH {_LM_CORE_CTE},
+scored AS (
+  SELECT t.doc_id, d.lang,
+         coalesce(h.n_bigrams, 0) AS n_bigrams,
+         h.nll_q6 AS nll_q6
+  FROM toks t LEFT JOIN hits h USING (doc_id) JOIN documents d USING (doc_id)
+), tha AS (
+  SELECT lang, list_sort(list(nll_q6)) AS arr
+  FROM scored WHERE nll_q6 IS NOT NULL GROUP BY lang
+), thv AS (
+  SELECT lang,
+         arr[CAST((len(arr) * 1 + 2) // 3 AS INT)] AS th1,
+         arr[CAST((len(arr) * 2 + 2) // 3 AS INT)] AS th2
+  FROM tha
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.nll_q6,
+       CASE WHEN s.nll_q6 IS NULL OR th1 IS NULL THEN 'unscored'
+            WHEN s.nll_q6 <= th1 THEN 'head'
+            WHEN s.nll_q6 <= th2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN thv USING (lang)
+ORDER BY s.doc_id
 """
 
 
@@ -4809,6 +4858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,  # MOSS winnowing; hash-gated past the window (poly31 fold == dedup_simhash_docs, per-doc frame window == events_sessions machinery, both in-window)
     "doc_boilerplate_strip": doc_boilerplate_strip,  # jusText-style block classifier; hash-gated past the window (per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window)
     "incremental_dedup_docs": incremental_dedup_docs,  # cross-snapshot recrawl gate; hash-gated past the window (min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window)
+    "doc_ppl_buckets": doc_ppl_buckets,  # CCNet head/middle/tail; hash-gated past the window (lm scoring == doc_lm_perplexity local oracle, broadcast-threshold gate == doc_decontaminate skeleton in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -4920,6 +4970,7 @@ ORACLES: dict[str, str] = {
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "doc_boilerplate_strip": DOC_BOILERPLATE_SQL,
     "incremental_dedup_docs": _incremental_sql(),
+    "doc_ppl_buckets": PPL_BUCKETS_SQL,
 }
 
 

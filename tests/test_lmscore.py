@@ -78,3 +78,65 @@ def test_null_and_empty_text_total(spark):
     got = {r["doc_id"]: r["n_bigrams"] for r in lm_score(df).collect()}
     assert got[1] == 0 and got[2] == 0
     assert got[0] == 3
+
+
+# ------------------- CCNet perplexity buckets -------------------------
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, nll_q6 long")
+
+
+def test_ppl_thresholds_exact_rank_semantics(spark):
+    from fujishadergpu_spark.operators.lmscore import ppl_bucket_thresholds
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50, 60])]
+    th = ppl_bucket_thresholds(_scored(spark, rows), "lang", exact=True).collect()[0]
+    # n=6: th1 = 2nd smallest (ceil(6/3)), th2 = 4th smallest (ceil(12/3))
+    assert (th["th1"], th["th2"]) == (20, 40)
+
+
+def test_ppl_thresholds_ignore_null_scores(spark):
+    from fujishadergpu_spark.operators.lmscore import ppl_bucket_thresholds
+
+    rows = [(0, "en", None), (1, "en", 5), (2, "en", 7), (3, "en", 9)]
+    th = ppl_bucket_thresholds(_scored(spark, rows), "lang", exact=True).collect()[0]
+    assert (th["th1"], th["th2"]) == (5, 7)  # n=3 -> ranks 1 and 2
+
+
+def test_ppl_buckets_assignment_and_totality(spark):
+    from fujishadergpu_spark.operators.lmscore import (
+        ppl_bucket_thresholds,
+        ppl_buckets,
+    )
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50, 60])]
+    rows += [(9, "en", None), (10, "xx", None)]  # unscored doc; scoreless group
+    s = _scored(spark, rows)
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_buckets(s, ppl_bucket_thresholds(s, "lang", exact=True), "lang").collect()
+    }
+    assert [out[i] for i in range(6)] == ["head", "head", "middle", "middle", "tail", "tail"]
+    assert out[9] == "unscored" and out[10] == "unscored"
+    assert len(out) == 8  # total over every input row
+
+
+def test_ppl_buckets_global_mode(spark):
+    from fujishadergpu_spark.operators.lmscore import (
+        ppl_bucket_thresholds,
+        ppl_buckets,
+    )
+
+    rows = [(i, "l", v) for i, v in enumerate([3, 1, 2])]
+    s = _scored(spark, rows).drop("lang")
+    out = ppl_buckets(s, ppl_bucket_thresholds(s, exact=True))
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert got == {1: "head", 2: "middle", 0: "tail"}
+
+
+def test_ppl_thresholds_approx_mode_monotone(spark):
+    from fujishadergpu_spark.operators.lmscore import ppl_bucket_thresholds
+
+    rows = [(i, "en", (i * 37) % 101) for i in range(101)]
+    th = ppl_bucket_thresholds(_scored(spark, rows), "lang", exact=False).collect()[0]
+    assert th["th1"] <= th["th2"]

@@ -149,3 +149,48 @@ def mixture_sample(
     for s, t in sorted(thrs.items()):
         thresh = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thresh)
     return df.filter(sample_hash(F.col(key_col)) < thresh)
+
+
+def epoch_replicate(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    max_weight: float = 100.0,
+) -> DataFrame:
+    """Deterministic epoch-weighted replication — the UPSAMPLING half
+    of data mixing (Gopher/Llama-style recipes repeat high-quality
+    sources for fractional epochs, e.g. Wikipedia x2.4, while a crawl
+    runs x0.5): a stratum of weight w emits floor(w) copies of every
+    row plus ONE extra copy of the rows whose universal-hash draw
+    lands below frac(w) — expected multiplicity exactly w, decided
+    per row by the same partition/cluster-size-invariant draw as
+    stratified_sample (w < 1 degenerates to it). Appends an ``epoch``
+    column (0-based copy index); rows with zero copies disappear.
+
+    100-TB shape: the copy count is a literal CASE chain over the
+    stratum plus one multiply-add-mod draw, and the replication is a
+    sequence() explode — whole-stage codegen, zero shuffle, zero
+    joins; downstream shuffles see the replicated stream exactly as
+    if the corpus were physically bigger. Keep weights sane: the
+    explode multiplies every downstream byte by w (max_weight guards
+    a fat-fingered 1000-epoch recipe).
+    """
+    for s, w in {**weights, None: default_weight}.items():
+        if not (0.0 <= w <= max_weight):
+            raise ValueError(
+                f"epoch weight for stratum {s!r} must be in [0, {max_weight}], got {w}"
+            )
+    base = F.lit(int(default_weight))
+    frac = F.lit(int(round((default_weight - int(default_weight)) * DENOM)))
+    for s, w in sorted(weights.items()):
+        base = F.when(F.col(strata_col) == s, F.lit(int(w))).otherwise(base)
+        frac = F.when(
+            F.col(strata_col) == s, F.lit(int(round((w - int(w)) * DENOM)))
+        ).otherwise(frac)
+    n = base + F.when(sample_hash(F.col(key_col)) < frac, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(copies))

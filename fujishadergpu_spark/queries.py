@@ -4711,6 +4711,51 @@ FROM ex LEFT JOIN near USING (doc_id) ORDER BY ex.doc_id
 
 
 # ----------------------------------------------------------------------
+# epoch-weighted replication (operators/sampling.epoch_replicate)
+# ----------------------------------------------------------------------
+
+EPOCH_WEIGHTS = {"de": 2.5, "es": 1.25, "zh": 0.5}
+
+
+def doc_epoch_replicate(spark, sf_dir):
+    """Deterministic fractional-epoch upsampling (data-mixing recipe
+    weights): floor(w) copies per doc + one extra by the universal-
+    hash draw — the oracle checks the EXACT replicated (doc_id, epoch)
+    multiset, not just the expected counts."""
+    from .operators.sampling import epoch_replicate
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        epoch_replicate(d, "lang", EPOCH_WEIGHTS, "doc_id", default_weight=1.0)
+        .select("doc_id", "lang", F.col("epoch").cast("long").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _epoch_replicate_sql() -> str:
+    from .operators.sampling import DENOM, P31, SAMPLE_A, SAMPLE_B
+
+    base = " ".join(
+        f"WHEN lang = '{s}' THEN {int(w)}" for s, w in sorted(EPOCH_WEIGHTS.items())
+    )
+    frac = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round((w - int(w)) * DENOM))}"
+        for s, w in sorted(EPOCH_WEIGHTS.items())
+    )
+    draw = f"(((((doc_id % {P31}) + {P31}) % {P31}) * {SAMPLE_A} + {SAMPLE_B}) % {P31} % {DENOM})"
+    return f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         (CASE {base} ELSE 1 END)
+         + (CASE WHEN {draw} < (CASE {frac} ELSE 0 END) THEN 1 ELSE 0 END) AS nc
+  FROM documents
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(0, nc - 1)) AS BIGINT) AS epoch
+FROM n WHERE nc > 0 ORDER BY doc_id, epoch
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -4859,6 +4904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_boilerplate_strip": doc_boilerplate_strip,  # jusText-style block classifier; hash-gated past the window (per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window)
     "incremental_dedup_docs": incremental_dedup_docs,  # cross-snapshot recrawl gate; hash-gated past the window (min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window)
     "doc_ppl_buckets": doc_ppl_buckets,  # CCNet head/middle/tail; hash-gated past the window (lm scoring == doc_lm_perplexity local oracle, broadcast-threshold gate == doc_decontaminate skeleton in-window)
+    "doc_epoch_replicate": doc_epoch_replicate,  # fractional-epoch upsampling; hash-gated past the window (universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -4971,6 +5017,7 @@ ORACLES: dict[str, str] = {
     "doc_boilerplate_strip": DOC_BOILERPLATE_SQL,
     "incremental_dedup_docs": _incremental_sql(),
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
+    "doc_epoch_replicate": _epoch_replicate_sql(),
 }
 
 

@@ -132,6 +132,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_boilerplate_strip",    # jusText block classifier; per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window
         "incremental_dedup_docs",   # cross-snapshot recrawl gate; min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window
         "doc_ppl_buckets",          # CCNet head/middle/tail; lm scoring == doc_lm_perplexity (local oracle), broadcast-threshold gate == doc_decontaminate skeleton in-window
+        "doc_epoch_replicate",      # fractional-epoch upsampling; universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

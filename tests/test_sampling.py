@@ -157,3 +157,77 @@ def test_mixture_rejects_bad_params(spark):
         mixture_thresholds(d, "lang", "n_tokens", {"en": -0.1}, 1000)
     with pytest.raises(ValueError):
         mixture_thresholds(d, "lang", "n_tokens", {"en": 0.5}, 0)
+
+
+# ------------------- epoch-weighted replication ------------------------
+
+def _docs_lang(spark, n=200):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_epoch_integer_weight_exact_copies(spark):
+    from fujishadergpu_spark.operators.sampling import epoch_replicate
+
+    out = epoch_replicate(_docs_lang(spark), "lang", {"de": 2.0}, "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["epoch"])
+    for did, eps in per.items():
+        want = 2 if did % 3 == 1 else 1
+        assert sorted(eps) == list(range(want)), (did, eps)
+
+
+def test_epoch_fractional_weight_expected_mass_and_determinism(spark):
+    from fujishadergpu_spark.operators.sampling import epoch_replicate
+
+    df = _docs_lang(spark, 600)
+    out1 = epoch_replicate(df, "lang", {"en": 1.5}, "doc_id")
+    n_en = out1.where("lang = 'en'").count()
+    assert 250 <= n_en <= 350  # 200 en docs x ~1.5
+    # partition-invariance: identical multiset on a different layout
+    out2 = epoch_replicate(df.repartition(7), "lang", {"en": 1.5}, "doc_id")
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_epoch_below_one_matches_stratified_sample(spark):
+    from fujishadergpu_spark.operators.sampling import (
+        epoch_replicate,
+        stratified_sample,
+    )
+
+    df = _docs_lang(spark)
+    rep = epoch_replicate(df, "lang", {"en": 0.5}, "doc_id", default_weight=0.0)
+    kept = {r["doc_id"] for r in rep.collect()}
+    samp = {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"en": 0.5}, "doc_id").collect()
+    }
+    assert kept == samp  # same draw, same threshold -> same set
+    assert rep.where("epoch != 0").count() == 0
+
+
+def test_epoch_fractional_sets_are_nested(spark):
+    from fujishadergpu_spark.operators.sampling import epoch_replicate
+
+    df = _docs_lang(spark)
+    low = {
+        r["doc_id"]
+        for r in epoch_replicate(df, "lang", {"en": 1.25}, "doc_id").where("epoch = 1").collect()
+    }
+    high = {
+        r["doc_id"]
+        for r in epoch_replicate(df, "lang", {"en": 1.75}, "doc_id").where("epoch = 1").collect()
+    }
+    assert low <= high  # raising a weight never churns earlier extras
+
+
+def test_epoch_weight_validation(spark):
+    from fujishadergpu_spark.operators.sampling import epoch_replicate
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        epoch_replicate(_docs_lang(spark), "lang", {"en": -1.0}, "doc_id")
+    with _pt.raises(ValueError):
+        epoch_replicate(_docs_lang(spark), "lang", {"en": 1000.0}, "doc_id")

@@ -429,6 +429,13 @@ def main(argv=None):
                    help="insert the jusText-style chrome strip between the "
                         "domain gate and pii: rewrite each doc to its content "
                         "lines, drop pure-chrome docs")
+    c.add_argument("--ppl-keep", default=None,
+                   help="comma list of CCNet perplexity buckets to keep "
+                        "(e.g. head,middle): inserts the deterministic "
+                        "bigram-LM gate between decontaminate and sample")
+    c.add_argument("--ppl-bin-width", type=int, default=1_000_000,
+                   help="histogram bin width (nll_q6 units) of the "
+                        "deterministic threshold quantile")
     c.add_argument("--chunk-size", type=int, default=None,
                    help="append a context-window fan-out stage after shard: "
                         "token windows of this size (training examples)")
@@ -513,6 +520,10 @@ def main(argv=None):
                 domain_min_avg_quality=args.domain_min_avg_quality,
                 domain_col=args.domain_col,
                 strip_boilerplate=args.strip_boilerplate,
+                ppl_keep_buckets=tuple(args.ppl_keep.split(","))
+                if args.ppl_keep
+                else None,
+                ppl_bin_width=args.ppl_bin_width,
                 chunk_size=args.chunk_size,
                 chunk_stride=args.chunk_stride,
             )

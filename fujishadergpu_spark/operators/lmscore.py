@@ -79,6 +79,7 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     train: DataFrame | None = None,
+    term_quantized: bool = False,
 ) -> DataFrame:
     """Per-doc bigram-LM negative log-likelihood: (id, n_bigrams,
     nll_q6) with nll_q6 = round(−Σ ln p(w_i|w_{i-1}) · 1e6). Docs
@@ -86,7 +87,15 @@ def lm_score(
     (no bigrams — no evidence either way). ``train`` defaults to
     ``docs`` (the CCNet self-trained configuration); bigrams unseen
     in training back off to c(w1 w2) = 0 (and c(w1) = 0 for an
-    unseen context) under the same add-k formula."""
+    unseen context) under the same add-k formula.
+
+    ``term_quantized=True`` rounds each per-bigram term to 1e-6 nats
+    BEFORE summing, so the doc score is a sum of LONGS — order-free,
+    hence bit-identical under any partitioning/retry, which is what a
+    resumable pipeline stage must have (a double sum's rounding can
+    in principle flip with aggregation order). Scores differ from the
+    default by at most n_bigrams ulp-halves; the default keeps the
+    published round-after-sum definition."""
     t = train if train is not None else docs
     tb = t.select(_bigrams(_tokens(F.col(text_col))).alias("_bg"))
     model = (
@@ -138,11 +147,15 @@ def lm_score(
         .crossJoin(F.broadcast(vocab))
         .select("_id", unseen.alias("_t"))
     )
-    sums = (
-        seen.unionByName(miss)
-        .groupBy("_id")
-        .agg(F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint").alias("_nll"))
-    )
+    terms = seen.unionByName(miss)
+    if term_quantized:
+        sums = terms.groupBy("_id").agg(
+            (-F.sum(F.round(F.col("_t") * F.lit(1000000.0)).cast("bigint"))).alias("_nll")
+        )
+    else:
+        sums = terms.groupBy("_id").agg(
+            F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint").alias("_nll")
+        )
     return ids.join(sums, "_id", "left").select(
         F.col("_id").alias(id_col),
         "n_bigrams",
@@ -230,3 +243,56 @@ def ppl_buckets(
         expr = F.when(sc <= F.col(f"th{i + 1}"), F.lit(labels[i])).otherwise(expr)
     expr = F.when(sc.isNull() | F.col("th1").isNull(), F.lit("unscored")).otherwise(expr)
     return joined.select(*scored.columns, expr.alias("bucket"))
+
+
+def ppl_bucket_thresholds_hist(
+    scored: DataFrame,
+    group_col: str | None = None,
+    cuts: tuple = DEFAULT_CUTS,
+    score_col: str = "nll_q6",
+    bin_width: int = 1_000_000,
+) -> DataFrame:
+    """DETERMINISTIC production-scale thresholds: the integer-binned
+    histogram quantile. percentile_approx is a sketch whose result
+    can depend on aggregation order — fine for display stretches,
+    unacceptable inside a resumable pipeline stage (resume soundness
+    needs byte-identical re-runs). This plan is order-free end to end:
+
+      bin  = floor(score / bin_width)              (integer)
+      hist = count per (group, bin)                (map-side partial)
+      cum  = running sum over the bin axis         (per-group window
+             over the HISTOGRAM relation — bounded by the score range
+             / bin_width, thousands of rows, never the corpus)
+      th_i = upper edge of the first bin whose cumulative count
+             reaches ceil(n * num/den)
+
+    Thresholds are conservative to within one bin of the exact rank
+    statistic (every score in the threshold bin is <= the returned
+    edge); shrink bin_width for tighter buckets. With the default
+    1e6 width over nll_q6 the bins are whole nats.
+    """
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    s = scored.where(F.col(score_col).isNotNull())
+    bin_col = F.floor(F.col(score_col) / F.lit(bin_width)).alias("_bin")
+    hist = s.groupBy(*g, bin_col).agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy(*g).orderBy("_bin")
+        if g
+        else Window.partitionBy(F.lit(1)).orderBy("_bin")
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    ths = [
+        F.min(
+            F.when(
+                F.col("_cum")
+                >= F.floor((F.col("_n") * F.lit(num) + F.lit(den - 1)) / F.lit(den)),
+                (F.col("_bin") + 1) * F.lit(bin_width) - 1,
+            )
+        ).alias(f"th{i + 1}")
+        for i, (num, den) in enumerate(cuts)
+    ]
+    return cum.groupBy(*g).agg(*ths)

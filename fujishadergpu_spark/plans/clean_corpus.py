@@ -77,10 +77,12 @@ DOC_STAGES = STAGES[:6]
 # runs BEFORE pii when domain_min_docs is set; "boilerplate"
 # (jusText-style chrome strip, operators/boilerplate.py) runs after
 # the domain gate when strip_boilerplate is set — extraction-time
-# cleaning belongs ahead of the corpus-level stages; "chunk"
+# cleaning belongs ahead of the corpus-level stages; "ppl" (CCNet
+# perplexity-bucket keep gate, operators/lmscore.py) runs between
+# decontaminate and sample when ppl_keep_buckets is set; "chunk"
 # (context-window fan-out, operators/chunking.py) appends after shard
 # when chunk_size is set. All ride the same idempotent-stage machinery.
-OPTIONAL_STAGES = ("domain", "boilerplate", "chunk")
+OPTIONAL_STAGES = ("domain", "boilerplate", "ppl", "chunk")
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -109,6 +111,8 @@ def run_clean_corpus(
     domain_min_avg_quality: float = 0.5,
     domain_col: str = "source",
     strip_boilerplate: bool = False,
+    ppl_keep_buckets: tuple | None = None,
+    ppl_bin_width: int = 1_000_000,
     chunk_size: int | None = None,
     chunk_stride: int | None = None,
 ) -> dict:
@@ -140,10 +144,18 @@ def run_clean_corpus(
     present); ``strip_boilerplate`` inserts the jusText-style chrome
     strip (operators/boilerplate.py) between the domain gate and pii,
     rewriting each doc to its content lines and dropping docs that
-    were pure chrome; ``chunk_size`` appends a context-window fan-out
-    stage after shard (operators/chunking.py, stride defaults to
-    chunk_size = non-overlapping). All are pure functions of their
-    input, so bucketed resume stays sound.
+    were pure chrome; ``ppl_keep_buckets`` (e.g. ``("head",
+    "middle")``) inserts the CCNet perplexity gate between
+    decontaminate and sample — self-trained bigram LM with
+    TERM-QUANTIZED (order-free integer) scores and histogram-binned
+    thresholds, both chosen precisely because they are deterministic
+    under re-runs, which bucketed resume requires (percentile_approx
+    sketches and double sums are not); docs scoring 'unscored'
+    (<2 tokens) are kept only if 'unscored' is listed;
+    ``chunk_size`` appends a context-window fan-out stage after shard
+    (operators/chunking.py, stride defaults to chunk_size =
+    non-overlapping). All are pure functions of their input, so
+    bucketed resume stays sound.
     """
     if dsir_target_path is not None and mixture_targets is not None:
         raise ValueError("dsir_target_path and mixture_targets are exclusive selection modes")
@@ -252,6 +264,29 @@ def run_clean_corpus(
     else:
         dc = sd_out
     dc_out = stage("decontaminate", _bucketed(dc)).select("doc_id", "text")
+
+    # 5b. (opt-in) CCNet perplexity-bucket keep gate — deterministic
+    # (integer term sums + histogram thresholds), hence resume-sound
+    if ppl_keep_buckets is not None:
+        from ..operators.lmscore import (
+            lm_score,
+            ppl_bucket_thresholds_hist,
+            ppl_buckets,
+        )
+
+        base = dc_out.withColumn("_lang", textfn.lang_id(F.col("text")))
+        scored = lm_score(
+            dc_out, k=0.5, term_quantized=True
+        ).join(base.select("doc_id", "_lang"), "doc_id")
+        th = ppl_bucket_thresholds_hist(scored, "_lang", bin_width=ppl_bin_width)
+        kept_ids = (
+            ppl_buckets(scored, th, "_lang")
+            .where(F.col("bucket").isin(*ppl_keep_buckets))
+            .select("doc_id")
+        )
+        dc_out = stage("ppl", _bucketed(dc_out.join(kept_ids, "doc_id"))).select(
+            "doc_id", "text"
+        )
 
     # 6. deterministic selection: per-language stratified rates, or —
     # when a DSIR target corpus is supplied — Gumbel-top-k importance

@@ -3622,6 +3622,59 @@ FROM scored s LEFT JOIN thv USING (lang)
 ORDER BY s.doc_id
 """
 
+_PPL_BIN = 1_000_000
+
+
+def doc_ppl_buckets_hist(spark, sf_dir):
+    """The PRODUCTION threshold plan for the CCNet buckets: the
+    deterministic integer-binned histogram quantile
+    (operators/lmscore.ppl_bucket_thresholds_hist) — order-free
+    partial aggregates instead of a per-group sort, resume-sound at
+    any scale. Same assignment operator as doc_ppl_buckets."""
+    from .operators.lmscore import lm_score, ppl_bucket_thresholds_hist, ppl_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = lm_score(d.select("doc_id", "text"), k=0.5).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    th = ppl_bucket_thresholds_hist(scored, "lang", bin_width=_PPL_BIN)
+    return (
+        ppl_buckets(scored, th, "lang")
+        .select("doc_id", "lang", "n_bigrams", "nll_q6", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+PPL_BUCKETS_HIST_SQL = f"""
+WITH {_LM_CORE_CTE},
+scored AS (
+  SELECT t.doc_id, d.lang,
+         coalesce(h.n_bigrams, 0) AS n_bigrams,
+         h.nll_q6 AS nll_q6
+  FROM toks t LEFT JOIN hits h USING (doc_id) JOIN documents d USING (doc_id)
+), hist AS (
+  SELECT lang, nll_q6 // {_PPL_BIN} AS bin, count(*) AS c
+  FROM scored WHERE nll_q6 IS NOT NULL GROUP BY lang, bin
+), cum AS (
+  SELECT lang, bin,
+         sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cm,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), thv AS (
+  SELECT lang,
+         min(CASE WHEN cm >= (n * 1 + 2) // 3 THEN (bin + 1) * {_PPL_BIN} - 1 END) AS th1,
+         min(CASE WHEN cm >= (n * 2 + 2) // 3 THEN (bin + 1) * {_PPL_BIN} - 1 END) AS th2
+  FROM cum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.nll_q6,
+       CASE WHEN s.nll_q6 IS NULL OR th1 IS NULL THEN 'unscored'
+            WHEN s.nll_q6 <= th1 THEN 'head'
+            WHEN s.nll_q6 <= th2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN thv USING (lang)
+ORDER BY s.doc_id
+"""
+
 
 # ----------------------------------------------------------------------
 # DSIR importance resampling (operators/dsir.py)
@@ -4905,6 +4958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_docs": incremental_dedup_docs,  # cross-snapshot recrawl gate; hash-gated past the window (min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window)
     "doc_ppl_buckets": doc_ppl_buckets,  # CCNet head/middle/tail; hash-gated past the window (lm scoring == doc_lm_perplexity local oracle, broadcast-threshold gate == doc_decontaminate skeleton in-window)
     "doc_epoch_replicate": doc_epoch_replicate,  # fractional-epoch upsampling; hash-gated past the window (universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled)
+    "doc_ppl_buckets_hist": doc_ppl_buckets_hist,  # production histogram-quantile plan of the CCNet buckets; hash-gated past the window (hist partial-agg + bounded window == doc_shards prefix-sum skeleton, assignment == doc_ppl_buckets)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5018,6 +5072,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_docs": _incremental_sql(),
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
     "doc_epoch_replicate": _epoch_replicate_sql(),
+    "doc_ppl_buckets_hist": PPL_BUCKETS_HIST_SQL,
 }
 
 

@@ -366,3 +366,30 @@ def test_clean_corpus_boilerplate_stage(spark, tmp_path):
     # doc 0 keeps only its content line
     assert _texts(spark, out, "boilerplate")[0] == good
     assert _ids(spark, out, "pii") == {0}
+
+
+def test_clean_corpus_ppl_stage(spark, tmp_path):
+    """Opt-in perplexity gate: scored docs bucketed and kept per the
+    keep list; unscored (<2 token) docs dropped unless listed."""
+    # docs long enough that the upstream Gopher top-bigram rule passes
+    # (a 10-word doc's single top bigram covers >20% of its chars)
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog while many other "
+            "animals watch quietly from a hill near the river that flows past town"),
+        (1, "a different second document talks about spark executors shuffling "
+            "data across the cluster while the driver plans stages and tasks for every query"),
+        (2, "pad words making this document long enough to pass gates with "
+            "plenty of variety in the phrasing and no repeated word pairs anywhere today"),
+        (3, "solo"),  # 1 token -> unscored
+    ]
+    src = str(tmp_path / "ppl_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "ppl_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="pp", pack_budget=16, pack_groups=2,
+        ppl_keep_buckets=("head", "middle", "tail"),
+    )
+    want = list(STAGES)
+    want.insert(want.index("sample"), "ppl")
+    assert list(s) == want
+    assert _ids(spark, out, "ppl") == {0, 1, 2}  # unscored doc 3 gone

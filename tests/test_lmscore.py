@@ -140,3 +140,51 @@ def test_ppl_thresholds_approx_mode_monotone(spark):
     rows = [(i, "en", (i * 37) % 101) for i in range(101)]
     th = ppl_bucket_thresholds(_scored(spark, rows), "lang", exact=False).collect()[0]
     assert th["th1"] <= th["th2"]
+
+
+def test_ppl_hist_thresholds_conservative_within_bin(spark):
+    from fujishadergpu_spark.operators.lmscore import ppl_bucket_thresholds_hist
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50, 60])]
+    th = ppl_bucket_thresholds_hist(
+        _scored(spark, rows), "lang", bin_width=10
+    ).collect()[0]
+    # exact ranks are 20 and 40; bin edges are their bins' upper ends
+    assert (th["th1"], th["th2"]) == (29, 49)
+
+
+def test_ppl_hist_equals_exact_at_unit_bins(spark):
+    from fujishadergpu_spark.operators.lmscore import (
+        ppl_bucket_thresholds,
+        ppl_bucket_thresholds_hist,
+    )
+
+    rows = [(i, ["en", "de"][i % 2], int((i * 37) % 101)) for i in range(60)]
+    s = _scored(spark, rows)
+    ex = {r["lang"]: (r["th1"], r["th2"]) for r in ppl_bucket_thresholds(s, "lang", exact=True).collect()}
+    hi = {r["lang"]: (r["th1"], r["th2"]) for r in ppl_bucket_thresholds_hist(s, "lang", bin_width=1).collect()}
+    assert ex == hi  # unit bins: the histogram quantile IS the rank statistic
+
+
+def test_ppl_hist_global_mode(spark):
+    from fujishadergpu_spark.operators.lmscore import ppl_bucket_thresholds_hist
+
+    rows = [(i, "l", v) for i, v in enumerate([3, 1, 2])]
+    th = ppl_bucket_thresholds_hist(
+        _scored(spark, rows).drop("lang"), bin_width=1
+    ).collect()[0]
+    assert (th["th1"], th["th2"]) == (1, 2)
+
+
+def test_lm_score_term_quantized_close_and_integer(spark):
+    from fujishadergpu_spark.operators.lmscore import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c d"), (1, "a b c"), (2, "solo")], ["doc_id", "text"]
+    )
+    d = {r["doc_id"]: r for r in lm_score(docs, k=0.5).collect()}
+    q = {r["doc_id"]: r for r in lm_score(docs, k=0.5, term_quantized=True).collect()}
+    for did in (0, 1):
+        # each term rounds within half a quantum of the double path
+        assert abs(q[did]["nll_q6"] - d[did]["nll_q6"]) <= d[did]["n_bigrams"]
+    assert q[2]["nll_q6"] is None  # unscored stays unscored

@@ -133,6 +133,7 @@ def test_differentiated_entries_inside_driver_window():
         "incremental_dedup_docs",   # cross-snapshot recrawl gate; min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window
         "doc_ppl_buckets",          # CCNet head/middle/tail; lm scoring == doc_lm_perplexity (local oracle), broadcast-threshold gate == doc_decontaminate skeleton in-window
         "doc_epoch_replicate",      # fractional-epoch upsampling; universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled
+        "doc_ppl_buckets_hist",     # production histogram-quantile plan; hist partial-agg + bounded window == doc_shards skeleton, assignment == doc_ppl_buckets
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

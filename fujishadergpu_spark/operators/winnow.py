@@ -106,3 +106,58 @@ def winnow_fingerprints(
         (F.lit(_POS_M - 1) - F.col("_fp").bitwiseAND(F.lit(_POS_M - 1))).alias("pos"),
         F.shiftright("_fp", 32).alias("gram_hash"),
     )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 128,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — the MOSS match
+    step: (id_a, id_b, n_shared) with id_a < id_b and n_shared =
+    |shared distinct fingerprint hashes| >= min_shared. Because of
+    the winnowing guarantee, any common substring of length
+    >= w + k - 1 contributes at least one shared hash, so (unlike the
+    MinHash/SimHash gates) a miss means NO such substring exists —
+    the exactness-per-match that makes this the plagiarism/quote
+    detector of the family.
+
+    100-TB shape: the inverted-index discipline of
+    dedup.ngram_jaccard_pairs — the self-join runs on DISTINCT
+    (doc, hash) rows (ids+longs only, text never shuffles), and
+    hashes occurring in more than ``max_df`` documents are dropped
+    first (boilerplate grams — headers, licence lines — would go
+    quadratic in the bucket; a true near-dup pair keeps colliding on
+    its other fingerprints, so the recall cost is bounded). Pass
+    max_df=None to disable the cap (exact mode for bounded corpora).
+    """
+    fp = (
+        winnow_fingerprints(df, k, w, doc_id_col, text_col)
+        .select("doc_id", "gram_hash")
+        .distinct()
+    )
+    if max_df is not None:
+        fp = fp.join(
+            fp.groupBy("gram_hash")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("gram_hash"),
+            "gram_hash",
+        )
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.gram_hash") == F.col("r.gram_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

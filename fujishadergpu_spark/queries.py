@@ -4453,10 +4453,13 @@ def doc_winnow_fingerprints(spark, sf_dir):
     ).orderBy("doc_id", "pos", "gram_hash")
 
 
-DOC_WINNOW_SQL = f"""
-WITH base AS (
+def _winnow_fp_cte(src: str) -> str:
+    """CTE chain (no WITH) computing the winnowed fingerprint set of
+    relation ``src`` as ``fps(doc_id, fp)`` — shared by the
+    fingerprint dump and the match-pairs oracles."""
+    return f"""base AS (
   SELECT doc_id, text, CAST(length(text) - {_WINNOW_K - 1} AS BIGINT) AS n
-  FROM documents WHERE length(text) >= {_WINNOW_K}
+  FROM {src} WHERE length(text) >= {_WINNOW_K}
 ), grams AS (
   SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text FROM base
 ), gh AS (
@@ -4473,11 +4476,64 @@ WITH base AS (
   FROM packed
 ), fps AS (
   SELECT DISTINCT doc_id, fp FROM sel WHERE i <= n - {_WINNOW_W - 1}
-)
+)"""
+
+
+DOC_WINNOW_SQL = f"""
+WITH {_winnow_fp_cte('documents')}
 SELECT doc_id,
        CAST(4294967295 - (fp % 4294967296) AS BIGINT) AS pos,
        CAST(fp // 4294967296 AS BIGINT) AS gram_hash
 FROM fps ORDER BY doc_id, pos, gram_hash
+"""
+
+
+# the MOSS match step over a bounded planted batch: every 20th doc,
+# with every 40th re-arriving at id + 100000 carrying an appended
+# tail — a guaranteed-covered long match (winnowing guarantee)
+_WINNOW_PAIR_MIN_SHARED = 10
+_WINNOW_PAIR_TAIL = " shared tail of this nearly duplicated page"
+
+
+def winnow_match_pairs_docs(spark, sf_dir):
+    """MOSS fingerprint-overlap pairs (operators/winnow.
+    winnow_match_pairs) over the planted near-dup batch."""
+    from .operators.winnow import winnow_match_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = d.where(F.col("doc_id") % 20 == 0)
+    batch = sub.unionByName(
+        d.where(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_WINNOW_PAIR_TAIL)).alias("text"),
+        )
+    )
+    return (
+        winnow_match_pairs(
+            batch, k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_PAIR_MIN_SHARED
+        )
+        .withColumn("n_shared", F.col("n_shared").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH wsrc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '{_WINNOW_PAIR_TAIL}' AS text
+  FROM documents WHERE doc_id % 40 = 0
+), {_winnow_fp_cte('wsrc')},
+fh AS (
+  SELECT DISTINCT doc_id, fp // 4294967296 AS h FROM fps
+), capped AS (
+  SELECT doc_id, h FROM fh
+  JOIN (SELECT h FROM fh GROUP BY h HAVING count(*) <= 128) USING (h)
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM capped l JOIN capped r ON l.h = r.h AND l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_PAIR_MIN_SHARED}
+ORDER BY id_a, id_b
 """
 
 
@@ -4959,6 +5015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ppl_buckets": doc_ppl_buckets,  # CCNet head/middle/tail; hash-gated past the window (lm scoring == doc_lm_perplexity local oracle, broadcast-threshold gate == doc_decontaminate skeleton in-window)
     "doc_epoch_replicate": doc_epoch_replicate,  # fractional-epoch upsampling; hash-gated past the window (universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled)
     "doc_ppl_buckets_hist": doc_ppl_buckets_hist,  # production histogram-quantile plan of the CCNet buckets; hash-gated past the window (hist partial-agg + bounded window == doc_shards prefix-sum skeleton, assignment == doc_ppl_buckets)
+    "winnow_match_pairs_docs": winnow_match_pairs_docs,  # MOSS match step; hash-gated past the window (fingerprints == doc_winnow_fingerprints local oracle, inverted-index pair join == dedup_ngram_jaccard_docs skeleton)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5073,6 +5130,7 @@ ORACLES: dict[str, str] = {
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
     "doc_epoch_replicate": _epoch_replicate_sql(),
     "doc_ppl_buckets_hist": PPL_BUCKETS_HIST_SQL,
+    "winnow_match_pairs_docs": WINNOW_PAIRS_SQL,
 }
 
 

@@ -111,3 +111,56 @@ def test_single_doc_bounded_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct reuse
     assert "hashpartitioning(doc_id" in plan
+
+
+# ---------------------- MOSS match pairs -------------------------------
+
+def test_match_pairs_guarantee_detects_long_shared_substring(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_match_pairs
+
+    shared = "abcdefghijk"  # length k + w - 1 = 11 -> guaranteed hit
+    docs = spark.createDataFrame(
+        [(1, "xxxx" + shared + "yyyy"), (2, "qqq" + shared + "zzzzz")],
+        ["doc_id", "text"],
+    )
+    out = winnow_match_pairs(docs, k=8, w=4, min_shared=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2) and r["n_shared"] >= 1
+
+
+def test_match_pairs_disjoint_docs_no_pair(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_match_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "vvvv wwww xxxx yyyy zzzz")],
+        ["doc_id", "text"],
+    )
+    assert winnow_match_pairs(docs, k=8, w=4, min_shared=1).count() == 0
+
+
+def test_match_pairs_max_df_drops_boilerplate_hash(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_match_pairs
+
+    boiler = "common boilerplate footer line"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}content{i}here{i} " + boiler) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    # without the cap every pair matches on the footer
+    assert winnow_match_pairs(docs, k=8, w=4, min_shared=1, max_df=None).count() == 15
+    # a df cap below the corpus size kills the footer hashes
+    assert winnow_match_pairs(docs, k=8, w=4, min_shared=1, max_df=3).count() == 0
+
+
+def test_match_pairs_min_shared_threshold(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_match_pairs
+
+    shared = "abcdefghijk"
+    docs = spark.createDataFrame(
+        [(1, shared + " tail one"), (2, shared + " other ending")],
+        ["doc_id", "text"],
+    )
+    n = winnow_match_pairs(docs, k=8, w=4, min_shared=1).collect()[0]["n_shared"]
+    assert winnow_match_pairs(docs, k=8, w=4, min_shared=n).count() == 1
+    assert winnow_match_pairs(docs, k=8, w=4, min_shared=n + 1).count() == 0

@@ -52,6 +52,7 @@ def ingest_corpus(
     min_quality: float | None = None,
     c4_rules: bool = True,
     blocklist: list[str] | None = None,
+    seen_exact: DataFrame | None = None,
 ) -> DataFrame:
     """The online cleaning chain over a (ts, doc_id, text) relation —
     batch or streaming (the twin discipline: the SAME function body
@@ -61,8 +62,20 @@ def ingest_corpus(
     Order: PII scrub (transform) -> C4 gates (drop + line rewrite,
     when ``c4_rules``) -> quality/language annotation (+ optional
     ``min_quality`` gate) -> first-arrival content dedup within the
-    watermark. Output: (ts, doc_id, text, quality_score, lang) plus
-    the dedup key columns (fp_hash, fp_len).
+    watermark -> (optional) cross-snapshot exact-dedup against
+    ``seen_exact``. Output: (ts, doc_id, text, quality_score, lang)
+    plus the dedup key columns (fp_hash, fp_len).
+
+    ``seen_exact`` is the STATIC kept-corpus snapshot of
+    operators/increment.exact_snapshot — distinct (_h, _len) 16-byte
+    keys. The gate is a stream-static LEFT-ANTI join, which
+    structured streaming executes STATELESSLY (the static side is
+    re-scannable per micro-batch; broadcastable when compact), so it
+    closes the watermark horizon's blind spot — recrawls arriving
+    AFTER the horizon evicted their key are still dropped if the
+    kept corpus has them — without growing stream state. The dedup
+    keys are definitionally aligned: both sides derive from
+    dedup.norm_text + xxhash64.
     """
     x = docs.select(
         F.col(ts_col),
@@ -81,6 +94,15 @@ def ingest_corpus(
     if min_quality is not None:
         x = x.where(F.col("quality_score") >= min_quality)
     x = x.select(ts_col, doc_id_col, text_col, "quality_score", "lang")
-    return streaming_dedup(
+    out = streaming_dedup(
         x, ts_col=ts_col, text_col=text_col, watermark=watermark, tie_col=doc_id_col
     )
+    if seen_exact is not None:
+        out = out.join(
+            seen_exact.select(
+                F.col("_h").alias("fp_hash"), F.col("_len").alias("fp_len")
+            ).distinct(),
+            ["fp_hash", "fp_len"],
+            "left_anti",
+        )
+    return out

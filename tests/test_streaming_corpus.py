@@ -92,3 +92,37 @@ def test_stateless_until_dedup(spark, docs_df, tmp_path):
     plan = ingest_corpus(stream)._jdf.queryExecution().analyzed().toString()
     assert plan.count("DeduplicateWithinWatermark") == 1
     assert "Aggregate" not in plan
+
+
+def _seen_snapshot(spark):
+    """Snapshot containing doc 0/1's content (as the kept corpus)."""
+    from fujishadergpu_spark.operators.increment import exact_snapshot
+
+    kept = spark.createDataFrame(
+        [(99, "\n".join([GOOD_A, GOOD_B, GOOD_C]))], "doc_id long, text string"
+    )
+    return exact_snapshot(kept)
+
+
+def test_snapshot_gate_batch(spark, docs_df):
+    out = {r["doc_id"] for r in ingest_corpus(docs_df, seen_exact=_seen_snapshot(spark)).collect()}
+    # docs 0/1 match the kept corpus -> gone; 2 and 5 survive
+    assert out == {2, 5}
+
+
+def test_snapshot_gate_stream_matches_batch_and_stays_stateless(spark, docs_df, tmp_path):
+    src = str(tmp_path / "docs_src_snap")
+    docs_df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    snap = _seen_snapshot(spark)
+    q = ingest_corpus(stream, watermark="720 hours", seen_exact=snap)
+    # the stream-static anti-join adds no stateful operator
+    plan = q._jdf.queryExecution().analyzed().toString()
+    assert plan.count("DeduplicateWithinWatermark") == 1
+    assert "Aggregate" not in plan
+    ev.run_stream_to_memory(q, "ingest_snap_out", output_mode="append")
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM ingest_snap_out").collect()}
+    exp = {r["doc_id"] for r in ingest_corpus(docs_df, seen_exact=snap).collect()}
+    assert got == exp == {2, 5}

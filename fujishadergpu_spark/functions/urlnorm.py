@@ -59,3 +59,101 @@ def _strip_port(scheme: Column, hostport: Column) -> Column:
         .when((scheme == "http") & hostport.endswith(":80"), no80)
         .otherwise(hostport)
     )
+
+
+# ------------------- URL / domain filtering ---------------------------
+# RefinedWeb-style URL filtering (Penedo et al. 2023, §G.1): a domain
+# blocklist (with subdomain matching) plus URL keyword scoring —
+# strict words drop on any hit, soft words drop when their weighted
+# sum crosses a threshold. The lexicons are caller arguments (the c4
+# blocklist discipline: the repo ships the mechanism, not the words).
+
+
+def url_host(u: Column) -> Column:
+    """Lowercased host of a URL, default ports stripped (the
+    normalize_url host rule, exposed standalone)."""
+    u0 = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u0, SCHEME_RE, 1))
+    rest = F.regexp_replace(u0, SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    return _strip_port(scheme, hostport)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host — ``a.b.c`` -> [a.b.c, b.c, c] — the
+    bounded explode key for scalable subdomain matching (a host has a
+    handful of labels; matching 10^12 urls against a multi-million-
+    domain blocklist is then one string equi-join, never a
+    nested-loop contains scan)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(labels, i, n), ".")
+    )
+
+
+def url_filter(
+    df,
+    blocked_hosts=None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strict_words: list[str] | None = None,
+    soft_words: dict[str, float] | None = None,
+    soft_threshold: float = 2.0,
+):
+    """Adds (host, blocked_domain, blocked_word, word_score, keep) to
+    every row — total, pure verdicts.
+
+    ``blocked_hosts``: a DataFrame with a ``host`` column (exact
+    hosts or registrable domains; subdomains match by suffix). The
+    match plan is explode(host_suffixes) -> equi-join -> distinct ids
+    back-join: at 100 TB the blocklist relation joins on short string
+    keys (broadcast when it fits, shuffle join beyond), and the urls
+    relation only ships (id, suffix) pairs. ``strict_words`` /
+    ``soft_words``: bounded lexicons folded into literal contains
+    expressions — no shuffle, no join.
+    """
+    host = url_host(F.col(url_col))
+    low = F.lower(F.col(url_col))
+    out = df.withColumn("host", host)
+    if blocked_hosts is not None:
+        ex = out.select(
+            F.col(id_col).alias("_id"), F.explode(host_suffixes(F.col("host"))).alias("_sfx")
+        )
+        hits = (
+            ex.join(
+                blocked_hosts.select(F.lower(F.col("host")).alias("_sfx")).distinct(),
+                "_sfx",
+                "left_semi",
+            )
+            .select("_id")
+            .distinct()
+            .withColumn("_bd", F.lit(True))
+        )
+        out = out.join(hits, out[id_col] == hits["_id"], "left").drop("_id")
+        bd = F.coalesce(F.col("_bd"), F.lit(False))
+    else:
+        bd = F.lit(False)
+    bw = F.lit(False)
+    for w in sorted(set(strict_words or [])):
+        bw = bw | F.contains(low, F.lit(w.lower()))
+    score = F.lit(0.0)
+    for w, wt in sorted((soft_words or {}).items()):
+        score = score + F.when(F.contains(low, F.lit(w.lower())), F.lit(float(wt))).otherwise(
+            F.lit(0.0)
+        )
+    out = out.withColumns(
+        {
+            "blocked_domain": bd,
+            "blocked_word": bw,
+            "word_score": score,
+        }
+    )
+    if "_bd" in out.columns:
+        out = out.drop("_bd")
+    return out.withColumn(
+        "keep",
+        ~F.col("blocked_domain")
+        & ~F.col("blocked_word")
+        & (F.col("word_score") < F.lit(float(soft_threshold))),
+    )

@@ -4865,6 +4865,81 @@ FROM n WHERE nc > 0 ORDER BY doc_id, epoch
 
 
 # ----------------------------------------------------------------------
+# URL / domain filtering (functions/urlnorm.url_filter)
+# ----------------------------------------------------------------------
+# URLs synthesized arithmetically from doc_id on both engines (the
+# url_canonical_dedup discipline): every 4k+1 url sits on a blocked
+# apex domain, every 4k+2 on a SUBDOMAIN of one (the suffix-match
+# path), every 5k path carries two soft words (score 2.5 >= 2.0),
+# every 7k a strict word. The blocklist/lexicons are tiny literals;
+# the operator's explode->equi-join domain plan is the part under
+# test.
+
+
+def url_filter_docs(spark, sf_dir):
+    """RefinedWeb-style URL filtering (functions/urlnorm.url_filter):
+    domain blocklist with subdomain suffix matching + strict/soft URL
+    keyword scoring, total verdicts per url."""
+    from .functions.urlnorm import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    host = (
+        F.when(k % 4 == 0, F.concat(F.lit("ok"), (k % 7).cast("string"), F.lit(".example.com")))
+        .when(k % 4 == 1, F.lit("ads.badnet.com"))
+        .when(k % 4 == 2, F.concat(F.lit("sub"), (k % 3).cast("string"), F.lit(".spam-zone.net")))
+        .otherwise(F.concat(F.lit("cdn"), (k % 5).cast("string"), F.lit(".ok-site.org")))
+    )
+    path = (
+        F.when(k % 5 == 0, F.lit("/casino-bonus/page"))
+        .when(k % 7 == 0, F.lit("/free-money/offer"))
+        .otherwise(F.concat(F.lit("/article/"), k.cast("string")))
+    )
+    urls = d.select("doc_id", F.concat(F.lit("https://"), host, path).alias("url"))
+    blocked = spark.createDataFrame([("badnet.com",), ("spam-zone.net",)], ["host"])
+    return (
+        url_filter(
+            urls,
+            blocked,
+            strict_words=["free-money"],
+            soft_words={"casino": 1.5, "bonus": 1.0},
+            soft_threshold=2.0,
+        )
+        .select(
+            "doc_id", "url", "host", "blocked_domain", "blocked_word",
+            "word_score", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+URL_FILTER_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'ok' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         WHEN doc_id % 4 = 1 THEN 'ads.badnet.com'
+         WHEN doc_id % 4 = 2 THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.spam-zone.net'
+         ELSE 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.ok-site.org' END AS host,
+    CASE WHEN doc_id % 5 = 0 THEN '/casino-bonus/page'
+         WHEN doc_id % 7 = 0 THEN '/free-money/offer'
+         ELSE '/article/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+), b(bhost) AS (VALUES ('badnet.com'), ('spam-zone.net')),
+f AS (
+  SELECT doc_id, 'https://' || host || path AS url, host,
+    EXISTS(SELECT 1 FROM b WHERE u.host = b.bhost OR u.host LIKE '%.' || b.bhost) AS blocked_domain,
+    contains(lower('https://' || host || path), 'free-money') AS blocked_word,
+    (CASE WHEN contains(lower('https://' || host || path), 'bonus') THEN 1.0 ELSE 0.0 END
+     + CASE WHEN contains(lower('https://' || host || path), 'casino') THEN 1.5 ELSE 0.0 END) AS word_score
+  FROM u
+)
+SELECT doc_id, url, host, blocked_domain, blocked_word, word_score,
+       (NOT blocked_domain AND NOT blocked_word AND word_score < 2.0) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5016,6 +5091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_epoch_replicate": doc_epoch_replicate,  # fractional-epoch upsampling; hash-gated past the window (universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled)
     "doc_ppl_buckets_hist": doc_ppl_buckets_hist,  # production histogram-quantile plan of the CCNet buckets; hash-gated past the window (hist partial-agg + bounded window == doc_shards prefix-sum skeleton, assignment == doc_ppl_buckets)
     "winnow_match_pairs_docs": winnow_match_pairs_docs,  # MOSS match step; hash-gated past the window (fingerprints == doc_winnow_fingerprints local oracle, inverted-index pair join == dedup_ngram_jaccard_docs skeleton)
+    "url_filter_docs": url_filter_docs,  # RefinedWeb URL/domain filter; hash-gated past the window (suffix explode+equi-join == increment/ngram inverted-index skeletons, literal lexicon gates == c4/pii codegen skeletons in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5131,6 +5207,7 @@ ORACLES: dict[str, str] = {
     "doc_epoch_replicate": _epoch_replicate_sql(),
     "doc_ppl_buckets_hist": PPL_BUCKETS_HIST_SQL,
     "winnow_match_pairs_docs": WINNOW_PAIRS_SQL,
+    "url_filter_docs": URL_FILTER_SQL,
 }
 
 

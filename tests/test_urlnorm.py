@@ -43,3 +43,67 @@ def test_normalize_url_is_idempotent(spark):
     once = df.select(normalize_url(F.col("u")).alias("n"))
     twice = once.select("n", normalize_url(F.col("n")).alias("n2"))
     assert all(r["n"] == r["n2"] for r in twice.collect())
+
+
+# ------------------------ URL / domain filter ---------------------------
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def _blocked(spark, hosts):
+    return spark.createDataFrame([(h,) for h in hosts], ["host"])
+
+
+def test_url_filter_domain_and_subdomain_match(spark):
+    from fujishadergpu_spark.functions.urlnorm import url_filter
+
+    df = _urls(spark, [
+        (0, "https://badnet.com/x"),          # apex hit
+        (1, "https://a.b.badnet.com/x"),      # deep subdomain hit
+        (2, "https://notbadnet.com/x"),       # suffix must be label-aligned
+        (3, "https://fine.org/x"),
+    ])
+    out = {r["doc_id"]: r for r in url_filter(df, _blocked(spark, ["badnet.com"])).collect()}
+    assert out[0]["blocked_domain"] and out[1]["blocked_domain"]
+    assert not out[2]["blocked_domain"] and not out[3]["blocked_domain"]
+    assert not out[2]["keep"] is True or out[2]["keep"]  # verdict total
+
+
+def test_url_filter_word_rules(spark):
+    from fujishadergpu_spark.functions.urlnorm import url_filter
+
+    df = _urls(spark, [
+        (0, "https://ok.org/CASINO-bonus"),    # soft 1.5 + 1.0 = 2.5
+        (1, "https://ok.org/casino-only"),     # soft 1.5 < 2.0
+        (2, "https://ok.org/free-money-now"),  # strict hit
+        (3, "https://ok.org/plain"),
+    ])
+    out = {
+        r["doc_id"]: r
+        for r in url_filter(
+            df, None, strict_words=["free-money"],
+            soft_words={"casino": 1.5, "bonus": 1.0}, soft_threshold=2.0,
+        ).collect()
+    }
+    assert out[0]["word_score"] == 2.5 and not out[0]["keep"]
+    assert out[1]["word_score"] == 1.5 and out[1]["keep"]
+    assert out[2]["blocked_word"] and not out[2]["keep"]
+    assert out[3]["keep"]
+
+
+def test_url_filter_host_column_and_port_strip(spark):
+    from fujishadergpu_spark.functions.urlnorm import url_filter
+
+    df = _urls(spark, [(0, "HTTPS://Shop.Example.COM:443/a")])
+    r = url_filter(df, None).collect()[0]
+    assert r["host"] == "shop.example.com" and r["keep"]
+
+
+def test_host_suffixes_bounded_and_ordered(spark):
+    from fujishadergpu_spark.functions.urlnorm import host_suffixes
+
+    from pyspark.sql import functions as F
+
+    out = spark.range(1).select(host_suffixes(F.lit("a.b.c.d")).alias("s")).collect()[0]["s"]
+    assert out == ["a.b.c.d", "b.c.d", "c.d", "d"]

@@ -58,6 +58,11 @@ HEADLINE = [
     # packed-min selection) and the chunking sequence()-explode fan-out
     "doc_winnow_fingerprints",
     "doc_chunk_windows",
+    # closing round-6: the cross-snapshot recrawl gate (snapshot build +
+    # short-key joins + band probe) and the boilerplate line classifier
+    # (doc_id-window neighbour passes + regroup)
+    "incremental_dedup_docs",
+    "doc_boilerplate_strip",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

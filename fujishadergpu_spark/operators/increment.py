@@ -85,7 +85,7 @@ def simhash_snapshot(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash: str = "poly31",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Distinct 64-bit SimHash signatures of a kept corpus — the
     near-dup snapshot artifact (8-byte rows)."""
@@ -113,13 +113,16 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    hash: str = "poly31",
+    hash: str = "xxhash64",
     normalize: bool = True,
 ) -> DataFrame:
     """Verdict every document of a new batch against the snapshot(s):
     (id, batch_dup, exact_seen, near_seen, keep) — total over the
     batch. ``near_seen`` is constant false when ``seen_sigs`` is None
-    (exact-only mode)."""
+    (exact-only mode). ``hash`` must match the snapshot's: xxhash64
+    (default — whole-stage codegen, the production path) or poly31
+    (the interpreted char fold whose exact DuckDB twin puts the gate
+    under the cross-engine oracle; ~5x slower per token)."""
     keys = _exact_keys(new_df, id_col, text_col, normalize)
     keeper = keys.groupBy("_h", "_len").agg(F.min("_id").alias("_keep_id"))
     batch = keys.join(keeper, ["_h", "_len"]).select(

@@ -4770,7 +4770,10 @@ def incremental_dedup_docs(spark, sf_dir):
         )
     )
     return incremental_dedup(
-        newb, exact_snapshot(seen), simhash_snapshot(seen)
+        newb,
+        exact_snapshot(seen),
+        simhash_snapshot(seen, hash="poly31"),
+        hash="poly31",  # oracle mode: exact DuckDB twin (prod = xxhash64)
     ).orderBy("doc_id")
 
 

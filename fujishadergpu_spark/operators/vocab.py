@@ -108,3 +108,49 @@ def vocab_coverage(
             ).otherwise(F.lit(0.0)),
         }
     )
+
+
+def freq_spectrum(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The token frequency-of-frequencies spectrum — the corpus
+    diagnostic behind Zipf/Heaps sanity checks and Good-Turing
+    smoothing mass: one row per occurrence count f with the number of
+    distinct word types occurring exactly f times, plus each class's
+    share of types and of the token mass. A healthy crawl shows the
+    hapax class (f = 1) carrying roughly half the types; boilerplate-
+    heavy or template-generated corpora collapse the spectrum — a
+    one-glance corpus-health probe before spending tokenizer/training
+    compute.
+
+    100-TB shape: two chained hash aggregates — (word -> count), then
+    (count -> types) — both map-side partial; the second input is the
+    VOCABULARY-sized relation, its output spectrum is ~thousands of
+    rows. Shares divide by corpus totals computed in the same tiny
+    relation (no second scan, no window over the corpus).
+    """
+    counts = (
+        _tokens_lower(df, doc_id_col, text_col).groupBy("word").agg(F.count("*").alias("_f"))
+    )
+    spec = counts.groupBy(F.col("_f").alias("freq")).agg(
+        F.count("*").alias("n_types")
+    )
+    tot = spec.agg(
+        F.sum("n_types").alias("_vt"),
+        F.sum(F.col("freq") * F.col("n_types")).alias("_tt"),
+    )
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .select(
+            "freq",
+            "n_types",
+            (F.col("freq") * F.col("n_types")).alias("n_tokens"),
+            (F.col("n_types").cast("double") / F.col("_vt")).alias("type_share"),
+            ((F.col("freq") * F.col("n_types")).cast("double") / F.col("_tt")).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("freq")
+    )

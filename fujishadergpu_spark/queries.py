@@ -4943,6 +4943,41 @@ FROM f ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# token frequency spectrum (operators/vocab.freq_spectrum)
+# ----------------------------------------------------------------------
+
+
+def corpus_freq_spectrum(spark, sf_dir):
+    """Frequency-of-frequencies corpus diagnostic (Zipf/Heaps/
+    Good-Turing view): types and token mass per occurrence-count
+    class (operators/vocab.freq_spectrum)."""
+    from .operators.vocab import freq_spectrum
+
+    return freq_spectrum(_t(spark, sf_dir, "documents"))
+
+
+FREQ_SPECTRUM_SQL = """
+WITH counts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS word
+    FROM documents
+  ) GROUP BY word
+), spec AS (
+  SELECT f AS freq, CAST(count(*) AS BIGINT) AS n_types FROM counts GROUP BY f
+), tot AS (
+  SELECT CAST(sum(n_types) AS BIGINT) AS vt,
+         CAST(sum(freq * n_types) AS BIGINT) AS tt
+  FROM spec
+)
+SELECT freq, n_types,
+       CAST(freq * n_types AS BIGINT) AS n_tokens,
+       CAST(n_types AS DOUBLE) / vt AS type_share,
+       CAST(freq * n_types AS DOUBLE) / tt AS token_share
+FROM spec CROSS JOIN tot ORDER BY freq
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5095,6 +5130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ppl_buckets_hist": doc_ppl_buckets_hist,  # production histogram-quantile plan of the CCNet buckets; hash-gated past the window (hist partial-agg + bounded window == doc_shards prefix-sum skeleton, assignment == doc_ppl_buckets)
     "winnow_match_pairs_docs": winnow_match_pairs_docs,  # MOSS match step; hash-gated past the window (fingerprints == doc_winnow_fingerprints local oracle, inverted-index pair join == dedup_ngram_jaccard_docs skeleton)
     "url_filter_docs": url_filter_docs,  # RefinedWeb URL/domain filter; hash-gated past the window (suffix explode+equi-join == increment/ngram inverted-index skeletons, literal lexicon gates == c4/pii codegen skeletons in-window)
+    "corpus_freq_spectrum": corpus_freq_spectrum,  # Zipf/Good-Turing diagnostic; hash-gated past the window (chained hash-agg skeleton == doc_vocab_topk/doc_token_counts, both covered)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5211,6 +5247,7 @@ ORACLES: dict[str, str] = {
     "doc_ppl_buckets_hist": PPL_BUCKETS_HIST_SQL,
     "winnow_match_pairs_docs": WINNOW_PAIRS_SQL,
     "url_filter_docs": URL_FILTER_SQL,
+    "corpus_freq_spectrum": FREQ_SPECTRUM_SQL,
 }
 
 

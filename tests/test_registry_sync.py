@@ -136,6 +136,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_ppl_buckets_hist",     # production histogram-quantile plan; hist partial-agg + bounded window == doc_shards skeleton, assignment == doc_ppl_buckets
         "winnow_match_pairs_docs",  # MOSS match step; fingerprints == doc_winnow_fingerprints, inverted-index pair join == dedup_ngram_jaccard skeleton
         "url_filter_docs",          # RefinedWeb URL filter; suffix explode+equi-join == inverted-index skeletons, lexicon gates == c4/pii codegen
+        "corpus_freq_spectrum",     # Zipf/Good-Turing diagnostic; chained hash-agg skeleton == doc_vocab_topk/doc_token_counts
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -70,3 +70,20 @@ def test_coverage_vocab_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_freq_spectrum_laws(spark):
+    from fujishadergpu_spark.operators.vocab import freq_spectrum
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d")], ["doc_id", "text"]
+    )
+    # counts: a=4, b=3, c=1, d=1 -> spectrum: f1 x2 types, f3 x1, f4 x1
+    out = {r["freq"]: r for r in freq_spectrum(docs).collect()}
+    assert {(f, r["n_types"]) for f, r in out.items()} == {(1, 2), (3, 1), (4, 1)}
+    # conservation: type shares sum to 1, token shares sum to 1,
+    # n_tokens sums to the corpus token count
+    assert sum(r["n_tokens"] for r in out.values()) == 9
+    assert abs(sum(r["type_share"] for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-12
+    assert out[1]["type_share"] == 0.5  # hapax class: 2 of 4 types

@@ -31,7 +31,9 @@ Scale notes (100 TB):
   bounded partitions — the anti-``line_dedup`` key: no hot key can
   exist), then both neighbour windows, the final verdict, and the
   per-doc regroup all run under that same partitioning, so Catalyst
-  reuses the exchange (pinned in tests/test_boilerplate.py).
+  reuses the exchange (pinned in tests/test_boilerplate.py). The
+  totality back-join in :func:`boilerplate_strip` adds one more
+  doc_id exchange for the base-id side — ids only, never text.
 - Totality: documents with no non-empty line survive with zero
   counts and empty content (the repetition_features discipline).
 

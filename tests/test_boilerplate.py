@@ -87,9 +87,9 @@ def test_custom_stopword_list(spark):
 
 
 def test_single_exchange_plan(spark):
-    """The explode, both neighbour windows, and the per-doc regroup all
-    ride ONE doc_id exchange; the totality join broadcasts (the line
-    relation side carries the text, the totals side is ids-only)."""
+    """The explode, both neighbour windows, and the final verdict all
+    ride ONE doc_id exchange (boilerplate_strip's totality back-join
+    adds a second, ids-only one — the module docstring's contract)."""
     df = _docs(spark, [[GOOD, BAD]])
     plan = boilerplate_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1

@@ -155,3 +155,39 @@ def incremental_dedup(
         near.alias("near_seen"),
         (~F.col("batch_dup") & ~F.col("exact_seen") & ~near).alias("keep"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Version diff between two corpus snapshots: one row per doc_id
+    present in EITHER, with status ``added`` (new only), ``removed``
+    (old only), ``changed`` (both, different normalized content) or
+    ``unchanged`` — the audit primitive behind dataset versioning
+    (what moved between crawl releases, what a cleaning-rule change
+    touched).
+
+    100-TB shape: both sides reduce to (id, hash, len) 24-byte rows
+    map-side; the diff is ONE full-outer equi-join on the id key —
+    text never shuffles, output is id+status."""
+    ok = _exact_keys(old, id_col, text_col, normalize).withColumnsRenamed(
+        {"_h": "_oh", "_len": "_ol"}
+    )
+    nk = _exact_keys(new, id_col, text_col, normalize).withColumnsRenamed(
+        {"_h": "_nh", "_len": "_nl"}
+    )
+    j = ok.join(nk, "_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_oh") == F.col("_nh")) & (F.col("_ol") == F.col("_nl")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))

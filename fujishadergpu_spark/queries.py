@@ -4978,6 +4978,49 @@ FROM spec CROSS JOIN tot ORDER BY freq
 
 
 # ----------------------------------------------------------------------
+# corpus snapshot diff (operators/increment.corpus_diff)
+# ----------------------------------------------------------------------
+
+
+def corpus_diff_docs(spark, sf_dir):
+    """Version diff between two synthesized corpus releases: old =
+    ids 0/1/2 mod 4, new = ids 1/2/3 mod 4 with every 8k+1 doc's text
+    revised — added/removed/changed/unchanged per id."""
+    from .operators.increment import corpus_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    oldc = d.where(F.col("doc_id") % 4 < 3)
+    newc = d.where(F.col("doc_id") % 4 > 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 8 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(oldc, newc).orderBy("doc_id")
+
+
+CORPUS_DIFF_SQL = """
+WITH oldc AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS onorm
+  FROM documents WHERE doc_id % 4 < 3
+), newc AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           CASE WHEN doc_id % 8 = 1 THEN text || ' v2' ELSE text END,
+           '\\s+', ' ', 'g'))) AS nnorm
+  FROM documents WHERE doc_id % 4 > 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.onorm = n.nnorm THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5131,6 +5174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_match_pairs_docs": winnow_match_pairs_docs,  # MOSS match step; hash-gated past the window (fingerprints == doc_winnow_fingerprints local oracle, inverted-index pair join == dedup_ngram_jaccard_docs skeleton)
     "url_filter_docs": url_filter_docs,  # RefinedWeb URL/domain filter; hash-gated past the window (suffix explode+equi-join == increment/ngram inverted-index skeletons, literal lexicon gates == c4/pii codegen skeletons in-window)
     "corpus_freq_spectrum": corpus_freq_spectrum,  # Zipf/Good-Turing diagnostic; hash-gated past the window (chained hash-agg skeleton == doc_vocab_topk/doc_token_counts, both covered)
+    "corpus_diff_docs": corpus_diff_docs,  # snapshot version diff; hash-gated past the window (24-byte key reduce == dedup_exact_docs, full-outer id join == customers_without_orders anti-join family in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5248,6 +5292,7 @@ ORACLES: dict[str, str] = {
     "winnow_match_pairs_docs": WINNOW_PAIRS_SQL,
     "url_filter_docs": URL_FILTER_SQL,
     "corpus_freq_spectrum": FREQ_SPECTRUM_SQL,
+    "corpus_diff_docs": CORPUS_DIFF_SQL,
 }
 
 

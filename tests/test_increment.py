@@ -96,3 +96,24 @@ def test_snapshot_tables_are_compact(spark):
     ex, sh = exact_snapshot(seen), simhash_snapshot(seen)
     assert ex.columns == ["_h", "_len"] and ex.count() == 3  # distinct texts
     assert sh.columns == ["_sh"] and sh.count() == 3
+
+
+def test_corpus_diff_statuses(spark):
+    from fujishadergpu_spark.operators.increment import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "gone"), (1, "same text"), (2, "will change")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "  Same   TEXT "), (2, "did change"), (3, "brand new")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # normalization makes 1 unchanged despite case/whitespace noise
+    assert out == {0: "removed", 1: "unchanged", 2: "changed", 3: "added"}
+    # raw mode sees the byte difference
+    raw = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, normalize=False).collect()
+    }
+    assert raw[1] == "changed"

@@ -137,6 +137,7 @@ def test_differentiated_entries_inside_driver_window():
         "winnow_match_pairs_docs",  # MOSS match step; fingerprints == doc_winnow_fingerprints, inverted-index pair join == dedup_ngram_jaccard skeleton
         "url_filter_docs",          # RefinedWeb URL filter; suffix explode+equi-join == inverted-index skeletons, lexicon gates == c4/pii codegen
         "corpus_freq_spectrum",     # Zipf/Good-Turing diagnostic; chained hash-agg skeleton == doc_vocab_topk/doc_token_counts
+        "corpus_diff_docs",         # snapshot version diff; key reduce == dedup_exact_docs, full-outer id join == anti-join family
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -429,6 +429,18 @@ def main(argv=None):
                    help="insert the jusText-style chrome strip between the "
                         "domain gate and pii: rewrite each doc to its content "
                         "lines, drop pure-chrome docs")
+    c.add_argument("--blocked-hosts", default=None,
+                   help="parquet with a host column: enable the URL/domain "
+                        "filter stage first (corpus must carry --url-col)")
+    c.add_argument("--url-strict-words", default=None,
+                   help="comma list: any hit in the lowercased url drops it")
+    c.add_argument("--url-soft-words", default=None,
+                   help='JSON {"word": weight}: weighted-sum URL score')
+    c.add_argument("--url-soft-threshold", type=float, default=2.0)
+    c.add_argument("--url-col", default="url")
+    c.add_argument("--seen-snapshot", default=None,
+                   help="parquet exact_snapshot (_h,_len) of a prior release: "
+                        "enable the cross-snapshot dedup stage")
     c.add_argument("--ppl-keep", default=None,
                    help="comma list of CCNet perplexity buckets to keep "
                         "(e.g. head,middle): inserts the deterministic "
@@ -526,6 +538,16 @@ def main(argv=None):
                 ppl_bin_width=args.ppl_bin_width,
                 chunk_size=args.chunk_size,
                 chunk_stride=args.chunk_stride,
+                blocked_hosts_path=args.blocked_hosts,
+                url_strict_words=args.url_strict_words.split(",")
+                if args.url_strict_words
+                else None,
+                url_soft_words=_json.loads(args.url_soft_words)
+                if args.url_soft_words
+                else None,
+                url_soft_threshold=args.url_soft_threshold,
+                url_col=args.url_col,
+                seen_snapshot_path=args.seen_snapshot,
             )
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")

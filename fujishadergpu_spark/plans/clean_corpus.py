@@ -73,16 +73,21 @@ STAGES = (
 )
 # stages whose output is (doc_id, text); pack/shard write plan tables
 DOC_STAGES = STAGES[:6]
-# opt-in stages: "domain" (site-level keep gate, operators/domains.py)
-# runs BEFORE pii when domain_min_docs is set; "boilerplate"
-# (jusText-style chrome strip, operators/boilerplate.py) runs after
-# the domain gate when strip_boilerplate is set — extraction-time
-# cleaning belongs ahead of the corpus-level stages; "ppl" (CCNet
-# perplexity-bucket keep gate, operators/lmscore.py) runs between
-# decontaminate and sample when ppl_keep_buckets is set; "chunk"
-# (context-window fan-out, operators/chunking.py) appends after shard
-# when chunk_size is set. All ride the same idempotent-stage machinery.
-OPTIONAL_STAGES = ("domain", "boilerplate", "ppl", "chunk")
+# opt-in stages: "urlfilter" (RefinedWeb blocklist + URL words,
+# functions/urlnorm.py — needs a url column) runs FIRST when
+# blocked_hosts_path/url_*words are set; "increment" (cross-snapshot
+# exact-dedup against a prior release, operators/increment.py) runs
+# next when seen_snapshot_path is set; "domain" (site-level keep
+# gate, operators/domains.py) runs BEFORE pii when domain_min_docs is
+# set; "boilerplate" (jusText-style chrome strip,
+# operators/boilerplate.py) runs after the domain gate when
+# strip_boilerplate is set — extraction-time cleaning belongs ahead
+# of the corpus-level stages; "ppl" (CCNet perplexity-bucket keep
+# gate, operators/lmscore.py) runs between decontaminate and sample
+# when ppl_keep_buckets is set; "chunk" (context-window fan-out,
+# operators/chunking.py) appends after shard when chunk_size is set.
+# All ride the same idempotent-stage machinery.
+OPTIONAL_STAGES = ("urlfilter", "increment", "domain", "boilerplate", "ppl", "chunk")
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -115,6 +120,12 @@ def run_clean_corpus(
     ppl_bin_width: int = 1_000_000,
     chunk_size: int | None = None,
     chunk_stride: int | None = None,
+    blocked_hosts_path: str | None = None,
+    url_strict_words: list[str] | None = None,
+    url_soft_words: dict[str, float] | None = None,
+    url_soft_threshold: float = 2.0,
+    url_col: str = "url",
+    seen_snapshot_path: str | None = None,
 ) -> dict:
     """Run (or resume) the eight-stage cleaning job; returns the
     per-stage run_stage_idempotent summaries.
@@ -154,7 +165,13 @@ def run_clean_corpus(
     (<2 tokens) are kept only if 'unscored' is listed;
     ``chunk_size`` appends a context-window fan-out stage after shard
     (operators/chunking.py, stride defaults to chunk_size =
-    non-overlapping). All are pure functions of their input, so
+    non-overlapping); ``blocked_hosts_path`` / ``url_strict_words`` /
+    ``url_soft_words`` enable the URL/domain filter as the very first
+    stage (the corpus parquet must carry ``url_col``);
+    ``seen_snapshot_path`` (a parquet exact_snapshot of a prior
+    release) enables the cross-snapshot dedup stage right after it —
+    recrawl batches drop docs the kept corpus already has, plus
+    in-batch exact dups. All are pure functions of their input, so
     bucketed resume stays sound.
     """
     if dsir_target_path is not None and mixture_targets is not None:
@@ -180,9 +197,42 @@ def run_clean_corpus(
                 return spark.createDataFrame([], "doc_id long, text string")
             raise
 
-    # 0. (opt-in) domain-level keep gate — site verdicts from exact
-    # decimal quality aggregates, broadcast back (operators/domains.py)
     raw = spark.read.parquet(docs_path)
+
+    # 0a. (opt-in) URL/domain filter — blocklist suffix join + URL
+    # keyword scores (functions/urlnorm.url_filter; corpus must carry
+    # ``url_col``). Runs first: the cheapest per-row evidence.
+    if blocked_hosts_path is not None or url_strict_words or url_soft_words:
+        from ..functions.urlnorm import url_filter
+
+        bl = (
+            spark.read.parquet(blocked_hosts_path)
+            if blocked_hosts_path is not None
+            else None
+        )
+        uf = url_filter(
+            raw,
+            bl,
+            url_col=url_col,
+            strict_words=url_strict_words,
+            soft_words=url_soft_words,
+            soft_threshold=url_soft_threshold,
+        ).where("keep")
+        raw = stage("urlfilter", _bucketed(raw.join(uf.select("doc_id"), "doc_id")))
+
+    # 0b. (opt-in) cross-snapshot exact dedup — drop docs already in a
+    # prior release's exact_snapshot parquet (operators/increment.py)
+    if seen_snapshot_path is not None:
+        from ..operators.increment import incremental_dedup
+
+        snap = spark.read.parquet(seen_snapshot_path)
+        verd = incremental_dedup(
+            raw.select("doc_id", "text"), snap, None
+        ).where("keep")
+        raw = stage("increment", _bucketed(raw.join(verd.select("doc_id"), "doc_id")))
+
+    # 1a. (opt-in) domain-level keep gate — site verdicts from exact
+    # decimal quality aggregates, broadcast back (operators/domains.py)
     if domain_min_docs is not None:
         from ..operators.domains import domain_filter, domain_stats
 

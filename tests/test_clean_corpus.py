@@ -393,3 +393,40 @@ def test_clean_corpus_ppl_stage(spark, tmp_path):
     want.insert(want.index("sample"), "ppl")
     assert list(s) == want
     assert _ids(spark, out, "ppl") == {0, 1, 2}  # unscored doc 3 gone
+
+
+def test_clean_corpus_urlfilter_and_increment_stages(spark, tmp_path):
+    """Opt-in url filter (first) + cross-snapshot dedup (second)."""
+    from fujishadergpu_spark.operators.increment import exact_snapshot
+
+    long_tail = " with plenty of additional words to sail past every gate"
+    docs = [
+        (0, "a perfectly ordinary first document" + long_tail, "https://ok.org/a"),
+        (1, "text that already shipped in release one" + long_tail, "https://ok.org/b"),
+        (2, "another fine novel document body here" + long_tail, "https://ads.badnet.com/x"),
+        (3, "casino bonus spam page body text here" + long_tail, "https://ok.org/casino-bonus"),
+    ]
+    src = str(tmp_path / "uf_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string, url string").write.parquet(src)
+    bl = str(tmp_path / "blocked.parquet")
+    spark.createDataFrame([("badnet.com",)], ["host"]).write.parquet(bl)
+    snap = str(tmp_path / "snap.parquet")
+    exact_snapshot(
+        spark.createDataFrame(
+            [(9, "text that already shipped in release one" + long_tail)],
+            "doc_id long, text string",
+        )
+    ).write.parquet(snap)
+    out = str(tmp_path / "uf_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="uf", pack_budget=64, pack_groups=2,
+        blocked_hosts_path=bl,
+        url_soft_words={"casino": 1.5, "bonus": 1.0},
+        seen_snapshot_path=snap,
+    )
+    assert list(s) == ["urlfilter", "increment", *STAGES]
+    # 2 blocked by domain, 3 by url words
+    assert _ids(spark, out, "urlfilter") == {0, 1}
+    # 1 already in the prior release's snapshot
+    assert _ids(spark, out, "increment") == {0}
+    assert _ids(spark, out, "pii") == {0}

@@ -194,3 +194,53 @@ def epoch_replicate(
         F.array().cast("array<int>")
     )
     return df.withColumn("epoch", F.explode(copies))
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Leakage-safe deterministic train/valid/test split: every row
+    gets a ``split`` label with probability proportional to
+    ``weights``, decided by the universal-hash draw of ``group_col``
+    (or ``key_col`` when no group is given) — so ALL rows of a group
+    (a domain, a url host, a dedup cluster) land in the SAME split.
+    Splitting by row with near-duplicate documents across splits is
+    the classic eval-leak; hashing the group key makes the boundary
+    follow the correlation structure instead of cutting through it.
+
+    Deterministic, partition/cluster-size invariant, and STABLE under
+    corpus growth: a group's split never changes when other groups
+    arrive, because the draw depends only on the group key (the
+    stratified_sample nesting property, applied to split boundaries:
+    re-weighting train 0.90->0.95 only MOVES groups whose draw falls
+    in the transferred band). Pure column expressions — the label is
+    a literal CASE chain over one multiply-add-mod, no shuffle.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    tot = sum(weights.values())
+    if tot <= 0:
+        raise ValueError("weights must sum to a positive mass")
+    col = group_col if group_col else key_col
+    # string group keys (domains, hosts) fold to an integer via the
+    # cross-engine poly31 hash (dedup.poly31_hash contract); integer
+    # keys draw directly
+    if dict(df.dtypes).get(col) == "string":
+        from .dedup import poly31_hash
+
+        draw = sample_hash(poly31_hash(F.col(col)))
+    else:
+        draw = sample_hash(F.col(col))
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt / tot
+        cond = draw < F.lit(int(round(acc * DENOM)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

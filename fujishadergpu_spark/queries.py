@@ -5021,6 +5021,52 @@ ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# leakage-safe split assignment (operators/sampling.split_assign)
+# ----------------------------------------------------------------------
+
+SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
+def doc_split_assign(spark, sf_dir):
+    """Leakage-safe train/valid/test split grouped by source domain
+    (operators/sampling.split_assign): all docs of a source land in
+    one split, decided by the poly31+universal-hash draw of the
+    source key — the oracle checks the exact assignment."""
+    from .operators.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(d, SPLIT_WEIGHTS, "doc_id", group_col="source")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _split_assign_sql() -> str:
+    from .operators.sampling import DENOM, P31, SAMPLE_A, SAMPLE_B
+
+    items = sorted(SPLIT_WEIGHTS.items())
+    tot = sum(SPLIT_WEIGHTS.values())
+    case, acc = [], 0.0
+    for name, wgt in items[:-1]:
+        acc += wgt / tot
+        case.append(f"WHEN d < {int(round(acc * DENOM))} THEN '{name}'")
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       [CAST(ascii(c) AS BIGINT) FOR c IN string_split(source, '')]),
+       (acc, v) -> (acc * 1000003 + v) % {P31})
+     * {SAMPLE_A} + {SAMPLE_B}) % {P31} % {DENOM} AS d
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE {' '.join(case)} ELSE '{items[-1][0]}' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5175,6 +5221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_filter_docs": url_filter_docs,  # RefinedWeb URL/domain filter; hash-gated past the window (suffix explode+equi-join == increment/ngram inverted-index skeletons, literal lexicon gates == c4/pii codegen skeletons in-window)
     "corpus_freq_spectrum": corpus_freq_spectrum,  # Zipf/Good-Turing diagnostic; hash-gated past the window (chained hash-agg skeleton == doc_vocab_topk/doc_token_counts, both covered)
     "corpus_diff_docs": corpus_diff_docs,  # snapshot version diff; hash-gated past the window (24-byte key reduce == dedup_exact_docs, full-outer id join == customers_without_orders anti-join family in-window)
+    "doc_split_assign": doc_split_assign,  # leakage-safe grouped split; hash-gated past the window (poly31 fold == dedup_simhash_docs, universal-hash draw == doc_stratified_sample, both in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5293,6 +5340,7 @@ ORACLES: dict[str, str] = {
     "url_filter_docs": URL_FILTER_SQL,
     "corpus_freq_spectrum": FREQ_SPECTRUM_SQL,
     "corpus_diff_docs": CORPUS_DIFF_SQL,
+    "doc_split_assign": _split_assign_sql(),
 }
 
 

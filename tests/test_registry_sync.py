@@ -138,6 +138,7 @@ def test_differentiated_entries_inside_driver_window():
         "url_filter_docs",          # RefinedWeb URL filter; suffix explode+equi-join == inverted-index skeletons, lexicon gates == c4/pii codegen
         "corpus_freq_spectrum",     # Zipf/Good-Turing diagnostic; chained hash-agg skeleton == doc_vocab_topk/doc_token_counts
         "corpus_diff_docs",         # snapshot version diff; key reduce == dedup_exact_docs, full-outer id join == anti-join family
+        "doc_split_assign",         # leakage-safe grouped split; poly31 fold + universal-hash draw skeletons in-window
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -231,3 +231,56 @@ def test_epoch_weight_validation(spark):
         epoch_replicate(_docs_lang(spark), "lang", {"en": -1.0}, "doc_id")
     with _pt.raises(ValueError):
         epoch_replicate(_docs_lang(spark), "lang", {"en": 1000.0}, "doc_id")
+
+
+# ------------------- leakage-safe split assignment ----------------------
+
+def test_split_assign_groups_stay_together(spark):
+    from fujishadergpu_spark.operators.sampling import split_assign
+
+    rows = [(i, f"dom{i % 17}.com") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = split_assign(df, {"train": 0.8, "valid": 0.2}, "doc_id", group_col="source")
+    per_group = out.groupBy("source").agg(
+        F.count_distinct("split").alias("n")
+    ).collect()
+    assert all(r["n"] == 1 for r in per_group)  # no group straddles splits
+
+
+def test_split_assign_masses_and_determinism(spark):
+    from fujishadergpu_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = split_assign(df, {"train": 0.9, "valid": 0.05, "test": 0.05}, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.85 * 5000 <= counts["train"] <= 0.95 * 5000
+    assert counts["valid"] > 0 and counts["test"] > 0
+    # partition invariance
+    out2 = split_assign(df.repartition(13), {"train": 0.9, "valid": 0.05, "test": 0.05}, "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_split_assign_stable_under_reweighting(spark):
+    from fujishadergpu_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, {"test": 0.05, "train": 0.90, "valid": 0.05}, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df, {"test": 0.05, "train": 0.93, "valid": 0.02}, "doc_id").collect()}
+    # growing train only converts valid rows; test never churns
+    for did, sa in a.items():
+        if sa == "test":
+            assert b[did] == "test"
+        if sa == "train":
+            assert b[did] == "train"
+
+
+def test_split_assign_validation(spark):
+    from fujishadergpu_spark.operators.sampling import split_assign
+
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pt.raises(ValueError):
+        split_assign(df, {}, "doc_id")
+    with _pt.raises(ValueError):
+        split_assign(df, {"a": -0.1, "b": 1.1}, "doc_id")

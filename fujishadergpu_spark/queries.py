@@ -5067,6 +5067,46 @@ FROM h ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# domain keywords (operators/domains.domain_keywords)
+# ----------------------------------------------------------------------
+
+
+def domain_keywords_docs(spark, sf_dir):
+    """c-TF-IDF distinctive terms per source domain (operators/
+    domains.domain_keywords), quantized-score rank contract."""
+    from .operators.domains import domain_keywords
+
+    return domain_keywords(_t(spark, sf_dir, "documents"), k=5).orderBy(
+        "domain", "rank"
+    )
+
+
+DOMAIN_KEYWORDS_SQL = """
+WITH tf AS (
+  SELECT source AS domain, word, CAST(count(*) AS BIGINT) AS tfc FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS word
+    FROM documents
+  ) GROUP BY domain, word
+), dfq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS dfd FROM tf GROUP BY word
+), nd AS (
+  SELECT CAST(count(DISTINCT domain) AS BIGINT) AS ndom FROM tf
+), scored AS (
+  SELECT domain, word, tfc,
+         CAST(round(tfc * ln(CAST(ndom + 1 AS DOUBLE) / (dfd + 1)) * 1000000.0) AS BIGINT) AS score_q6
+  FROM tf JOIN dfq USING (word) CROSS JOIN nd
+), ranked AS (
+  SELECT domain, word, tfc, score_q6,
+         CAST(row_number() OVER (PARTITION BY domain ORDER BY score_q6 DESC, word ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT domain, word, tfc, score_q6, rank FROM ranked
+WHERE rank <= 5 ORDER BY domain, rank
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5222,6 +5262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_freq_spectrum": corpus_freq_spectrum,  # Zipf/Good-Turing diagnostic; hash-gated past the window (chained hash-agg skeleton == doc_vocab_topk/doc_token_counts, both covered)
     "corpus_diff_docs": corpus_diff_docs,  # snapshot version diff; hash-gated past the window (24-byte key reduce == dedup_exact_docs, full-outer id join == customers_without_orders anti-join family in-window)
     "doc_split_assign": doc_split_assign,  # leakage-safe grouped split; hash-gated past the window (poly31 fold == dedup_simhash_docs, universal-hash draw == doc_stratified_sample, both in-window)
+    "domain_keywords_docs": domain_keywords_docs,  # c-TF-IDF domain labels; hash-gated past the window (group-agg == domain_quality_stats, quantized-score rank == bm25_topk_docs contract, both covered)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5341,6 +5382,7 @@ ORACLES: dict[str, str] = {
     "corpus_freq_spectrum": FREQ_SPECTRUM_SQL,
     "corpus_diff_docs": CORPUS_DIFF_SQL,
     "doc_split_assign": _split_assign_sql(),
+    "domain_keywords_docs": DOMAIN_KEYWORDS_SQL,
 }
 
 

@@ -73,3 +73,39 @@ def test_stats_sum_quality_partition_invariant(spark):
     a = {r["domain"]: r["sum_quality"] for r in domain_stats(d.repartition(1)).collect()}
     b = {r["domain"]: r["sum_quality"] for r in domain_stats(d.repartition(7, F.col("doc_id"))).collect()}
     assert a == b
+
+
+def test_domain_keywords_surfaces_distinctive_terms(spark):
+    from fujishadergpu_spark.operators.domains import domain_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cooking site bakes bread and cakes daily", "food.com"),
+            (1, "the cooking site roasts bread and soup here", "food.com"),
+            (2, "the racing site tunes engines and wheels fast", "cars.com"),
+            (3, "the racing site paints engines and spoilers", "cars.com"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = domain_keywords(docs, k=3).collect()
+    top = {r["domain"]: [] for r in out}
+    for r in sorted(out, key=lambda r: (r["domain"], r["rank"])):
+        top[r["domain"]].append(r["word"])
+    # corpus-wide words (the/site/and) score ln(3/3)=0; class words win
+    assert "cooking" in top["food.com"] and "racing" in top["cars.com"]
+    assert "the" not in top["food.com"] and "the" not in top["cars.com"]
+    # exactly k rows per domain, ranks 1..k
+    assert all(len(v) == 3 for v in top.values())
+
+
+def test_domain_keywords_rank_is_quantized_and_tiebroken(spark):
+    from fujishadergpu_spark.operators.domains import domain_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "zebra apple zebra apple", "d.com"), (1, "other words", "e.com")],
+        ["doc_id", "text", "source"],
+    )
+    out = [r for r in domain_keywords(docs, k=2).collect() if r["domain"] == "d.com"]
+    out.sort(key=lambda r: r["rank"])
+    # equal scores (same tf, same df): word-ascending tie-break
+    assert [r["word"] for r in out] == ["apple", "zebra"]

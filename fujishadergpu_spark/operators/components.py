@@ -189,3 +189,40 @@ def canonical_assignment(
         F.coalesce("_canon", F.col(id_col)).alias("canonical_id"),
         (F.coalesce("_canon", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Soft deduplication (the down-weight-don't-drop alternative,
+    cf. SoftDeDup, Xia et al. 2024): every document receives sampling
+    weight 1/|near-dup cluster| so each distinct content unit
+    contributes EQUAL training mass whatever its copy count —
+    preserving coverage that hard dedup's single-keeper rule throws
+    away (mirror sites, quote-heavy pages). Returns (id, cluster_size,
+    weight_q6) for EVERY input document; singletons weigh 1.0.
+    weight_q6 = round(1e6 / size) keeps the weight an exact integer
+    cross-engine.
+
+    Same scale shape as canonical_assignment: the components loop is
+    ids-only; sizes are one map-side-partial count per component; the
+    back-joins ship fixed-width id rows (near-dup membership is
+    routinely 30-50% of a web corpus — not broadcastable by contract,
+    AQE may still broadcast small graphs)."""
+    ids = docs.select(F.col(id_col))
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "id", id_col
+    )
+    present = comp.join(ids, id_col)
+    sizes = present.groupBy("component").agg(F.count("*").alias("_n"))
+    w = present.join(sizes, "component").select(id_col, "_n")
+    n = F.coalesce(F.col("_n"), F.lit(1))
+    return ids.join(w, id_col, "left").select(
+        id_col,
+        n.cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1000000.0) / n).cast("bigint").alias("weight_q6"),
+    )

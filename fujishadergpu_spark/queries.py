@@ -1035,6 +1035,30 @@ def _ngram_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.4)
 
 
+def dedup_soft_weights(spark, sf_dir):
+    """SoftDeDup down-weighting over the n-gram Jaccard cluster graph
+    (operators/components.soft_dedup_weights): weight 1/|cluster| per
+    doc, singletons 1.0 — total over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return components.soft_dedup_weights(d, _ngram_pairs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+SOFT_WEIGHTS_SQL = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+present AS (SELECT d.doc_id, comp.c FROM documents d JOIN comp ON comp.id = d.doc_id),
+sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM present GROUP BY c)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+       CAST(round(1000000.0 / coalesce(s.n, 1)) AS BIGINT) AS weight_q6
+FROM documents d
+LEFT JOIN present ON present.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.c = present.c
+ORDER BY d.doc_id
+"""
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup clusters: alternating large-star/small-star connected
     components over the exact n-gram Jaccard pair graph, hash-checked
@@ -5263,6 +5287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff_docs": corpus_diff_docs,  # snapshot version diff; hash-gated past the window (24-byte key reduce == dedup_exact_docs, full-outer id join == customers_without_orders anti-join family in-window)
     "doc_split_assign": doc_split_assign,  # leakage-safe grouped split; hash-gated past the window (poly31 fold == dedup_simhash_docs, universal-hash draw == doc_stratified_sample, both in-window)
     "domain_keywords_docs": domain_keywords_docs,  # c-TF-IDF domain labels; hash-gated past the window (group-agg == domain_quality_stats, quantized-score rank == bm25_topk_docs contract, both covered)
+    "dedup_soft_weights": dedup_soft_weights,  # SoftDeDup down-weighting; hash-gated past the window (closure == dedup_cluster_components, totality back-join == dedup_canonical_docs, both in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5383,6 +5408,7 @@ ORACLES: dict[str, str] = {
     "corpus_diff_docs": CORPUS_DIFF_SQL,
     "doc_split_assign": _split_assign_sql(),
     "domain_keywords_docs": DOMAIN_KEYWORDS_SQL,
+    "dedup_soft_weights": SOFT_WEIGHTS_SQL,
 }
 
 

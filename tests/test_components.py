@@ -142,3 +142,21 @@ def test_empty_pair_graph(spark):
     rows = {r["doc_id"]: (r["canonical_id"], r["keep"])
             for r in canonical_assignment(docs, pairs).collect()}
     assert rows == {i: (i, True) for i in range(5)}
+
+
+def test_soft_dedup_weights_laws(spark):
+    from fujishadergpu_spark.operators.components import soft_dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # clusters {0,1,2} (via chain) and {3,4}; 5 is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert len(out) == 6  # total
+    assert [out[i]["cluster_size"] for i in range(6)] == [3, 3, 3, 2, 2, 1]
+    assert out[0]["weight_q6"] == 333333 and out[3]["weight_q6"] == 500000
+    assert out[5]["weight_q6"] == 1000000
+    # conservation: each cluster contributes ~1 unit of mass
+    total = sum(r["weight_q6"] for r in out.values())
+    assert abs(total - 3 * 1000000) <= 3  # 3 content units, rounding slack

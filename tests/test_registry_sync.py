@@ -140,6 +140,7 @@ def test_differentiated_entries_inside_driver_window():
         "corpus_diff_docs",         # snapshot version diff; key reduce == dedup_exact_docs, full-outer id join == anti-join family
         "doc_split_assign",         # leakage-safe grouped split; poly31 fold + universal-hash draw skeletons in-window
         "domain_keywords_docs",     # c-TF-IDF labels; group-agg == domain_quality_stats, quantized rank == bm25 contract
+        "dedup_soft_weights",       # SoftDeDup down-weighting; closure == dedup_cluster_components, totality back-join == dedup_canonical_docs
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

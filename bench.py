@@ -63,6 +63,8 @@ HEADLINE = [
     # (doc_id-window neighbour passes + regroup)
     "incremental_dedup_docs",
     "doc_boilerplate_strip",
+    # arrow zero-exchange winnow fast path vs the expr plan above
+    "doc_winnow_fingerprints_fast",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

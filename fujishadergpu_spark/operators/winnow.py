@@ -37,6 +37,8 @@ this module is part of the web-scale training-data mandate
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,12 +53,30 @@ def winnow_fingerprints(
     w: int = 4,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "expr",
 ) -> DataFrame:
     """The winnowed fingerprint set: one row per selected
     (doc_id, pos, gram_hash), pos = 1-based gram start. Guarantees
-    every match of length >= w + k - 1 is covered."""
+    every match of length >= w + k - 1 is covered.
+
+    ``impl``: 'expr' (default) is the column-expression plan whose
+    every step has an exact DuckDB twin — gram hashes via the
+    interpreted poly31 char fold, selection via a per-doc frame
+    window (ONE doc_id exchange). 'arrow' computes each document's
+    whole fingerprint set inside a vectorized pandas UDF (NumPy
+    rolling hash + sliding-window min) — ZERO exchanges (winnowing
+    is per-document-local work; the shuffle in 'expr' exists only to
+    feed SQL window semantics) and no interpreted fold, the
+    production fast path. Both return identical rows (pinned by
+    tests/test_winnow.py) on BMP text; astral-plane characters carry
+    the documented poly31 JVM-surrogate caveat in 'expr' while
+    'arrow' hashes true codepoints (the DuckDB reading)."""
     if k <= 0 or w <= 0:
         raise ValueError(f"k and w must be positive, got {k}, {w}")
+    if impl == "arrow":
+        return _winnow_fingerprints_arrow(df, k, w, doc_id_col, text_col)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (expr/arrow)")
     t = F.col(text_col)
     base = df.select(
         F.col(doc_id_col).alias("doc_id"),
@@ -116,6 +136,7 @@ def winnow_match_pairs(
     max_df: int | None = 128,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "expr",
 ) -> DataFrame:
     """Document pairs sharing winnowed fingerprints — the MOSS match
     step: (id_a, id_b, n_shared) with id_a < id_b and n_shared =
@@ -136,7 +157,7 @@ def winnow_match_pairs(
     max_df=None to disable the cap (exact mode for bounded corpora).
     """
     fp = (
-        winnow_fingerprints(df, k, w, doc_id_col, text_col)
+        winnow_fingerprints(df, k, w, doc_id_col, text_col, impl=impl)
         .select("doc_id", "gram_hash")
         .distinct()
     )
@@ -160,4 +181,56 @@ def winnow_match_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_packed(codes, k: int, w: int):
+    """Packed fingerprint selection over one document's codepoint
+    array — NumPy throughout: k vectorized rounds build the poly31
+    rolling gram hashes, a stride-tricks window takes the per-window
+    packed minimum (rightmost-on-ties via the position complement),
+    np.unique dedups. Returns int64 packed keys (hash*2^32 + pos')."""
+    p = (1 << 31) - 1
+    n = codes.size - (k - 1)
+    if n < 1:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        h = (h * 1000003 + codes[j : j + n]) % p
+    i = np.arange(1, n + 1, dtype=np.int64)
+    pk = h * _POS_M + (_POS_M - 1 - i)
+    if n < w:
+        return np.empty(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(pk, w)
+    return np.unique(win.min(axis=1))
+
+
+def _winnow_fingerprints_arrow(
+    df: DataFrame, k: int, w: int, doc_id_col: str, text_col: str
+) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+                continue
+            if len(t) >= _POS_M:
+                raise ValueError(
+                    f"winnow_fingerprints: document exceeds {_POS_M - 1} chars"
+                )
+            codes = np.fromiter((ord(c) for c in t), dtype=np.int64, count=len(t))
+            out.append(_winnow_packed(codes, k, w).tolist())
+        return pd.Series(out)
+
+    sel = df.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(fps(F.col(text_col))).alias("_fp")
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_M - 1) - F.col("_fp").bitwiseAND(F.lit(_POS_M - 1))).alias("pos"),
+        F.shiftright("_fp", 32).alias("gram_hash"),
     )

@@ -4477,6 +4477,18 @@ def doc_winnow_fingerprints(spark, sf_dir):
     ).orderBy("doc_id", "pos", "gram_hash")
 
 
+def doc_winnow_fingerprints_fast(spark, sf_dir):
+    """The arrow fast path of the same operator (impl='arrow':
+    zero-exchange vectorized per-doc fingerprinting) under the SAME
+    DuckDB twin — the oracle pins the two implementations AND the two
+    engines to one row set (~5x faster than the expr plan at sf0.1)."""
+    from .operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W, impl="arrow"
+    ).orderBy("doc_id", "pos", "gram_hash")
+
+
 def _winnow_fp_cte(src: str) -> str:
     """CTE chain (no WITH) computing the winnowed fingerprint set of
     relation ``src`` as ``fps(doc_id, fp)`` — shared by the
@@ -5276,6 +5288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk_windows": doc_chunk_windows,  # context-window fan-out; hash-gated past the window (sequence()-explode + array arithmetic skeleton == tile halo/knn entries in-window)
     "domain_quality_stats": domain_quality_stats,  # site-level curation; hash-gated past the window (decimal-sum group-agg skeleton == q1/doc_stats_by_lang, quality expressions == doc_quality, in-window)
     "doc_winnow_fingerprints": doc_winnow_fingerprints,  # MOSS winnowing; hash-gated past the window (poly31 fold == dedup_simhash_docs, per-doc frame window == events_sessions machinery, both in-window)
+    "doc_winnow_fingerprints_fast": doc_winnow_fingerprints_fast,  # arrow zero-exchange fast path, SAME DuckDB twin as the expr plan (one oracle pins impls + engines)
     "doc_boilerplate_strip": doc_boilerplate_strip,  # jusText-style block classifier; hash-gated past the window (per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window)
     "incremental_dedup_docs": incremental_dedup_docs,  # cross-snapshot recrawl gate; hash-gated past the window (min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window)
     "doc_ppl_buckets": doc_ppl_buckets,  # CCNet head/middle/tail; hash-gated past the window (lm scoring == doc_lm_perplexity local oracle, broadcast-threshold gate == doc_decontaminate skeleton in-window)
@@ -5397,6 +5410,7 @@ ORACLES: dict[str, str] = {
     "doc_chunk_windows": DOC_CHUNK_WINDOWS_SQL,
     "domain_quality_stats": DOMAIN_STATS_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
+    "doc_winnow_fingerprints_fast": DOC_WINNOW_SQL,
     "doc_boilerplate_strip": DOC_BOILERPLATE_SQL,
     "incremental_dedup_docs": _incremental_sql(),
     "doc_ppl_buckets": PPL_BUCKETS_SQL,

@@ -129,6 +129,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_chunk_windows",        # context-window fan-out; sequence()-explode + array-arithmetic skeleton == tile halo/knn entries in-window
         "domain_quality_stats",     # site-level curation; decimal-sum group-agg == q1/doc_stats_by_lang, quality exprs == doc_quality, in-window
         "doc_winnow_fingerprints",  # MOSS winnowing; poly31 fold == dedup_simhash_docs, per-doc frame window == events machinery, in-window
+        "doc_winnow_fingerprints_fast",  # arrow fast path, same twin (one oracle pins impls + engines)
         "doc_boilerplate_strip",    # jusText block classifier; per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window
         "incremental_dedup_docs",   # cross-snapshot recrawl gate; min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window
         "doc_ppl_buckets",          # CCNet head/middle/tail; lm scoring == doc_lm_perplexity (local oracle), broadcast-threshold gate == doc_decontaminate skeleton in-window

@@ -164,3 +164,43 @@ def test_match_pairs_min_shared_threshold(spark):
     n = winnow_match_pairs(docs, k=8, w=4, min_shared=1).collect()[0]["n_shared"]
     assert winnow_match_pairs(docs, k=8, w=4, min_shared=n).count() == 1
     assert winnow_match_pairs(docs, k=8, w=4, min_shared=n + 1).count() == 0
+
+
+# ---------------------- arrow fast path ---------------------------------
+
+def test_arrow_impl_row_identical_to_expr(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_fingerprints
+
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("abcdefg hij klmno päge ünïcode".split())
+                      for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ] + [(100, ""), (101, "short")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = set(map(tuple, winnow_fingerprints(df, k=8, w=4).collect()))
+    b = set(map(tuple, winnow_fingerprints(df, k=8, w=4, impl="arrow").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_arrow_impl_zero_exchange_plan(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghijkl")], ["doc_id", "text"])
+    plan = (
+        winnow_fingerprints(df, impl="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan  # per-doc local work
+
+
+def test_winnow_impl_validation(spark):
+    from fujishadergpu_spark.operators.winnow import winnow_fingerprints
+
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        winnow_fingerprints(df, impl="nope").collect()

@@ -45,6 +45,7 @@ this is part of the web-scale training-data mandate (SURVEY.md §2.E)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -119,11 +120,27 @@ def boilerplate_strip(
     df: DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "expr",
     **kw,
 ) -> DataFrame:
     """Total per-document rewrite: (doc_id, n_lines, n_content,
     text_content) for EVERY input document — the content lines
-    re-joined in original order, empty when nothing survives."""
+    re-joined in original order, empty when nothing survives.
+
+    ``impl='arrow'``: the whole classify+rescue+rebuild runs per
+    document inside one vectorized pandas UDF — ZERO exchanges and no
+    totality join (the per-doc computation IS total), bit-identical
+    rows (pinned in tests/test_boilerplate.py). The expr plan remains
+    the DuckDB-twinned default and the per-LINE relation
+    (boilerplate_lines) is expr-only."""
+    if impl == "arrow":
+        return _boilerplate_strip_arrow(
+            df, doc_id_col, text_col,
+            kw.get("short_words", SHORT_WORDS), kw.get("sw_high", SW_HIGH),
+            kw.get("sw_low", SW_LOW), kw.get("stopwords"),
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (expr/arrow)")
     did = F.col(doc_id_col)
     classed = boilerplate_lines(df, doc_id_col, text_col, **kw)
     per_doc = classed.groupBy("doc_id").agg(
@@ -148,3 +165,69 @@ def boilerplate_strip(
         F.coalesce(F.col("n_content"), F.lit(0)).cast("bigint").alias("n_content"),
         F.coalesce(F.col("text_content"), F.lit("")).alias("text_content"),
     )
+
+
+def _strip_one(text, short_words, sw_high, sw_low, sw_set):
+    """One document's classify+rescue+rebuild, pure Python — the exact
+    per-line semantics of the expression plan (split on runs of
+    spaces, density as IEEE double division, rule order short->
+    good->near->bad, nearest-decisive rescue)."""
+    import re
+
+    lines = [l for l in text.split("\n") if l != ""] if text else []
+    cls = []
+    for l in lines:
+        words = [t for t in re.split(" +", l) if t != ""]
+        nw = len(words)
+        d = (sum(1 for t in words if t.lower() in sw_set) / nw) if nw else 0.0
+        if nw < short_words:
+            cls.append("short")
+        elif d >= sw_high:
+            cls.append("good")
+        elif d >= sw_low:
+            cls.append("near")
+        else:
+            cls.append("bad")
+    n = len(lines)
+    prev_e, last = [], None
+    for c in cls:
+        prev_e.append(last)
+        if c in ("good", "bad"):
+            last = c
+    next_e, nxt = [None] * n, None
+    for i in range(n - 1, -1, -1):
+        next_e[i] = nxt
+        if cls[i] in ("good", "bad"):
+            nxt = cls[i]
+    content = [
+        lines[i]
+        for i in range(n)
+        if cls[i] == "good"
+        or (cls[i] in ("short", "near") and (prev_e[i] == "good" or next_e[i] == "good"))
+    ]
+    return n, len(content), "\n".join(content)
+
+
+def _boilerplate_strip_arrow(
+    df: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    short_words: int,
+    sw_high: float,
+    sw_low: float,
+    stopwords: list[str] | None,
+) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    sw_set = frozenset(
+        w.lower() for w in (stopwords if stopwords is not None else STOPWORDS["en"])
+    )
+
+    @pandas_udf("n_lines long, n_content long, text_content string")
+    def strip(texts: pd.Series) -> pd.DataFrame:
+        rows = [_strip_one(t, short_words, sw_high, sw_low, sw_set) for t in texts]
+        return pd.DataFrame(rows, columns=["n_lines", "n_content", "text_content"])
+
+    return df.select(
+        F.col(doc_id_col).alias("doc_id"), strip(F.col(text_col)).alias("_s")
+    ).select("doc_id", "_s.n_lines", "_s.n_content", "_s.text_content")

@@ -4692,6 +4692,17 @@ def doc_boilerplate_strip(spark, sf_dir):
     return boilerplate_strip(_boilerplate_documents(spark, sf_dir)).orderBy("doc_id")
 
 
+def doc_boilerplate_strip_fast(spark, sf_dir):
+    """The arrow fast path (impl='arrow': whole classify+rescue+
+    rebuild per doc in one vectorized UDF, zero exchanges) under the
+    SAME DuckDB twin — one oracle pins both implementations."""
+    from .operators.boilerplate import boilerplate_strip
+
+    return boilerplate_strip(
+        _boilerplate_documents(spark, sf_dir), impl="arrow"
+    ).orderBy("doc_id")
+
+
 _BP_SW_SQL = "['a','and','for','in','is','it','of','that','the','to']"
 
 DOC_BOILERPLATE_SQL = f"""
@@ -5290,6 +5301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,  # MOSS winnowing; hash-gated past the window (poly31 fold == dedup_simhash_docs, per-doc frame window == events_sessions machinery, both in-window)
     "doc_winnow_fingerprints_fast": doc_winnow_fingerprints_fast,  # arrow zero-exchange fast path, SAME DuckDB twin as the expr plan (one oracle pins impls + engines)
     "doc_boilerplate_strip": doc_boilerplate_strip,  # jusText-style block classifier; hash-gated past the window (per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window)
+    "doc_boilerplate_strip_fast": doc_boilerplate_strip_fast,  # arrow zero-exchange fast path, SAME DuckDB twin (one oracle pins both impls)
     "incremental_dedup_docs": incremental_dedup_docs,  # cross-snapshot recrawl gate; hash-gated past the window (min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window)
     "doc_ppl_buckets": doc_ppl_buckets,  # CCNet head/middle/tail; hash-gated past the window (lm scoring == doc_lm_perplexity local oracle, broadcast-threshold gate == doc_decontaminate skeleton in-window)
     "doc_epoch_replicate": doc_epoch_replicate,  # fractional-epoch upsampling; hash-gated past the window (universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled)
@@ -5412,6 +5424,7 @@ ORACLES: dict[str, str] = {
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "doc_winnow_fingerprints_fast": DOC_WINNOW_SQL,
     "doc_boilerplate_strip": DOC_BOILERPLATE_SQL,
+    "doc_boilerplate_strip_fast": DOC_BOILERPLATE_SQL,
     "incremental_dedup_docs": _incremental_sql(),
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
     "doc_epoch_replicate": _epoch_replicate_sql(),

@@ -93,3 +93,28 @@ def test_single_exchange_plan(spark):
     df = _docs(spark, [[GOOD, BAD]])
     plan = boilerplate_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_arrow_impl_row_identical_and_total(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = ("the cat is warm", "alpha beta gamma delta epsilon zeta eta theta",
+             "home", "the dog and the bird sit in the sun today", "menu login")
+    docs = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+        for i in range(60)
+    ] + [(100, ""), (101, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, boilerplate_strip(df).collect()))
+    b = sorted(map(tuple, boilerplate_strip(df, impl="arrow").collect()))
+    assert a == b and len(a) == 62  # bit-identical AND total
+
+
+def test_arrow_impl_zero_exchange(spark):
+    df = _docs(spark, [[GOOD, BAD]])
+    plan = (
+        boilerplate_strip(df, impl="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan

@@ -131,6 +131,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_winnow_fingerprints",  # MOSS winnowing; poly31 fold == dedup_simhash_docs, per-doc frame window == events machinery, in-window
         "doc_winnow_fingerprints_fast",  # arrow fast path, same twin (one oracle pins impls + engines)
         "doc_boilerplate_strip",    # jusText block classifier; per-doc neighbour windows == events_sessions machinery, line explode+regroup == line_dedup_docs, both in-window
+        "doc_boilerplate_strip_fast",  # arrow fast path, same twin (one oracle pins both impls)
         "incremental_dedup_docs",   # cross-snapshot recrawl gate; min-struct keeper == dedup_exact_docs, poly31 simhash + band join == dedup_simhash_docs, both in-window
         "doc_ppl_buckets",          # CCNet head/middle/tail; lm scoring == doc_lm_perplexity (local oracle), broadcast-threshold gate == doc_decontaminate skeleton in-window
         "doc_epoch_replicate",      # fractional-epoch upsampling; universal-hash draw == doc_stratified_sample, sequence()-explode == doc_chunk_windows, both oracled

@@ -5154,6 +5154,133 @@ WHERE rank <= 5 ORDER BY domain, rank
 
 
 # ----------------------------------------------------------------------
+# Mojibake repair (operators/mojibake.py, ftfy-style curated table)
+# ----------------------------------------------------------------------
+# fixture text is ASCII, so both engines first plant the same
+# corrupted suffixes: doc_id % 3 -> suffix A (curly-quote/dash/
+# ellipsis class + Latin-1 letters), doc_id % 5 -> suffix B
+# (guillemet/degree/bullet class); doc_id % 15 rows carry both and
+# the rest stay clean (exercising the has_mojibake=false arm on real
+# rows). Every MOJIBAKE_TABLE class fires on fixture rows at sf0.01.
+
+_MOJI_SFX_A = " cafÃ© naÃ¯ve â€” rÃ©sumÃ©s donâ€™t lie â€¦"
+_MOJI_SFX_B = " Â«quotedÂ» at 20Â°C â€¢ SeÃ±or nuÃ±ez"
+
+
+def _moji_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJI_SFX_A)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_MOJI_SFX_B)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def doc_mojibake_fix(spark, sf_dir):
+    """ftfy-style encoding repair (operators/mojibake.mojibake_features)
+    over the corrupted-suffix corpus: repaired text, detection flag,
+    and the deterministic corruption-mass delta, per document."""
+    from .operators.mojibake import mojibake_features
+
+    return (
+        mojibake_features(_moji_documents(spark, sf_dir))
+        .select("doc_id", "text_fixed", "has_mojibake", "chars_fixed")
+        .orderBy("doc_id")
+    )
+
+
+def _moji_sql() -> str:
+    from .operators.mojibake import mojibake_sql_expr
+
+    fixed = mojibake_sql_expr("text")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '{_MOJI_SFX_A}' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN '{_MOJI_SFX_B}' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {fixed} AS text_fixed,
+       COALESCE(text != {fixed}, false) AS has_mojibake,
+       CAST(COALESCE(length(text) - length({fixed}), 0) AS BIGINT) AS chars_fixed
+FROM planted ORDER BY doc_id
+"""
+
+
+DOC_MOJIBAKE_SQL = _moji_sql()
+
+
+# ----------------------------------------------------------------------
+# Dataset card (operators/datacard.py, Gebru 2021 datasheet stats)
+# ----------------------------------------------------------------------
+# both engines derive the same degenerate-arm corpus first:
+# doc_id % 19 -> NULL text, % 7 -> empty text, % 13 -> one shared
+# constant body (the exact-dup mass), everything else unchanged — so
+# n_empty, dup_rate and the NULL-totality arm all fire on real rows.
+
+_CARD_DUP_BODY = "the planted duplicate body."
+
+
+def _card_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.when(doc % 19 == 0, F.lit(None).cast("string"))
+        .when(doc % 7 == 0, F.lit(""))
+        .when(doc % 13 == 0, F.lit(_CARD_DUP_BODY))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def corpus_dataset_card(spark, sf_dir):
+    """One-row dataset card (operators/datacard.dataset_card) over the
+    degenerate-arm corpus: counts, token/char mass, exact-dup rate and
+    token extrema, all BIGINT / quantized-q6 for cross-engine hashing."""
+    from .operators.datacard import dataset_card
+
+    return dataset_card(_card_documents(spark, sf_dir))
+
+
+DATASET_CARD_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN ''
+              WHEN doc_id % 13 = 0 THEN '{_CARD_DUP_BODY}'
+              ELSE text END AS text
+  FROM documents
+), f AS (
+  SELECT text,
+         (text IS NOT NULL AND text != '') AS ne,
+         CAST(len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS BIGINT) AS tc
+  FROM planted
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(*) FILTER (WHERE ne) AS BIGINT) AS n_empty,
+       CAST(COALESCE(SUM(length(text)) FILTER (WHERE ne), 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(SUM(tc) FILTER (WHERE ne), 0) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN ne THEN text END) AS BIGINT) AS n_distinct_texts,
+       CAST(CASE WHEN COUNT(*) FILTER (WHERE ne) > 0
+                 THEN round((1.0 - COUNT(DISTINCT CASE WHEN ne THEN text END)
+                                   / COUNT(*) FILTER (WHERE ne)) * 1e6)
+                 ELSE 0 END AS BIGINT) AS dup_rate_q6,
+       CAST(CASE WHEN COUNT(*) FILTER (WHERE ne) > 0
+                 THEN round(COALESCE(SUM(tc) FILTER (WHERE ne), 0)
+                            / COUNT(*) FILTER (WHERE ne) * 1e6)
+                 ELSE 0 END AS BIGINT) AS mean_tokens_q6,
+       CAST(COALESCE(MAX(tc) FILTER (WHERE ne), 0) AS BIGINT) AS max_tokens,
+       CAST(COALESCE(MIN(tc) FILTER (WHERE ne), 0) AS BIGINT) AS min_tokens
+FROM f
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5313,6 +5440,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_assign": doc_split_assign,  # leakage-safe grouped split; hash-gated past the window (poly31 fold == dedup_simhash_docs, universal-hash draw == doc_stratified_sample, both in-window)
     "domain_keywords_docs": domain_keywords_docs,  # c-TF-IDF domain labels; hash-gated past the window (group-agg == domain_quality_stats, quantized-score rank == bm25_topk_docs contract, both covered)
     "dedup_soft_weights": dedup_soft_weights,  # SoftDeDup down-weighting; hash-gated past the window (closure == dedup_cluster_components, totality back-join == dedup_canonical_docs, both in-window)
+    "doc_mojibake_fix": doc_mojibake_fix,  # ftfy-style encoding repair; hash-gated past the window (fused literal-rewrite codegen skeleton == doc_pii_scrub, in-window)
+    "corpus_dataset_card": corpus_dataset_card,  # one-row datasheet aggregate; hash-gated past the window (map-side-partial agg + quantized ratios == q1/bm25 contracts, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5436,6 +5565,8 @@ ORACLES: dict[str, str] = {
     "doc_split_assign": _split_assign_sql(),
     "domain_keywords_docs": DOMAIN_KEYWORDS_SQL,
     "dedup_soft_weights": SOFT_WEIGHTS_SQL,
+    "doc_mojibake_fix": DOC_MOJIBAKE_SQL,
+    "corpus_dataset_card": DATASET_CARD_SQL,
 }
 
 

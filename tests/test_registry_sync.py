@@ -143,6 +143,8 @@ def test_differentiated_entries_inside_driver_window():
         "doc_split_assign",         # leakage-safe grouped split; poly31 fold + universal-hash draw skeletons in-window
         "domain_keywords_docs",     # c-TF-IDF labels; group-agg == domain_quality_stats, quantized rank == bm25 contract
         "dedup_soft_weights",       # SoftDeDup down-weighting; closure == dedup_cluster_components, totality back-join == dedup_canonical_docs
+        "doc_mojibake_fix",         # ftfy-style repair; fused literal-rewrite codegen skeleton == doc_pii_scrub in-window
+        "corpus_dataset_card",      # one-row datasheet agg; map-side-partial agg + quantized ratios == q1/bm25 contracts in-window
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -429,6 +429,10 @@ def main(argv=None):
                    help="insert the jusText-style chrome strip between the "
                         "domain gate and pii: rewrite each doc to its content "
                         "lines, drop pure-chrome docs")
+    c.add_argument("--fix-mojibake", action="store_true",
+                   help="insert the ftfy-style encoding-repair transform "
+                        "first among the text stages (total — every doc "
+                        "survives, text rewritten to intended characters)")
     c.add_argument("--blocked-hosts", default=None,
                    help="parquet with a host column: enable the URL/domain "
                         "filter stage first (corpus must carry --url-col)")
@@ -532,6 +536,7 @@ def main(argv=None):
                 domain_min_avg_quality=args.domain_min_avg_quality,
                 domain_col=args.domain_col,
                 strip_boilerplate=args.strip_boilerplate,
+                fix_mojibake=args.fix_mojibake,
                 ppl_keep_buckets=tuple(args.ppl_keep.split(","))
                 if args.ppl_keep
                 else None,

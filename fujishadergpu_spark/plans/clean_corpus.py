@@ -79,15 +79,18 @@ DOC_STAGES = STAGES[:6]
 # exact-dedup against a prior release, operators/increment.py) runs
 # next when seen_snapshot_path is set; "domain" (site-level keep
 # gate, operators/domains.py) runs BEFORE pii when domain_min_docs is
-# set; "boilerplate" (jusText-style chrome strip,
-# operators/boilerplate.py) runs after the domain gate when
+# set; "mojibake" (ftfy-style encoding repair,
+# operators/mojibake.py) runs first among the text stages when
+# fix_mojibake is set — downstream gates must see intended
+# characters; "boilerplate" (jusText-style chrome strip,
+# operators/boilerplate.py) runs after it when
 # strip_boilerplate is set — extraction-time cleaning belongs ahead
 # of the corpus-level stages; "ppl" (CCNet perplexity-bucket keep
 # gate, operators/lmscore.py) runs between decontaminate and sample
 # when ppl_keep_buckets is set; "chunk" (context-window fan-out,
 # operators/chunking.py) appends after shard when chunk_size is set.
 # All ride the same idempotent-stage machinery.
-OPTIONAL_STAGES = ("urlfilter", "increment", "domain", "boilerplate", "ppl", "chunk")
+OPTIONAL_STAGES = ("urlfilter", "increment", "domain", "mojibake", "boilerplate", "ppl", "chunk")
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -116,6 +119,7 @@ def run_clean_corpus(
     domain_min_avg_quality: float = 0.5,
     domain_col: str = "source",
     strip_boilerplate: bool = False,
+    fix_mojibake: bool = False,
     ppl_keep_buckets: tuple | None = None,
     ppl_bin_width: int = 1_000_000,
     chunk_size: int | None = None,
@@ -152,7 +156,11 @@ def run_clean_corpus(
     Optional stages: ``domain_min_docs`` enables a site-level keep
     gate BEFORE pii (operators/domains.py — the corpus parquet must
     carry ``domain_col``; a ``lang`` column feeds n_langs when
-    present); ``strip_boilerplate`` inserts the jusText-style chrome
+    present); ``fix_mojibake`` inserts the ftfy-style encoding-repair
+    transform (operators/mojibake.py) first among the text stages —
+    total, every doc survives — so stopword densities, n-gram hashes
+    and dedup keys downstream see intended characters, never the
+    CP1252 corruption; ``strip_boilerplate`` inserts the jusText-style chrome
     strip (operators/boilerplate.py) between the domain gate and pii,
     rewriting each doc to its content lines and dropping docs that
     were pure chrome; ``ppl_keep_buckets`` (e.g. ``("head",
@@ -251,6 +259,23 @@ def run_clean_corpus(
         )
     else:
         docs = raw.select("doc_id", "text")
+
+    # 0c. (opt-in) ftfy-style mojibake repair — a transform, not a
+    # filter (total); encoding repair runs FIRST among the text
+    # stages so every downstream gate (stopword densities, n-gram
+    # hashes, dedup keys) sees the intended characters, never the
+    # CP1252 corruption (operators/mojibake.py)
+    if fix_mojibake:
+        from ..operators.mojibake import mojibake_features
+
+        docs = stage(
+            "mojibake",
+            _bucketed(
+                mojibake_features(docs).select(
+                    "doc_id", F.col("text_fixed").alias("text")
+                )
+            ),
+        ).select("doc_id", "text")
 
     # 0b. (opt-in) jusText-style boilerplate strip — rewrite each doc
     # to its content lines; docs that were pure chrome drop out

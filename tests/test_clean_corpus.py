@@ -368,6 +368,33 @@ def test_clean_corpus_boilerplate_stage(spark, tmp_path):
     assert _ids(spark, out, "pii") == {0}
 
 
+def test_clean_corpus_mojibake_stage(spark, tmp_path):
+    """Opt-in mojibake stage: total transform first among the text
+    stages — every doc survives it, corrupted text repaired before
+    any downstream gate sees it."""
+    clean = "the dog sits in the yard and it naps well every single day"
+    dirty = ("the cafÃ© owner said â€œit is warmâ€“ish here todayâ€¦ and "
+             "we can stay a while longer to talk about the town news")
+    fixed = ("the café owner said “it is warm–ish here today… and "
+             "we can stay a while longer to talk about the town news")
+    docs = [(0, clean), (1, dirty)]
+    src = str(tmp_path / "mj_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "mj_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="mj", pack_budget=16, pack_groups=2,
+        fix_mojibake=True,
+    )
+    assert list(s) == ["mojibake", *STAGES]
+    # total: both docs present, corruption repaired, clean untouched
+    mj = _texts(spark, out, "mojibake")
+    assert set(mj) == {0, 1}
+    assert mj[0] == clean
+    assert mj[1] == fixed
+    # downstream stages consumed the REPAIRED text
+    assert "Ã" not in _texts(spark, out, "pii")[1]
+
+
 def test_clean_corpus_ppl_stage(spark, tmp_path):
     """Opt-in perplexity gate: scored docs bucketed and kept per the
     keep list; unscored (<2 token) docs dropped unless listed."""

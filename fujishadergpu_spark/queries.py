@@ -5281,6 +5281,104 @@ FROM f
 
 
 # ----------------------------------------------------------------------
+# Gopher document-level quality rules (operators/gopher_quality.py)
+# ----------------------------------------------------------------------
+# Planting over the multi-line corpus exercises every rule arm: docs
+# with doc_id % 5 == 0 get every line bulleted (rule 4 fires),
+# % 9 == 0 every line ellipsis-terminated (rule 5), % 13 == 0 a
+# symbol-heavy suffix (rule 3); the when-chain priority (5 before 9
+# before 13) is mirrored literally by the CASE in the twin. The
+# remaining rules vary naturally (word counts straddle 50, stop-word
+# presence varies per doc).
+
+
+def _gopher_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _multiline_documents(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    did = F.col("doc_id")
+    planted = (
+        F.when(
+            did % 5 == 0,
+            F.array_join(F.transform(lines, lambda l: F.concat(F.lit("• "), l)), "\n"),
+        )
+        .when(
+            did % 9 == 0,
+            F.array_join(F.transform(lines, lambda l: F.concat(l, F.lit("…"))), "\n"),
+        )
+        .when(did % 13 == 0, F.concat(F.col("text"), F.lit(" # ## ... #")))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", planted.alias("text"))
+
+
+def doc_gopher_quality(spark, sf_dir):
+    """The published Gopher §A1.1 document-level quality rules
+    (operators/gopher_quality.gopher_quality_features) over the
+    planted multi-line corpus: word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, stop-word rule — keep at the published thresholds.
+    Completes Gopher parity alongside doc_repetition_filter /
+    doc_ngram_repetition (the §A1.1 repetition half)."""
+    from .operators.gopher_quality import gopher_quality_features
+
+    return gopher_quality_features(_gopher_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+DOC_GOPHER_SQL = f"""
+WITH {_MULTILINE_CTE},
+planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+           array_to_string(list_transform(string_split(text, chr(10)), l -> '• ' || l), chr(10))
+         WHEN doc_id % 9 = 0 THEN
+           array_to_string(list_transform(string_split(text, chr(10)), l -> l || '…'), chr(10))
+         WHEN doc_id % 13 = 0 THEN text || ' # ## ... #'
+         ELSE text END AS text
+  FROM ml
+), feat AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '[ \n]+'), t -> t != '') AS tk,
+    list_filter(string_split(text, chr(10)), l -> l != '') AS lns
+  FROM planted
+), agg AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_words,
+    CASE WHEN len(tk) > 0
+         THEN CAST(coalesce(list_sum(list_transform(tk, w -> length(w))), 0) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(tk) > 0 THEN CAST(
+           (length(text) - length(replace(text, '#', '')))
+         + CAST((length(text) - length(replace(text, '...', ''))) / 3.0 AS BIGINT)
+         + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS symbol_word_ratio,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CASE WHEN len(lns) > 0
+         THEN CAST(len(list_filter(lns, l -> l LIKE '•%' OR l LIKE '-%')) AS DOUBLE) / len(lns)
+         ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(lns) > 0
+         THEN CAST(len(list_filter(lns, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(lns)
+         ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN len(tk) > 0
+         THEN CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS alpha_word_frac,
+    CAST(len(list_intersect(list_transform(tk, w -> lower(w)),
+         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+  FROM feat
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, n_lines,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -5442,6 +5540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_soft_weights": dedup_soft_weights,  # SoftDeDup down-weighting; hash-gated past the window (closure == dedup_cluster_components, totality back-join == dedup_canonical_docs, both in-window)
     "doc_mojibake_fix": doc_mojibake_fix,  # ftfy-style encoding repair; hash-gated past the window (fused literal-rewrite codegen skeleton == doc_pii_scrub, in-window)
     "corpus_dataset_card": corpus_dataset_card,  # one-row datasheet aggregate; hash-gated past the window (map-side-partial agg + quantized ratios == q1/bm25 contracts, in-window)
+    "doc_gopher_quality": doc_gopher_quality,  # Gopher §A1.1 document rules; hash-gated past the window (zero-shuffle per-row projection skeleton == doc_quality/doc_pii_scrub codegen family, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5567,6 +5666,7 @@ ORACLES: dict[str, str] = {
     "dedup_soft_weights": SOFT_WEIGHTS_SQL,
     "doc_mojibake_fix": DOC_MOJIBAKE_SQL,
     "corpus_dataset_card": DATASET_CARD_SQL,
+    "doc_gopher_quality": DOC_GOPHER_SQL,
 }
 
 

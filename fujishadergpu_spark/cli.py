@@ -412,6 +412,11 @@ def main(argv=None):
     c.add_argument("--ngram-rules", action="store_true",
                    help="AND the full Gopher n-gram family (top-2/3/4-gram + "
                         "dup-5..10-gram char fractions) into the repetition gate")
+    c.add_argument("--gopher-doc-rules", action="store_true",
+                   help="AND the Gopher document-level rules (word-count/"
+                        "mean-word-length bounds, symbol ratio, bullet/"
+                        "ellipsis line fractions, alpha-word fraction, "
+                        "stop words) into the repetition gate")
     c.add_argument("--dsir-target", default=None,
                    help="parquet with (doc_id, text): replace the stratified "
                         "sampler with DSIR Gumbel-top-k importance resampling "
@@ -525,6 +530,7 @@ def main(argv=None):
                 pack_budget=args.pack_budget,
                 pack_groups=args.pack_groups or _NB,
                 ngram_rules=args.ngram_rules,
+                gopher_doc_rules=args.gopher_doc_rules,
                 dsir_target_path=args.dsir_target,
                 dsir_select=args.dsir_select,
                 mixture_targets=_json.loads(args.mixture_targets)

@@ -110,6 +110,7 @@ def run_clean_corpus(
     pack_budget: int = 2048,
     pack_groups: int = N_BUCKETS,
     ngram_rules: bool = False,
+    gopher_doc_rules: bool = False,
     dsir_target_path: str | None = None,
     dsir_select: int = 1000,
     mixture_targets: dict[str, float] | None = None,
@@ -143,7 +144,11 @@ def run_clean_corpus(
     for the sampler (language = textfn.lang_id), absent languages
     keep ``default_rate``. ``ngram_rules``: AND the full Gopher
     n-gram family (ngram_repetition_features) into the repetition
-    gate. ``dsir_target_path``: parquet with (doc_id, text) — when
+    gate. ``gopher_doc_rules``: AND the published Gopher §A1.1
+    document-level rules (gopher_quality_features — word-count /
+    mean-word-length bounds, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, stop-word rule) into the same
+    repetition stage, completing full §A1.1 parity in one gate. ``dsir_target_path``: parquet with (doc_id, text) — when
     set, the sample stage becomes DSIR Gumbel-top-``dsir_select``
     importance resampling toward that target corpus instead of the
     stratified-rate sampler. ``mixture_targets``/``mixture_budget``:
@@ -303,6 +308,13 @@ def run_clean_corpus(
 
         rep_keep = rep_keep.join(
             ngram_repetition_features(pii_out).where("keep").select("doc_id"),
+            "doc_id",
+        )
+    if gopher_doc_rules:
+        from ..operators.gopher_quality import gopher_quality_features
+
+        rep_keep = rep_keep.join(
+            gopher_quality_features(pii_out).where("keep").select("doc_id"),
             "doc_id",
         )
     rep_out = stage(

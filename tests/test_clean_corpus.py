@@ -368,6 +368,33 @@ def test_clean_corpus_boilerplate_stage(spark, tmp_path):
     assert _ids(spark, out, "pii") == {0}
 
 
+def test_clean_corpus_gopher_doc_rules(spark, tmp_path):
+    """gopher_doc_rules ANDs the §A1.1 document rules into the
+    repetition stage: a stop-word-free doc drops there while a
+    compliant doc of the same length survives."""
+    good = " ".join(
+        ["the quick brown fox and that dog have fun with it today ok"] * 5
+    )  # 60 words, 5 distinct stop words
+    nostop = " ".join(
+        [f"token{i} filler{i} words{i} here{i} now{i}" for i in range(12)]
+    )  # 60 words, zero stop hits
+    docs = [(0, good), (1, nostop)]
+    src = str(tmp_path / "gq_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "gq_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="gq", pack_budget=64, pack_groups=2,
+        gopher_doc_rules=True,
+    )
+    assert list(s) == list(STAGES)
+    assert _ids(spark, out, "pii") == {0, 1}
+    assert _ids(spark, out, "repetition") == {0}
+    # without the flag both docs clear the repetition stage
+    out2 = str(tmp_path / "gq_out2")
+    run_clean_corpus(spark, src, out2, run_id="gq2", pack_budget=64, pack_groups=2)
+    assert _ids(spark, out2, "repetition") == {0, 1}
+
+
 def test_clean_corpus_mojibake_stage(spark, tmp_path):
     """Opt-in mojibake stage: total transform first among the text
     stages — every doc survives it, corrupted text repaired before

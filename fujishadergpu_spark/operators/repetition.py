@@ -172,6 +172,89 @@ def repetition_features(
     )
 
 
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_PARA_CHAR_FRAC = 0.20
+
+
+def doc_paragraphs(text):
+    """Non-empty paragraphs: blocks separated by one-or-more blank
+    lines (``\\n{2,}`` — any run of 2+ newlines is one separator, so
+    triple-blank gaps don't synthesize empty paragraphs)."""
+    return F.filter(F.split(text, "\n{2,}"), lambda p: p != "")
+
+
+def paragraph_repetition_features(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_para_frac: float = MAX_DUP_PARA_FRAC,
+    max_dup_para_char_frac: float = MAX_DUP_PARA_CHAR_FRAC,
+) -> DataFrame:
+    """Gopher §A1.1 duplicate-PARAGRAPH rules — the paragraph half of
+    the published repetition table (repetition_features covers the
+    line half; together with the n-gram family the three give the
+    full repetition section).
+
+    One row per input document (total — line-less/empty docs get
+    zeroed counts and keep=true, the repetition_features policy):
+    n_paras, n_distinct_paras, dup_para_frac, dup_para_char_frac,
+    keep at the published thresholds (0.30 / 0.20). Character
+    fractions are measured against total paragraph characters
+    (separators excluded) exactly as the line rules do, so the
+    DuckDB twin agrees bit-for-bit.
+
+    100-TB shape: identical to the line rules — explode to
+    (doc, paragraph) rows, two map-side-partial hash aggregates
+    keyed by doc_id, left-join back onto the id set. No window over
+    paragraph-partitions, nothing driver-side.
+    """
+    did = F.col(doc_id_col)
+    base = df.select(did.alias("doc_id"), doc_paragraphs(F.col(text_col)).alias("paras"))
+    per_para = (
+        base.select("doc_id", F.explode("paras").alias("para"))
+        .groupBy("doc_id", "para")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = per_para.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_paras"),
+        F.count("*").alias("n_distinct_paras"),
+        F.sum(F.col("cnt") * F.length("para")).alias("para_chars"),
+        F.sum((F.col("cnt") - F.lit(1)) * F.length("para")).alias("dup_para_chars"),
+    )
+    out = (
+        base.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_paras"), F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce(F.col("n_distinct_paras"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_paras"),
+            F.coalesce(F.col("para_chars"), F.lit(0)).alias("para_chars"),
+            F.coalesce(F.col("dup_para_chars"), F.lit(0)).alias("dup_para_chars"),
+        )
+    )
+    dup_frac = F.when(
+        F.col("n_paras") > 0,
+        (F.col("n_paras") - F.col("n_distinct_paras")).cast("double") / F.col("n_paras"),
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        F.col("para_chars") > 0,
+        F.col("dup_para_chars").cast("double") / F.col("para_chars"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_distinct_paras",
+        dup_frac.alias("dup_para_frac"),
+        dup_char_frac.alias("dup_para_char_frac"),
+        (
+            (dup_frac <= F.lit(max_dup_para_frac))
+            & (dup_char_frac <= F.lit(max_dup_para_char_frac))
+        ).alias("keep"),
+    )
+
+
 def line_dedup(
     df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -5281,6 +5281,100 @@ FROM f
 
 
 # ----------------------------------------------------------------------
+# Gopher duplicate-paragraph rules (operators/repetition.py)
+# ----------------------------------------------------------------------
+# Fixture: regroup the multi-line corpus's lines into 3-line
+# paragraphs (blank-line separated), then plant paragraph-level
+# duplication — docs with doc_id % 4 == 0 append their first
+# paragraph again. Both engines run the identical construction.
+
+
+def _paragraph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.repetition import _empty_str_array
+
+    d = _multiline_documents(spark, sf_dir)
+    lsf = F.filter(F.split(F.col("text"), "\n"), lambda l: l != "")
+    np_ = F.ceil(F.size(lsf) / F.lit(3.0)).cast("int")
+    paras = F.when(
+        F.size(lsf) > 0,
+        F.transform(
+            F.sequence(F.lit(1), np_),
+            lambda i: F.array_join(F.slice(lsf, (i - F.lit(1)) * 3 + F.lit(1), 3), "\n"),
+        ),
+    ).otherwise(_empty_str_array())
+    planted = F.concat(
+        paras,
+        F.when(
+            (F.col("doc_id") % 4 == 0) & (F.size(paras) > 0), F.slice(paras, 1, 1)
+        ).otherwise(_empty_str_array()),
+    )
+    return d.select("doc_id", F.array_join(planted, "\n\n").alias("text"))
+
+
+def doc_para_repetition(spark, sf_dir):
+    """Gopher §A1.1 duplicate-PARAGRAPH rules over the synthesized
+    paragraph corpus (operators/repetition.paragraph_repetition_features)
+    — dup-para fraction and char fraction at the published 0.30/0.20
+    thresholds. Completes the repetition section alongside
+    doc_repetition_filter (lines) and doc_ngram_repetition (n-grams)."""
+    from .operators.repetition import paragraph_repetition_features
+
+    return paragraph_repetition_features(_paragraph_documents(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+DOC_PARA_REPETITION_SQL = f"""
+WITH {_MULTILINE_CTE},
+lsf AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> l != '') AS lsf FROM ml
+), pd AS (
+  SELECT doc_id,
+    CASE WHEN len(lsf) > 0 THEN
+      [array_to_string(lsf[(i-1)*3+1:(i-1)*3+3], chr(10))
+       FOR i IN generate_series(1, CAST(ceil(len(lsf)/3.0) AS INT))]
+    ELSE [] END AS paras
+  FROM lsf
+), pt AS (
+  SELECT doc_id, array_to_string(
+    list_concat(paras,
+      CASE WHEN doc_id % 4 = 0 AND len(paras) > 0 THEN paras[1:1] ELSE [] END),
+    chr(10) || chr(10)) AS text
+  FROM pd
+), pp AS (
+  SELECT doc_id, para, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\n{{2,}}'), p -> p != '')) AS para
+    FROM pt
+  ) GROUP BY doc_id, para
+), st AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_paras,
+         COUNT(*) AS n_distinct_paras,
+         SUM(cnt * length(para)) AS para_chars,
+         SUM((cnt - 1) * length(para)) AS dup_para_chars
+  FROM pp GROUP BY doc_id
+)
+SELECT p.doc_id,
+  CAST(coalesce(s.n_paras, 0) AS BIGINT) AS n_paras,
+  CAST(coalesce(s.n_distinct_paras, 0) AS BIGINT) AS n_distinct_paras,
+  CASE WHEN coalesce(s.n_paras, 0) > 0
+       THEN CAST(s.n_paras - s.n_distinct_paras AS DOUBLE) / s.n_paras
+       ELSE 0.0 END AS dup_para_frac,
+  CASE WHEN coalesce(s.para_chars, 0) > 0
+       THEN CAST(s.dup_para_chars AS DOUBLE) / s.para_chars
+       ELSE 0.0 END AS dup_para_char_frac,
+  (CASE WHEN coalesce(s.n_paras, 0) > 0
+        THEN CAST(s.n_paras - s.n_distinct_paras AS DOUBLE) / s.n_paras
+        ELSE 0.0 END) <= 0.30
+    AND (CASE WHEN coalesce(s.para_chars, 0) > 0
+              THEN CAST(s.dup_para_chars AS DOUBLE) / s.para_chars
+              ELSE 0.0 END) <= 0.20 AS keep
+FROM pt p LEFT JOIN st s USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # Gopher document-level quality rules (operators/gopher_quality.py)
 # ----------------------------------------------------------------------
 # Planting over the multi-line corpus exercises every rule arm: docs
@@ -5541,6 +5635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mojibake_fix": doc_mojibake_fix,  # ftfy-style encoding repair; hash-gated past the window (fused literal-rewrite codegen skeleton == doc_pii_scrub, in-window)
     "corpus_dataset_card": corpus_dataset_card,  # one-row datasheet aggregate; hash-gated past the window (map-side-partial agg + quantized ratios == q1/bm25 contracts, in-window)
     "doc_gopher_quality": doc_gopher_quality,  # Gopher §A1.1 document rules; hash-gated past the window (zero-shuffle per-row projection skeleton == doc_quality/doc_pii_scrub codegen family, in-window)
+    "doc_para_repetition": doc_para_repetition,  # Gopher dup-paragraph rules; hash-gated past the window (explode+two-agg+left-join skeleton == doc_repetition_filter, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5667,6 +5762,7 @@ ORACLES: dict[str, str] = {
     "doc_mojibake_fix": DOC_MOJIBAKE_SQL,
     "corpus_dataset_card": DATASET_CARD_SQL,
     "doc_gopher_quality": DOC_GOPHER_SQL,
+    "doc_para_repetition": DOC_PARA_REPETITION_SQL,
 }
 
 

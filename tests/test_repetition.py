@@ -205,3 +205,37 @@ def test_ngram_repetition_hand_computed(ngram_corpus):
     assert d3["top2_char_frac"] == pytest.approx(15 / 11)  # "x x" x5, 3 chars
     assert d3["dup5_char_frac"] == pytest.approx(1.0)  # full cover
     assert d3["keep"] is False
+
+
+def test_paragraph_repetition_hand_computed(spark):
+    """Gopher dup-paragraph rules: exact fractions on a hand-built
+    corpus, totality on paragraph-less docs."""
+    from fujishadergpu_spark.operators.repetition import (
+        paragraph_repetition_features,
+    )
+
+    pa, pb, pc = "one two\nthree four", "five six", "seven eight nine"
+    docs = [
+        (0, "\n\n".join([pa, pb, pc])),          # all distinct -> keep
+        (1, "\n\n".join([pa, pa, pb, pa])),      # pa x3 -> dup frac 0.5
+        (2, ""),                                  # no paragraphs
+        (3, pa + "\n\n\n\n" + pa),                # 3+ newlines = ONE separator
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in paragraph_repetition_features(df).collect()}
+
+    assert out[0]["n_paras"] == 3 and out[0]["n_distinct_paras"] == 3
+    assert out[0]["dup_para_frac"] == 0.0 and out[0]["keep"]
+
+    d1 = out[1]
+    assert d1["n_paras"] == 4 and d1["n_distinct_paras"] == 2
+    assert d1["dup_para_frac"] == pytest.approx(2 / 4)
+    # dup chars: 2 extra copies of pa (18 chars) over 3*18+8 = 62
+    assert d1["dup_para_char_frac"] == pytest.approx(36 / 62)
+    assert d1["keep"] is False
+
+    assert out[2]["n_paras"] == 0 and out[2]["keep"] is True  # totality
+
+    d3 = out[3]  # the 4-newline gap is one separator: exactly 2 paras
+    assert d3["n_paras"] == 2 and d3["n_distinct_paras"] == 1
+    assert d3["dup_para_frac"] == pytest.approx(0.5) and d3["keep"] is False

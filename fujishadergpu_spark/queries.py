@@ -5375,6 +5375,63 @@ ORDER BY p.doc_id
 
 
 # ----------------------------------------------------------------------
+# Unicode script profiling (functions/scripts.py)
+# ----------------------------------------------------------------------
+# Planting exercises every profiled block + the mixed flag: docs with
+# doc_id % 6 == 0 gain a Cyrillic suffix (mixed Latin+Cyrillic),
+# % 8 == 0 are rewritten pure-Han, % 10 == 0 gain Greek, % 13 == 0
+# Arabic (13 is coprime to the other moduli, so no arm is shadowed
+# into emptiness); the when-chain priority (6, 8, 10, 13) is mirrored
+# by the CASE in the twin.
+
+_SCRIPT_PLANTS = [
+    (6, " привет мир как дела сегодня", "append"),
+    (8, "你好世界欢迎光临这里是测试文本你好世界欢迎光临", "replace"),
+    (10, " γειά σου κόσμε τι κάνεις", "append"),
+    (13, " مرحبا بالعالم كيف الحال", "append"),
+]
+
+
+def _script_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    planted = None
+    for mod, s, kind in _SCRIPT_PLANTS:
+        branch = F.lit(s) if kind == "replace" else F.concat(t, F.lit(s))
+        planted = (
+            F.when(F.col("doc_id") % mod == 0, branch)
+            if planted is None
+            else planted.when(F.col("doc_id") % mod == 0, branch)
+        )
+    return d.select("doc_id", planted.otherwise(t).alias("text"))
+
+
+def _script_documents_sql() -> str:
+    whens = " ".join(
+        f"WHEN doc_id % {mod} = 0 THEN "
+        + (f"'{s}'" if kind == "replace" else f"text || '{s}'")
+        for mod, s, kind in _SCRIPT_PLANTS
+    )
+    return f"SELECT doc_id, CASE {whens} ELSE text END AS text FROM documents"
+
+
+def doc_script_profile(spark, sf_dir):
+    """Unicode script-mix profile (functions/scripts.script_profile)
+    over the script-planted corpus: per-block letter counts, dominant
+    script with fixed-priority tie-break, mixed-script flag — the
+    OSCAR/FineWeb-2 script-purity signal."""
+    from .functions.scripts import script_profile
+
+    return script_profile(_script_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _doc_script_profile_sql() -> str:
+    from .functions.scripts import script_profile_sql
+
+    return script_profile_sql(_script_documents_sql())
+
+
+# ----------------------------------------------------------------------
 # Gopher document-level quality rules (operators/gopher_quality.py)
 # ----------------------------------------------------------------------
 # Planting over the multi-line corpus exercises every rule arm: docs
@@ -5636,6 +5693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dataset_card": corpus_dataset_card,  # one-row datasheet aggregate; hash-gated past the window (map-side-partial agg + quantized ratios == q1/bm25 contracts, in-window)
     "doc_gopher_quality": doc_gopher_quality,  # Gopher §A1.1 document rules; hash-gated past the window (zero-shuffle per-row projection skeleton == doc_quality/doc_pii_scrub codegen family, in-window)
     "doc_para_repetition": doc_para_repetition,  # Gopher dup-paragraph rules; hash-gated past the window (explode+two-agg+left-join skeleton == doc_repetition_filter, in-window)
+    "doc_script_profile": doc_script_profile,  # Unicode script-mix profile; hash-gated past the window (zero-shuffle regexp-count projection skeleton == doc_quality/doc_pii_scrub family, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5763,6 +5821,7 @@ ORACLES: dict[str, str] = {
     "corpus_dataset_card": DATASET_CARD_SQL,
     "doc_gopher_quality": DOC_GOPHER_SQL,
     "doc_para_repetition": DOC_PARA_REPETITION_SQL,
+    "doc_script_profile": _doc_script_profile_sql(),
 }
 
 

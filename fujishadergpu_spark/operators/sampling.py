@@ -244,3 +244,102 @@ def split_assign(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def unimax_allocation(
+    counts: dict[str, int], token_budget: int, max_epochs: int = 1
+) -> dict[str, int]:
+    """UniMax budget waterfilling (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining") over per-stratum token counts, in EXACT INTEGER
+    arithmetic so the DuckDB twin (queries.DOC_UNIMAX_SQL) reproduces
+    every allocation bit-for-bit:
+
+    - each stratum's cap is e_s = c_s * max_epochs tokens;
+    - strata are processed in ascending (e_s, name) order; while the
+      current stratum's cap fits within an equal share of the
+      remaining budget (e_s * remaining_strata <= remaining_budget)
+      it is allocated its full cap;
+    - the first stratum that does NOT fit stops the cap regime: the
+      remaining budget is split equally among all remaining strata
+      (floor division), with the integer remainder distributed one
+      token each to the first (budget % n) of them in name order.
+
+    Head languages are throttled to the fair share, tail languages
+    never exceed max_epochs — the published fairness contract.
+    Returns {stratum: allocated_tokens}.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    order = sorted(counts.items(), key=lambda kv: (kv[1] * max_epochs, kv[0]))
+    alloc: dict[str, int] = {}
+    remaining = token_budget
+    m = len(order)
+    for i, (name, c) in enumerate(order):
+        e = c * max_epochs
+        rest = m - i
+        if e * rest <= remaining:
+            alloc[name] = e
+            remaining -= e
+        else:
+            share, extra = divmod(remaining, rest)
+            uncapped = sorted(n for n, _ in order[i:])
+            for j, n in enumerate(uncapped):
+                alloc[n] = share + (1 if j < extra else 0)
+            return alloc
+    return alloc
+
+
+def unimax_thresholds(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    token_budget: int,
+    max_epochs: int = 1,
+) -> dict[str, int]:
+    """Per-stratum keep thresholds (DENOM units) from the UniMax
+    allocation: thr_s = min(DENOM, rhalf((a_s / c_s) * DENOM)).
+    ONE tiny aggregate (bounded by the stratum count — languages,
+    never corpus-sized) is collected; the float chain is one IEEE754
+    division + multiply + round, all correctly-rounded ops, so the
+    DuckDB twin agrees exactly. Allocations above one epoch clamp to
+    keep-all here — the >1-epoch remainder is epoch_replicate's job
+    (the published UniMax mixes by repeating tail languages; compose
+    the two operators for that)."""
+    from .classifier import _rhalf
+
+    totals = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_ts"))
+        .collect()
+    )
+    counts = {r[strata_col]: int(r["_ts"] or 0) for r in totals}
+    alloc = unimax_allocation(
+        {k: v for k, v in counts.items() if v > 0}, token_budget, max_epochs
+    )
+    out = {}
+    for s, c in counts.items():
+        a = alloc.get(s, 0)
+        out[s] = min(DENOM, _rhalf((a / c) * float(DENOM))) if c > 0 else 0
+    return out
+
+
+def unimax_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    token_budget: int,
+    key_col: str,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """Deterministically sample toward the UniMax allocation: the
+    computed thresholds become a literal CASE chain over the
+    stratified_sample draw — no join, pushed to the scan,
+    partition/cluster-size invariant, nested in the budget."""
+    thrs = unimax_thresholds(df, strata_col, token_col, token_budget, max_epochs)
+    thresh = F.lit(0)
+    for s, t in sorted(thrs.items()):
+        thresh = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thresh)
+    return df.filter(sample_hash(F.col(key_col)) < thresh)

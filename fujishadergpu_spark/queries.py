@@ -5375,6 +5375,79 @@ ORDER BY p.doc_id
 
 
 # ----------------------------------------------------------------------
+# UniMax budget-capped language sampling (operators/sampling.py)
+# ----------------------------------------------------------------------
+
+_UNIMAX_BUDGET = 18_000  # tokens; at sf0.01 this caps the four tail
+# languages at one epoch and throttles 'en' to the leftover budget,
+# exercising both waterfill regimes in one oracle
+
+
+def doc_unimax_sample(spark, sf_dir):
+    """UniMax budget waterfilling + deterministic sampling
+    (operators/sampling.unimax_sample, Chung et al. 2023): per-lang
+    token masses, exact-integer cap-or-share allocation, thresholds
+    over the universal-hash draw. The oracle gates the EXACT selected
+    id set (not just its size) — the DuckDB twin reruns the
+    waterfill with window functions over the tiny language relation."""
+    from .operators.sampling import unimax_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", textfn.token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        unimax_sample(d, "lang", "n_tok", _UNIMAX_BUDGET, "doc_id", max_epochs=1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _unimax_sql() -> str:
+    from .operators.sampling import DENOM, P31, SAMPLE_A, SAMPLE_B
+
+    draw = f"(((((doc_id % {P31}) + {P31}) % {P31}) * {SAMPLE_A} + {SAMPLE_B}) % {P31} % {DENOM})"
+    b = _UNIMAX_BUDGET
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, ' +'), t -> t != '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS c FROM d GROUP BY lang
+), o AS (
+  SELECT lang, c, c AS e,
+         row_number() OVER (ORDER BY c, lang) AS i,
+         COUNT(*) OVER () AS m,
+         COALESCE(SUM(c) OVER (ORDER BY c, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM c WHERE c > 0
+), g AS (
+  SELECT *, MIN(CASE WHEN e * (m - i + 1) <= {b} - pre THEN 1 ELSE 0 END)
+              OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS capped
+  FROM o
+), agg AS (
+  SELECT COALESCE(SUM(e) FILTER (WHERE capped = 1), 0) AS capsum,
+         COUNT(*) FILTER (WHERE capped = 0) AS nun
+  FROM g
+), u AS (
+  SELECT g.*, {b} - agg.capsum AS rem, agg.nun AS nun,
+         CASE WHEN capped = 0 THEN
+           row_number() OVER (PARTITION BY capped ORDER BY lang) END AS urank
+  FROM g, agg
+), thr AS (
+  SELECT lang, LEAST({DENOM}, CAST(round((CAST(
+           CASE WHEN capped = 1 THEN e
+                ELSE rem // nun + CASE WHEN urank <= rem % nun THEN 1 ELSE 0 END
+           END AS DOUBLE) / c) * {DENOM}.0) AS BIGINT)) AS thr
+  FROM u
+)
+SELECT d.doc_id, d.lang FROM d JOIN thr USING (lang)
+WHERE {draw} < thr
+ORDER BY d.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # Unicode script profiling (functions/scripts.py)
 # ----------------------------------------------------------------------
 # Planting exercises every profiled block + the mixed flag: docs with
@@ -5694,6 +5767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_gopher_quality": doc_gopher_quality,  # Gopher §A1.1 document rules; hash-gated past the window (zero-shuffle per-row projection skeleton == doc_quality/doc_pii_scrub codegen family, in-window)
     "doc_para_repetition": doc_para_repetition,  # Gopher dup-paragraph rules; hash-gated past the window (explode+two-agg+left-join skeleton == doc_repetition_filter, in-window)
     "doc_script_profile": doc_script_profile,  # Unicode script-mix profile; hash-gated past the window (zero-shuffle regexp-count projection skeleton == doc_quality/doc_pii_scrub family, in-window)
+    "doc_unimax_sample": doc_unimax_sample,  # UniMax budget waterfill + exact-id-set sampling; hash-gated past the window (tiny-agg collect + CASE-chain draw == doc_mixture_sample/doc_stratified_sample, both covered)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5822,6 +5896,7 @@ ORACLES: dict[str, str] = {
     "doc_gopher_quality": DOC_GOPHER_SQL,
     "doc_para_repetition": DOC_PARA_REPETITION_SQL,
     "doc_script_profile": _doc_script_profile_sql(),
+    "doc_unimax_sample": _unimax_sql(),
 }
 
 

@@ -284,3 +284,56 @@ def test_split_assign_validation(spark):
         split_assign(df, {}, "doc_id")
     with _pt.raises(ValueError):
         split_assign(df, {"a": -0.1, "b": 1.1}, "doc_id")
+
+
+def test_unimax_allocation_hand_computed():
+    """Waterfill on paper: caps ascend until the budget stops fitting,
+    the rest split equally with name-ordered remainder."""
+    from fujishadergpu_spark.operators.sampling import unimax_allocation
+
+    # ascending caps: a=10, b=20, c=100, d=100; budget 80
+    # a: 10*4=40<=80 -> cap 10 (rem 70); b: 20*3=60<=70 -> cap 20
+    # (rem 50); c: 100*2>50 -> c,d split 50 = 25 each
+    a = unimax_allocation({"c": 100, "a": 10, "d": 100, "b": 20}, 80)
+    assert a == {"a": 10, "b": 20, "c": 25, "d": 25}
+    # remainder: budget 81 -> 25/26 with the extra token to 'c' (name
+    # order among uncapped)
+    a = unimax_allocation({"c": 100, "a": 10, "d": 100, "b": 20}, 81)
+    assert a == {"a": 10, "b": 20, "c": 26, "d": 25}
+    # budget covers everything -> all capped at max_epochs
+    a = unimax_allocation({"a": 10, "b": 20}, 1000, max_epochs=2)
+    assert a == {"a": 20, "b": 40}
+    # epoch cap participates in the fit test
+    a = unimax_allocation({"a": 10, "b": 100}, 60, max_epochs=2)
+    assert a == {"a": 20, "b": 40}
+
+
+def test_unimax_allocation_validation():
+    from fujishadergpu_spark.operators.sampling import unimax_allocation
+
+    with pytest.raises(ValueError):
+        unimax_allocation({"a": 1}, -1)
+    with pytest.raises(ValueError):
+        unimax_allocation({"a": 1}, 10, max_epochs=0)
+    assert unimax_allocation({}, 10) == {}
+
+
+def test_unimax_sample_thresholds_and_subset(spark):
+    """Thresholds honor the allocation; the head stratum is throttled
+    to its fair share while tail strata keep everything; a smaller
+    budget selects a nested subset."""
+    from fujishadergpu_spark.operators.sampling import (
+        unimax_sample,
+        unimax_thresholds,
+    )
+
+    rows = [(i, "en" if i < 400 else "mi", 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+    # masses: en 4000, mi 1000; budget 2000 -> mi capped (1000*2<=2000),
+    # en gets 1000 -> thr en 0.25, mi keep-all
+    thr = unimax_thresholds(df, "lang", "n_tok", 2000)
+    assert thr == {"mi": 1_000_000, "en": 250_000}
+    big = {r["doc_id"] for r in unimax_sample(df, "lang", "n_tok", 2000, "doc_id").collect()}
+    small = {r["doc_id"] for r in unimax_sample(df, "lang", "n_tok", 1200, "doc_id").collect()}
+    assert {i for i in big if i >= 400} == set(range(400, 500))  # tail intact
+    assert small <= big  # budget nesting

@@ -110,3 +110,23 @@ def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(0, GOOD_SENTENCE)], "doc_id long, text string")
     plan = gopher_quality_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_safe(spark, tmp_path):
+    """The gate is a stateless projection: identical rows in
+    structured streaming (availableNow) and batch."""
+    from fujishadergpu_spark.streaming.events import run_stream_to_memory
+
+    docs = [(0, " ".join([GOOD_SENTENCE] * 6)), (1, "too short"), (2, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "gq_stream_src")
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_stream_to_memory(
+        gopher_quality_features(stream), "gopher_stream_out", output_mode="append"
+    )
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM gopher_stream_out").collect()
+    }
+    exp = {tuple(r) for r in gopher_quality_features(df).collect()}
+    assert got == exp and len(got) == 3

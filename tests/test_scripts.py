@@ -78,3 +78,21 @@ def test_zero_shuffle_plan(spark):
 def test_range_table_shape():
     names = [n for n, _ in SCRIPT_RANGES]
     assert names[0] == "latin" and len(names) == len(set(names)) == 9
+
+
+def test_streaming_safe(spark, tmp_path):
+    """script_profile is a stateless projection: identical rows in
+    structured streaming (availableNow) and batch."""
+    from fujishadergpu_spark.streaming.events import run_stream_to_memory
+
+    docs = [(0, "hello мир"), (1, "你好"), (2, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "sp_stream_src")
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_stream_to_memory(
+        script_profile(stream), "script_stream_out", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM script_stream_out").collect()}
+    exp = {tuple(r) for r in script_profile(df).collect()}
+    assert got == exp and len(got) == 3

@@ -65,6 +65,13 @@ HEADLINE = [
     "doc_boilerplate_strip",
     # arrow zero-exchange winnow fast path vs the expr plan above
     "doc_winnow_fingerprints_fast",
+    # round-6 quality/sampling family: the two zero-shuffle codegen
+    # gates (gopher doc rules; 9-block regexp script profile — the
+    # regexp-heaviest scan in the repo) and the paragraph-dup
+    # explode+agg path
+    "doc_gopher_quality",
+    "doc_script_profile",
+    "doc_para_repetition",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

@@ -255,6 +255,62 @@ def paragraph_repetition_features(
     )
 
 
+def _unit_dedup(
+    df: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    units_fn,
+    join_sep: str,
+    total_col: str,
+) -> DataFrame:
+    """Corpus-level first-occurrence dedup over one text unit (line or
+    paragraph): keep only the globally-first occurrence of every
+    distinct unit (keeper = min (doc_id, position)); rebuild each
+    document from its surviving units in original order. Shared core
+    of :func:`line_dedup` / :func:`paragraph_dedup`."""
+    did = F.col(doc_id_col)
+    base = df.select(did.alias("doc_id"), units_fn(F.col(text_col)).alias("units"))
+    exploded = base.select(
+        "doc_id", F.posexplode("units").alias("pos", "unit")
+    )
+    # one hash aggregate per distinct unit: min(struct(doc_id, pos))
+    # IS the kept occurrence, so its output is directly the survivor
+    # row set — map-side partial collapses hot boilerplate units
+    # before the Exchange and AQE can skew-split it (a window-min
+    # partitionBy(unit) keeper would put every occurrence of a hot
+    # unit in one un-splittable task; see the module scale notes)
+    kept = (
+        exploded.groupBy("unit")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keeper"))
+        .select(
+            F.col("keeper.doc_id").alias("doc_id"),
+            F.col("keeper.pos").alias("pos"),
+            "unit",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                join_sep,
+            ).alias("text_dedup"),
+        )
+    )
+    totals = base.select("doc_id", F.size("units").cast("bigint").alias(total_col))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        total_col,
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col(total_col) - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
 def line_dedup(
     df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -266,47 +322,25 @@ def line_dedup(
     input document — documents whose lines were all removed survive
     with empty text, so the operator is total and idempotent.
     """
-    did = F.col(doc_id_col)
-    base = df.select(did.alias("doc_id"), doc_lines(F.col(text_col)).alias("lines"))
-    exploded = base.select(
-        "doc_id", F.posexplode("lines").alias("pos", "line")
-    )
-    # one hash aggregate per distinct line: min(struct(doc_id, pos))
-    # IS the kept occurrence, so its output is directly the survivor
-    # row set — map-side partial collapses hot boilerplate lines
-    # before the Exchange and AQE can skew-split it (a window-min
-    # partitionBy(line) keeper would put every occurrence of a hot
-    # line in one un-splittable task; see the module scale notes)
-    kept = (
-        exploded.groupBy("line")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("keeper"))
-        .select(
-            F.col("keeper.doc_id").alias("doc_id"),
-            F.col("keeper.pos").alias("pos"),
-            "line",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("text_dedup"),
-        )
-    )
-    totals = base.select("doc_id", F.size("lines").cast("bigint").alias("n_lines"))
-    return totals.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-    )
+    return _unit_dedup(df, doc_id_col, text_col, doc_lines, "\n", "n_lines")
+
+
+def paragraph_dedup(
+    df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level PARAGRAPH dedup — the exact-substring granularity
+    RefinedWeb (Penedo et al. 2023) and MassiveText run between line
+    dedup and span dedup: keep only the globally-first occurrence of
+    every distinct paragraph (blank-line separated block), rebuild
+    each document from its surviving paragraphs in original order
+    (joined by one blank line).
+
+    Returns (doc_id, n_paras, n_kept, n_removed, text_dedup) for
+    every input document — total and idempotent like line_dedup, and
+    the same straggler-free plan shape (min-struct keeper, never a
+    window over paragraph partitions).
+    """
+    return _unit_dedup(df, doc_id_col, text_col, doc_paragraphs, "\n\n", "n_paras")
 
 
 # Gopher §A1.1 published n-gram thresholds (Rae et al. 2021, Table A1):

@@ -5374,6 +5374,65 @@ ORDER BY p.doc_id
 """
 
 
+def paragraph_dedup_docs(spark, sf_dir):
+    """Corpus-level paragraph dedup (operators/repetition.paragraph_dedup,
+    the RefinedWeb granularity) over the paragraph-planted corpus:
+    globally-first keeper per distinct paragraph, documents rebuilt
+    from surviving paragraphs. The % 4 == 0 planting duplicates each
+    such doc's first paragraph IN-DOC, and 3-line paragraph blocks
+    recur across docs wherever the multiline planting repeated lines,
+    so both in-doc and cross-doc keeper arms fire."""
+    from .operators.repetition import paragraph_dedup
+
+    return paragraph_dedup(_paragraph_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH {_MULTILINE_CTE},
+lsf AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> l != '') AS lsf FROM ml
+), pd AS (
+  SELECT doc_id,
+    CASE WHEN len(lsf) > 0 THEN
+      [array_to_string(lsf[(i-1)*3+1:(i-1)*3+3], chr(10))
+       FOR i IN generate_series(1, CAST(ceil(len(lsf)/3.0) AS INT))]
+    ELSE [] END AS paras
+  FROM lsf
+), pt AS (
+  SELECT doc_id, array_to_string(
+    list_concat(paras,
+      CASE WHEN doc_id % 4 = 0 AND len(paras) > 0 THEN paras[1:1] ELSE [] END),
+    chr(10) || chr(10)) AS text
+  FROM pd
+), pa AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\n{{2,}}'), p -> p != '') AS pa FROM pt
+), units AS (
+  SELECT doc_id, u.para AS para, u.pos AS pos FROM (
+    SELECT doc_id,
+           unnest([{{'para': pa[i], 'pos': i - 1}} FOR i IN generate_series(1, len(pa))]) AS u
+    FROM pa
+  )
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM units
+), kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(pa) AS n_paras FROM pa
+)
+SELECT t.doc_id,
+  CAST(t.n_paras AS BIGINT) AS n_paras,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(t.n_paras - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(k.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 # UniMax budget-capped language sampling (operators/sampling.py)
 # ----------------------------------------------------------------------
@@ -5768,6 +5827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_para_repetition": doc_para_repetition,  # Gopher dup-paragraph rules; hash-gated past the window (explode+two-agg+left-join skeleton == doc_repetition_filter, in-window)
     "doc_script_profile": doc_script_profile,  # Unicode script-mix profile; hash-gated past the window (zero-shuffle regexp-count projection skeleton == doc_quality/doc_pii_scrub family, in-window)
     "doc_unimax_sample": doc_unimax_sample,  # UniMax budget waterfill + exact-id-set sampling; hash-gated past the window (tiny-agg collect + CASE-chain draw == doc_mixture_sample/doc_stratified_sample, both covered)
+    "paragraph_dedup_docs": paragraph_dedup_docs,  # RefinedWeb paragraph-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5897,6 +5957,7 @@ ORACLES: dict[str, str] = {
     "doc_para_repetition": DOC_PARA_REPETITION_SQL,
     "doc_script_profile": _doc_script_profile_sql(),
     "doc_unimax_sample": _unimax_sql(),
+    "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
 }
 
 

@@ -239,3 +239,48 @@ def test_paragraph_repetition_hand_computed(spark):
     d3 = out[3]  # the 4-newline gap is one separator: exactly 2 paras
     assert d3["n_paras"] == 2 and d3["n_distinct_paras"] == 1
     assert d3["dup_para_frac"] == pytest.approx(0.5) and d3["keep"] is False
+
+
+def test_paragraph_dedup_keeper_and_rebuild(spark):
+    """First-occurrence keeper at paragraph granularity; documents
+    rebuilt from surviving paragraphs with blank-line joins;
+    totality on fully-duplicate docs."""
+    from fujishadergpu_spark.operators.repetition import paragraph_dedup
+
+    pa, pb, pc = "alpha one\nalpha two", "beta solo", "gamma x\ngamma y"
+    docs = [
+        (0, "\n\n".join([pa, pb])),
+        (1, "\n\n".join([pa, pc, pb])),   # pa, pb already owned by doc 0
+        (2, pa),                           # everything duplicate -> empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df).collect()}
+
+    assert out[0]["n_paras"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == pa + "\n\n" + pb
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["n_removed"] == 2 and out[1]["text_dedup"] == pc
+    assert out[2]["n_kept"] == 0 and out[2]["text_dedup"] == ""
+
+
+def test_paragraph_dedup_idempotent(spark):
+    from fujishadergpu_spark.operators.repetition import paragraph_dedup
+
+    docs = [(0, "p one\n\np two"), (1, "p two\n\np three")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = paragraph_dedup(df).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    twice = paragraph_dedup(once).collect()
+    for r in twice:
+        assert r["n_removed"] == 0, r
+
+
+def test_paragraph_dedup_plan_has_no_unit_window(spark):
+    """The keeper is a map-side-partial aggregate, never a window over
+    paragraph partitions (the line_dedup hot-key discipline)."""
+    from fujishadergpu_spark.operators.repetition import paragraph_dedup
+
+    df = spark.createDataFrame([(0, "a\n\nb")], "doc_id long, text string")
+    plan = paragraph_dedup(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan

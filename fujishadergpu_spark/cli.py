@@ -412,6 +412,9 @@ def main(argv=None):
     c.add_argument("--ngram-rules", action="store_true",
                    help="AND the full Gopher n-gram family (top-2/3/4-gram + "
                         "dup-5..10-gram char fractions) into the repetition gate")
+    c.add_argument("--para-dedup", action="store_true",
+                   help="insert the RefinedWeb-granularity corpus paragraph "
+                        "dedup stage between repetition and line_dedup")
     c.add_argument("--gopher-doc-rules", action="store_true",
                    help="AND the Gopher document-level rules (word-count/"
                         "mean-word-length bounds, symbol ratio, bullet/"
@@ -531,6 +534,7 @@ def main(argv=None):
                 pack_groups=args.pack_groups or _NB,
                 ngram_rules=args.ngram_rules,
                 gopher_doc_rules=args.gopher_doc_rules,
+                para_dedup=args.para_dedup,
                 dsir_target_path=args.dsir_target,
                 dsir_select=args.dsir_select,
                 mixture_targets=_json.loads(args.mixture_targets)

@@ -85,12 +85,25 @@ DOC_STAGES = STAGES[:6]
 # characters; "boilerplate" (jusText-style chrome strip,
 # operators/boilerplate.py) runs after it when
 # strip_boilerplate is set — extraction-time cleaning belongs ahead
-# of the corpus-level stages; "ppl" (CCNet perplexity-bucket keep
+# of the corpus-level stages; "para_dedup" (RefinedWeb-granularity
+# corpus paragraph dedup, operators/repetition.py) runs between
+# repetition and line_dedup when para_dedup is set — line_dedup's
+# single-newline rejoin erases paragraph boundaries, so the coarser
+# unit dedups first; "ppl" (CCNet perplexity-bucket keep
 # gate, operators/lmscore.py) runs between decontaminate and sample
 # when ppl_keep_buckets is set; "chunk" (context-window fan-out,
 # operators/chunking.py) appends after shard when chunk_size is set.
 # All ride the same idempotent-stage machinery.
-OPTIONAL_STAGES = ("urlfilter", "increment", "domain", "mojibake", "boilerplate", "ppl", "chunk")
+OPTIONAL_STAGES = (
+    "urlfilter",
+    "increment",
+    "domain",
+    "mojibake",
+    "boilerplate",
+    "para_dedup",
+    "ppl",
+    "chunk",
+)
 
 
 def _bucketed(df: DataFrame) -> DataFrame:
@@ -111,6 +124,7 @@ def run_clean_corpus(
     pack_groups: int = N_BUCKETS,
     ngram_rules: bool = False,
     gopher_doc_rules: bool = False,
+    para_dedup: bool = False,
     dsir_target_path: str | None = None,
     dsir_select: int = 1000,
     mixture_targets: dict[str, float] | None = None,
@@ -148,7 +162,11 @@ def run_clean_corpus(
     document-level rules (gopher_quality_features — word-count /
     mean-word-length bounds, symbol ratio, bullet/ellipsis line
     fractions, alpha-word fraction, stop-word rule) into the same
-    repetition stage, completing full §A1.1 parity in one gate. ``dsir_target_path``: parquet with (doc_id, text) — when
+    repetition stage, completing full §A1.1 parity in one gate.
+    ``para_dedup``: insert the RefinedWeb-granularity corpus
+    paragraph dedup stage between repetition and line_dedup
+    (coarse-to-fine: paragraphs before lines, because line_dedup's
+    rejoin erases blank-line boundaries). ``dsir_target_path``: parquet with (doc_id, text) — when
     set, the sample stage becomes DSIR Gumbel-top-``dsir_select``
     importance resampling toward that target corpus instead of the
     stratified-rate sampler. ``mixture_targets``/``mixture_budget``:
@@ -320,6 +338,21 @@ def run_clean_corpus(
     rep_out = stage(
         "repetition", _bucketed(pii_out.join(rep_keep, "doc_id"))
     ).select("doc_id", "text")
+
+    # 2b. (opt-in) corpus-level paragraph dedup — the RefinedWeb
+    # granularity, BEFORE line dedup: line_dedup rejoins kept lines
+    # with single newlines, which erases blank-line paragraph
+    # boundaries, so the coarser unit must dedup first (coarse-to-fine
+    # ordering: docs -> paragraphs -> lines -> spans). Fully-duplicate
+    # docs drop out.
+    if para_dedup:
+        from ..operators.repetition import paragraph_dedup
+
+        pd = paragraph_dedup(rep_out).where(F.col("n_kept") > 0)
+        rep_out = stage(
+            "para_dedup",
+            _bucketed(pd.select("doc_id", F.col("text_dedup").alias("text"))),
+        ).select("doc_id", "text")
 
     # 3. corpus-level line dedup — rewrite text to surviving lines;
     # docs whose every line was someone else's boilerplate drop out

@@ -368,6 +368,35 @@ def test_clean_corpus_boilerplate_stage(spark, tmp_path):
     assert _ids(spark, out, "pii") == {0}
 
 
+def test_clean_corpus_para_dedup_stage(spark, tmp_path):
+    """Opt-in paragraph-dedup stage between repetition and line_dedup
+    (coarse-to-fine — line_dedup's rejoin erases blank-line
+    boundaries): a paragraph block recurring across docs is removed
+    whole from the later doc before line dedup runs."""
+    shared = "alpha beta gamma one\ndelta epsilon zeta two"
+    uniq0 = "first document closing words here now"
+    uniq1 = "second document closing words there later"
+    docs = [(0, shared + "\n\n" + uniq0), (1, shared + "\n\n" + uniq1)]
+    src = str(tmp_path / "pd_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "pd_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="pd", pack_budget=64, pack_groups=2,
+        para_dedup=True,
+    )
+    want = list(STAGES)
+    want.insert(want.index("line_dedup"), "para_dedup")
+    assert list(s) == want
+    # doc 0 keeps the shared paragraph (first occurrence); doc 1 loses
+    # the whole block and is reduced to its unique paragraph
+    texts = _texts(spark, out, "para_dedup")
+    assert texts[0] == shared + "\n\n" + uniq0
+    assert texts[1] == uniq1
+    # line_dedup afterwards sees only unique lines — nothing removed
+    ld = _texts(spark, out, "line_dedup")
+    assert ld[1] == uniq1 and set(ld) == {0, 1}
+
+
 def test_clean_corpus_gopher_doc_rules(spark, tmp_path):
     """gopher_doc_rules ANDs the §A1.1 document rules into the
     repetition stage: a stop-word-free doc drops there while a

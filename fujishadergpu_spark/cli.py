@@ -471,6 +471,12 @@ def main(argv=None):
                         'thresholds, e.g. \'{"en": 0.7, "de": 0.3}\'')
     c.add_argument("--mixture-budget", type=int, default=1_000_000,
                    help="token budget for --mixture-targets selection")
+    c.add_argument("--unimax-budget", type=int, default=None,
+                   help="fourth selection mode: UniMax budget waterfilling "
+                        "over lang_id strata (token budget; no hand-tuned "
+                        "shares — tail languages capped at --unimax-max-epochs, "
+                        "head languages throttled to the fair share)")
+    c.add_argument("--unimax-max-epochs", type=int, default=1)
     c.add_argument("--shard-budget", type=int, default=1_048_576,
                    help="tokens per shard in the final shuffled shard layout")
     c.add_argument("--run-id", default=None)
@@ -541,6 +547,8 @@ def main(argv=None):
                 if args.mixture_targets
                 else None,
                 mixture_budget=args.mixture_budget,
+                unimax_budget=args.unimax_budget,
+                unimax_max_epochs=args.unimax_max_epochs,
                 shard_budget=args.shard_budget,
                 domain_min_docs=args.domain_min_docs,
                 domain_min_avg_quality=args.domain_min_avg_quality,

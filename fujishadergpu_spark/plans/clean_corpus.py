@@ -129,6 +129,8 @@ def run_clean_corpus(
     dsir_select: int = 1000,
     mixture_targets: dict[str, float] | None = None,
     mixture_budget: int = 1_000_000,
+    unimax_budget: int | None = None,
+    unimax_max_epochs: int = 1,
     shard_budget: int = 1_048_576,
     domain_min_docs: int | None = None,
     domain_min_avg_quality: float = 0.5,
@@ -171,8 +173,11 @@ def run_clean_corpus(
     importance resampling toward that target corpus instead of the
     stratified-rate sampler. ``mixture_targets``/``mixture_budget``:
     third selection mode — budgeted token-mixture thresholds
-    (sampling.mixture_sample) over lang_id strata. All three are
-    deterministic, so bucketed resume stays sound with any of them.
+    (sampling.mixture_sample) over lang_id strata.
+    ``unimax_budget``/``unimax_max_epochs``: fourth selection mode —
+    UniMax budget waterfilling (sampling.unimax_sample) over lang_id
+    strata, no hand-tuned shares needed. All four are deterministic,
+    so bucketed resume stays sound with any of them.
     ``shard_budget``: token budget of the final shuffled shard-layout
     stage (operators/sharding.assign_shards).
 
@@ -205,8 +210,17 @@ def run_clean_corpus(
     in-batch exact dups. All are pure functions of their input, so
     bucketed resume stays sound.
     """
-    if dsir_target_path is not None and mixture_targets is not None:
-        raise ValueError("dsir_target_path and mixture_targets are exclusive selection modes")
+    modes = [
+        n
+        for n, v in (
+            ("dsir_target_path", dsir_target_path),
+            ("mixture_targets", mixture_targets),
+            ("unimax_budget", unimax_budget),
+        )
+        if v is not None
+    ]
+    if len(modes) > 1:
+        raise ValueError(f"exclusive selection modes set together: {modes}")
     lineage = LineageLog(spark, f"{out_root}/_lineage")
     summary: dict[str, dict] = {}
 
@@ -431,6 +445,19 @@ def run_clean_corpus(
             mixture_targets,
             mixture_budget,
             "doc_id",
+        ).select("doc_id", "text")
+    elif unimax_budget is not None:
+        from ..operators.sampling import unimax_sample
+
+        sampled = unimax_sample(
+            dc_out.withColumn("_lang", textfn.lang_id(F.col("text"))).withColumn(
+                "_nt", textfn.token_count(F.col("text")).cast("long")
+            ),
+            "_lang",
+            "_nt",
+            unimax_budget,
+            "doc_id",
+            max_epochs=unimax_max_epochs,
         ).select("doc_id", "text")
     else:
         sampled = stratified_sample(

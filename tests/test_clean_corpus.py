@@ -263,6 +263,36 @@ def test_clean_corpus_mixture_selection(spark, corpus_path, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(f"{out}/shard").collect()} == sampled
 
 
+def test_clean_corpus_unimax_selection(spark, corpus_path, tmp_path):
+    """--unimax-budget swaps the sample stage for UniMax budget
+    waterfilling; the selection must equal the operator composition
+    run directly on the decontaminate output."""
+    from fujishadergpu_spark.functions import textfn
+    from fujishadergpu_spark.operators.sampling import unimax_sample
+
+    out = str(tmp_path / "out_umx")
+    run_clean_corpus(
+        spark, corpus_path, out,
+        unimax_budget=40, pack_budget=16, pack_groups=2,
+    )
+    sampled = _ids(spark, out, "sample")
+
+    dc = spark.read.parquet(f"{out}/decontaminate").select("doc_id", "text")
+    direct = {
+        r["doc_id"]
+        for r in unimax_sample(
+            dc.withColumn("_lang", textfn.lang_id(F.col("text"))).withColumn(
+                "_nt", textfn.token_count(F.col("text")).cast("long")
+            ),
+            "_lang", "_nt", 40, "doc_id",
+        ).collect()
+    }
+    assert sampled == direct
+    # a 40-token budget over this ~100-token corpus is a real cut
+    assert set() < sampled < _ids(spark, out, "decontaminate")
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/shard").collect()} == sampled
+
+
 def test_clean_corpus_selection_modes_exclusive(spark, corpus_path, tmp_path):
     with pytest.raises(ValueError, match="exclusive selection modes"):
         run_clean_corpus(

@@ -5434,6 +5434,98 @@ ORDER BY t.doc_id
 
 
 # ----------------------------------------------------------------------
+# Sentence segmentation + sentence-window chunking (functions/sentences.py)
+# ----------------------------------------------------------------------
+# Fixture: rebuild each document as terminal-punctuated sentences —
+# 5-token chunks, chunk i terminated by '.', '!' or '?' by i % 3 —
+# identically in both engines, then window 3 sentences every 2.
+
+_SENT_TOKENS = 5
+
+
+def _sentence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.repetition import _empty_str_array
+
+    d = _t(spark, sf_dir, "documents")
+    tk = textfn.tokens(F.col("text"))
+    nc = F.ceil(F.size(tk) / F.lit(float(_SENT_TOKENS))).cast("int")
+    punct = lambda i: (  # noqa: E731
+        F.when((i - F.lit(1)) % 3 == 0, F.lit("."))
+        .when((i - F.lit(1)) % 3 == 1, F.lit("!"))
+        .otherwise(F.lit("?"))
+    )
+    chunks = F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(1), nc),
+            lambda i: F.concat(
+                F.array_join(
+                    F.slice(tk, (i - F.lit(1)) * _SENT_TOKENS + F.lit(1), _SENT_TOKENS),
+                    " ",
+                ),
+                punct(i),
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+    return d.select("doc_id", F.array_join(chunks, " ").alias("text"))
+
+
+def doc_sentence_chunks(spark, sf_dir):
+    """Sentence segmentation + 3-sentence windows at stride 2
+    (functions/sentences.sentence_windows) over the sentence-built
+    corpus — the RAG semantic-chunking baseline, lookbehind-free so
+    the identical regex runs under Java regex and RE2."""
+    from .functions.sentences import sentence_windows
+
+    return sentence_windows(_sentence_documents(spark, sf_dir), 3, 2).orderBy(
+        "doc_id", "win_id"
+    )
+
+
+DOC_SENTENCE_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN array_to_string(
+      [array_to_string(tk[(i-1)*{_SENT_TOKENS}+1:(i-1)*{_SENT_TOKENS}+{_SENT_TOKENS}], ' ')
+         || CASE (i-1) % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END
+       FOR i IN generate_series(1, CAST(ceil(len(tk)/{_SENT_TOKENS}.0) AS INT))], ' ')
+    ELSE '' END AS text
+  FROM toks
+), sents AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)),
+        s -> trim(s)),
+      s -> s != '') AS s
+  FROM built
+), win AS (
+  SELECT doc_id, len(s) AS n_sentences,
+    unnest([{{'win_id': w - 1,
+             'start_sent': (w-1)*2,
+             'n_win_sentences': least(3, len(s) - (w-1)*2),
+             'text_chunk': array_to_string(s[(w-1)*2+1:(w-1)*2+3], ' ')}}
+            FOR w IN generate_series(1,
+              CASE WHEN len(s) > 0
+                   THEN 1 + CAST(ceil(greatest(len(s) - 3, 0) / 2.0) AS INT)
+                   ELSE 0 END)]) AS u
+  FROM sents
+)
+SELECT doc_id,
+  CAST(u.win_id AS BIGINT) AS win_id,
+  CAST(u.start_sent AS BIGINT) AS start_sent,
+  CAST(u.n_win_sentences AS BIGINT) AS n_win_sentences,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  u.text_chunk AS text_chunk
+FROM win
+ORDER BY doc_id, win_id
+"""
+
+
+# ----------------------------------------------------------------------
 # UniMax budget-capped language sampling (operators/sampling.py)
 # ----------------------------------------------------------------------
 
@@ -5828,6 +5920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_script_profile": doc_script_profile,  # Unicode script-mix profile; hash-gated past the window (zero-shuffle regexp-count projection skeleton == doc_quality/doc_pii_scrub family, in-window)
     "doc_unimax_sample": doc_unimax_sample,  # UniMax budget waterfill + exact-id-set sampling; hash-gated past the window (tiny-agg collect + CASE-chain draw == doc_mixture_sample/doc_stratified_sample, both covered)
     "paragraph_dedup_docs": paragraph_dedup_docs,  # RefinedWeb paragraph-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs, in-window)
+    "doc_sentence_chunks": doc_sentence_chunks,  # sentence segmentation + sentence windows; hash-gated past the window (zero-shuffle transform+posexplode skeleton == doc_chunk_windows, oracled)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -5958,6 +6051,7 @@ ORACLES: dict[str, str] = {
     "doc_script_profile": _doc_script_profile_sql(),
     "doc_unimax_sample": _unimax_sql(),
     "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
+    "doc_sentence_chunks": DOC_SENTENCE_CHUNKS_SQL,
 }
 
 

@@ -145,6 +145,12 @@ def test_differentiated_entries_inside_driver_window():
         "dedup_soft_weights",       # SoftDeDup down-weighting; closure == dedup_cluster_components, totality back-join == dedup_canonical_docs
         "doc_mojibake_fix",         # ftfy-style repair; fused literal-rewrite codegen skeleton == doc_pii_scrub in-window
         "corpus_dataset_card",      # one-row datasheet agg; map-side-partial agg + quantized ratios == q1/bm25 contracts in-window
+        "doc_gopher_quality",       # Gopher §A1.1 doc rules; zero-shuffle per-row projection skeleton == doc_quality/doc_pii_scrub codegen family in-window
+        "doc_para_repetition",      # Gopher dup-paragraph rules; explode+two-agg+left-join skeleton == doc_repetition_filter in-window
+        "doc_script_profile",       # Unicode script profile; zero-shuffle regexp-count projection skeleton == doc_quality/doc_pii_scrub family in-window
+        "doc_unimax_sample",        # UniMax waterfill; tiny-agg collect + CASE-chain draw == doc_mixture_sample/doc_stratified_sample, both covered
+        "paragraph_dedup_docs",     # RefinedWeb paragraph dedup; shared _unit_dedup core with line_dedup_docs in-window
+        "doc_sentence_chunks",      # sentence windows; zero-shuffle transform+posexplode skeleton == doc_chunk_windows (oracled)
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -154,3 +154,59 @@ def freq_spectrum(
         )
         .orderBy("freq")
     )
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int,
+    k: int,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-wide most-common token ``n``-grams — the WIMBD
+    "most common n-grams" analysis (Elazar et al. 2023, "What's In My
+    Big Data?", §3.2): one row per gram in the global top-``k`` with
+    (gram, n_occ, n_docs, rank), rank 1-based by occurrence count desc
+    then gram asc. Corpus curators run this to spot boilerplate
+    templates, SEO spam phrases, and dataset-specific artifacts before
+    training; the same relation seeds phrase-level blocklists.
+
+    Occurrences are counted over EVERY gram position (not per-doc
+    distinct — WIMBD counts mass), n_docs over distinct documents.
+    Tokenization is lowercased whitespace splitting (the
+    doc_token_counts contract); grams are built by one JVM
+    ``transform`` over a ``sequence`` — no Python, no UDF.
+
+    100-TB shape: the gram fan-out is per-row (zero shuffle), the only
+    corpus-wide exchange carries (gram, partial count, partial
+    doc-count) pairs with map-side partial aggregation, and the global
+    top-k plans as TakeOrderedAndProject (per-partition partial top-k,
+    merge of k per partition) — never a global sort. At production
+    scale you'd pre-hash grams to xxhash64 for the exchange and join
+    the top-k back for display strings; the fixture keeps raw grams so
+    the DuckDB twin is bit-exact.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tk = F.filter(F.split(F.lower(F.col(text_col)), "[ \n]+"), lambda t: t != "")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - n + 1),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(doc_id_col).alias("_doc"), F.explode(grams).alias("gram")
+    )
+    counts = ex.groupBy("gram").agg(
+        F.count("*").alias("n_occ"),
+        F.count_distinct("_doc").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("gram")).limit(k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("gram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "gram", "n_occ", "n_docs", "rank"
+    )

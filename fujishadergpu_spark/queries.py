@@ -4239,6 +4239,45 @@ ORDER BY d.doc_id
 """
 
 
+_NGRAM_TOPK_N = 3
+_NGRAM_TOPK_K = 100
+
+
+def corpus_ngram_topk(spark, sf_dir):
+    """WIMBD most-common n-grams (operators/vocab.ngram_topk): the
+    corpus-wide top-k token 3-grams by occurrence mass — the
+    boilerplate/template/SEO-phrase discovery probe."""
+    from .operators.vocab import ngram_topk
+
+    return ngram_topk(
+        _t(spark, sf_dir, "documents"), _NGRAM_TOPK_N, _NGRAM_TOPK_K
+    ).orderBy("rank")
+
+
+NGRAM_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \n]+'), x -> x != '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= {_NGRAM_TOPK_N} THEN
+      [array_to_string(tk[i:i+{_NGRAM_TOPK_N - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {_NGRAM_TOPK_N - 1})]
+    ELSE [] END) AS gram
+  FROM toks
+), counts AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY gram
+)
+SELECT gram, n_occ, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, gram) AS BIGINT) AS rank
+FROM counts
+ORDER BY n_occ DESC, gram LIMIT {_NGRAM_TOPK_K}
+"""
+
+
 # ----------------------------------------------------------------------
 # C4 heuristic cleaning rules (operators/c4.py, Raffel 2020 §2.2)
 # ----------------------------------------------------------------------
@@ -5921,6 +5960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_unimax_sample": doc_unimax_sample,  # UniMax budget waterfill + exact-id-set sampling; hash-gated past the window (tiny-agg collect + CASE-chain draw == doc_mixture_sample/doc_stratified_sample, both covered)
     "paragraph_dedup_docs": paragraph_dedup_docs,  # RefinedWeb paragraph-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs, in-window)
     "doc_sentence_chunks": doc_sentence_chunks,  # sentence segmentation + sentence windows; hash-gated past the window (zero-shuffle transform+posexplode skeleton == doc_chunk_windows, oracled)
+    "corpus_ngram_topk": corpus_ngram_topk,  # WIMBD most-common n-grams; hash-gated past the window (gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk, both covered)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6052,6 +6092,7 @@ ORACLES: dict[str, str] = {
     "doc_unimax_sample": _unimax_sql(),
     "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
     "doc_sentence_chunks": DOC_SENTENCE_CHUNKS_SQL,
+    "corpus_ngram_topk": NGRAM_TOPK_SQL,
 }
 
 

@@ -87,3 +87,35 @@ def test_freq_spectrum_laws(spark):
     assert abs(sum(r["type_share"] for r in out.values()) - 1.0) < 1e-12
     assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-12
     assert out[1]["type_share"] == 0.5  # hapax class: 2 of 4 types
+
+
+def test_ngram_topk_counts_mass_not_distinct(spark):
+    from fujishadergpu_spark.operators.vocab import ngram_topk
+
+    docs = [
+        (0, "a b a b a b"),   # 2-grams: "a b" x3, "b a" x2
+        (1, "a b c"),          # "a b", "b c"
+        (2, "x"),              # shorter than n: no grams
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = {r["gram"]: r.asDict() for r in ngram_topk(df, 2, 10).collect()}
+    assert top["a b"]["n_occ"] == 4 and top["a b"]["n_docs"] == 2
+    assert top["b a"]["n_occ"] == 2 and top["b a"]["n_docs"] == 1
+    assert top["b c"]["n_occ"] == 1
+    assert top["a b"]["rank"] == 1 and top["b a"]["rank"] == 2
+    # tie at n_occ=1 ("b c" only) — and the cut is deterministic
+    two = [r["gram"] for r in ngram_topk(df, 2, 2).collect()]
+    assert two == ["a b", "b a"]
+
+
+def test_ngram_topk_lowercases_and_validates(spark):
+    from fujishadergpu_spark.operators.vocab import ngram_topk
+
+    df = spark.createDataFrame([(0, "Foo BAR foo bar")], "doc_id long, text string")
+    top = {r["gram"]: r["n_occ"] for r in ngram_topk(df, 2, 10).collect()}
+    assert top["foo bar"] == 2
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_topk(df, 0, 5)
+    with pytest.raises(ValueError, match="k must be"):
+        ngram_topk(df, 2, 0)

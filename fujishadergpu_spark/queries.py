@@ -993,6 +993,72 @@ SELECT id_a, id_b, jaccard FROM pairs
 ORDER BY id_a, id_b
 """
 
+
+_EDIT_SIM_T = 0.5
+_EDIT_CAND_T = 0.2
+
+
+def edit_sim_pairs_docs(spark, sf_dir):
+    """Fuzzy-dedup verification (operators/editsim): n-gram Jaccard
+    candidates at a LOW recall threshold, confirmed at character-level
+    edit similarity >= 0.5 — the precision stage a keep/drop decision
+    actually trusts."""
+    from .operators.editsim import edit_similarity_pairs
+
+    return edit_similarity_pairs(
+        _t(spark, sf_dir, "documents"),
+        sim_threshold=_EDIT_SIM_T,
+        candidate_threshold=_EDIT_CAND_T,
+    ).orderBy("id_a", "id_b")
+
+
+# candidate CTE = _NGRAM_PAIRS_CTES' construction at the lower recall
+# threshold; verify = band prefilter + levenshtein + one IEEE division
+# (DuckDB levenshtein counts BYTES, Spark CODE POINTS — equal on this
+# ASCII fixture, asserted in tests/test_editsim.py)
+EDIT_SIM_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS tx,
+         list_filter(string_split_regex(COALESCE(text, ''), '[ \\t\\r\\n]+'), t -> t != '') AS w
+  FROM documents
+),
+toked AS (SELECT doc_id, w FROM base WHERE len(w) > 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i + 1 : i + 3], ' ')
+                        for i in generate_series(0, greatest(len(w) - 3, 0))]) AS s
+  FROM toked
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ix AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT ix.id_a, ix.id_b
+  FROM ix
+  JOIN (SELECT doc_id, len(s) AS na FROM sh) sa ON sa.doc_id = ix.id_a
+  JOIN (SELECT doc_id, len(s) AS nb FROM sh) sb ON sb.doc_id = ix.id_b
+  WHERE CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) >= {_EDIT_CAND_T}
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(ta.tx, tb.tx) AS BIGINT) AS dist,
+         1.0 - CAST(levenshtein(ta.tx, tb.tx) AS DOUBLE)
+             / greatest(length(ta.tx), length(tb.tx), 1) AS edit_sim
+  FROM cands c
+  JOIN base ta ON ta.doc_id = c.id_a
+  JOIN base tb ON tb.doc_id = c.id_b
+  WHERE abs(length(ta.tx) - length(tb.tx))
+        <= (1.0 - {_EDIT_SIM_T}) * greatest(length(ta.tx), length(tb.tx), 1)
+)
+SELECT id_a, id_b, dist, edit_sim FROM verified
+WHERE edit_sim >= {_EDIT_SIM_T}
+ORDER BY id_a, id_b
+"""
+
 # Transitive closure of the pair graph as a recursive CTE: component =
 # MIN reachable doc id. Tractable at gate scale because near-dup
 # components are tiny; the Spark side is the O(log^2 n)
@@ -5961,6 +6027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_docs": paragraph_dedup_docs,  # RefinedWeb paragraph-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs, in-window)
     "doc_sentence_chunks": doc_sentence_chunks,  # sentence segmentation + sentence windows; hash-gated past the window (zero-shuffle transform+posexplode skeleton == doc_chunk_windows, oracled)
     "corpus_ngram_topk": corpus_ngram_topk,  # WIMBD most-common n-grams; hash-gated past the window (gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk, both covered)
+    "edit_sim_pairs_docs": edit_sim_pairs_docs,  # fuzzy-dedup edit-distance verify; hash-gated past the window (candidate stage == dedup_ngram_jaccard machinery feeding the in-window closure gate, verify == bounded-pair equi-joins + codegen expression)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6093,6 +6160,7 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup_docs": PARAGRAPH_DEDUP_SQL,
     "doc_sentence_chunks": DOC_SENTENCE_CHUNKS_SQL,
     "corpus_ngram_topk": NGRAM_TOPK_SQL,
+    "edit_sim_pairs_docs": EDIT_SIM_SQL,
 }
 
 

@@ -859,6 +859,54 @@ GROUP BY norm ORDER BY canonical_id
 """
 
 
+def normalized_dedup_docs(spark, sf_dir):
+    """CCNet normalized-key exact dedup (functions/textnorm): case,
+    digits, accents, unicode punctuation and whitespace style folded
+    before the group — the dedup CCNet actually runs."""
+    from .functions.textnorm import normalized_dedup
+
+    return normalized_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _textnorm_sql_expr(col: str) -> str:
+    """The DuckDB twin of textnorm.normalize_for_dedup, built from the
+    SAME module constants (single source of truth — the tables cannot
+    drift between engines)."""
+    from .functions import textnorm as tn
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = f"lower(COALESCE({col}, ''))"
+    e = f"translate({e}, '{sq(tn.PUNCT_FROM)}', '{sq(tn.PUNCT_TO)}')"
+    e = f"translate({e}, '{sq(tn.ACCENT_FROM)}', '{sq(tn.ACCENT_TO)}')"
+    for frm, to in tn.REPLACE_MULTI:
+        e = f"replace({e}, '{sq(frm)}', '{sq(to)}')"
+    e = f"regexp_replace({e}, '{tn.DIGIT_RE}', '0', 'g')"
+    e = f"regexp_replace({e}, '{tn.CONTROL_RE}', '', 'g')"
+    return f"trim(regexp_replace({e}, '{tn.WS_RE}', ' ', 'g'))"
+
+
+def _normalized_dedup_sql() -> str:
+    # DuckDB groups on the raw normalized key; Spark groups on
+    # (xxhash64(key), length(key)) — identical output modulo 2^-64
+    # hash collisions (the dedup_exact_docs oracle precedent)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {_textnorm_sql_expr('text')} AS k FROM documents
+), groups AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_copies, MIN(doc_id) AS keeper
+  FROM keyed GROUP BY k
+)
+SELECT keyed.doc_id,
+       CAST(length(keyed.k) AS BIGINT) AS norm_len,
+       g.n_copies,
+       keyed.doc_id = g.keeper AS keep
+FROM keyed JOIN groups g ON g.k = keyed.k
+ORDER BY keyed.doc_id
+"""
+
+
 def ann_topk_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
@@ -6028,6 +6076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sentence_chunks": doc_sentence_chunks,  # sentence segmentation + sentence windows; hash-gated past the window (zero-shuffle transform+posexplode skeleton == doc_chunk_windows, oracled)
     "corpus_ngram_topk": corpus_ngram_topk,  # WIMBD most-common n-grams; hash-gated past the window (gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk, both covered)
     "edit_sim_pairs_docs": edit_sim_pairs_docs,  # fuzzy-dedup edit-distance verify; hash-gated past the window (candidate stage == dedup_ngram_jaccard machinery feeding the in-window closure gate, verify == bounded-pair equi-joins + codegen expression)
+    "normalized_dedup_docs": normalized_dedup_docs,  # CCNet normalized-key dedup; hash-gated past the window (fused literal-rewrite codegen == doc_pii_scrub/doc_mojibake_fix family, 16-byte keyed group+back-join == dedup_exact_docs, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6161,6 +6210,7 @@ ORACLES: dict[str, str] = {
     "doc_sentence_chunks": DOC_SENTENCE_CHUNKS_SQL,
     "corpus_ngram_topk": NGRAM_TOPK_SQL,
     "edit_sim_pairs_docs": EDIT_SIM_SQL,
+    "normalized_dedup_docs": _normalized_dedup_sql(),
 }
 
 

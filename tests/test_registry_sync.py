@@ -153,6 +153,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_sentence_chunks",      # sentence windows; zero-shuffle transform+posexplode skeleton == doc_chunk_windows (oracled)
         "corpus_ngram_topk",        # WIMBD most-common n-grams; gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk
         "edit_sim_pairs_docs",      # fuzzy-dedup edit verify; candidate stage == dedup_ngram_jaccard machinery (in-window via closure gate), verify == bounded equi-joins + codegen
+        "normalized_dedup_docs",    # CCNet normalized-key dedup; fused literal-rewrite codegen == pii/mojibake family, 16-byte keyed group == dedup_exact_docs
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

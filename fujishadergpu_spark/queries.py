@@ -1642,6 +1642,65 @@ ORDER BY 1, 2
 """
 
 
+_BITEXT_K = 4
+_BITEXT_T = 1.1
+
+
+def bitext_mine_pairs(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext): the embeddings
+    table split into two synthetic 'languages' by vec_id parity, the
+    exhaustive candidate relation scored with the Artetxe & Schwenk
+    ratio margin in exact integer micro-units, forward-argmax mined at
+    margin >= 1.1. Exhaustive candidates make the oracle exact (the
+    ann_ivf_probe_exhaustive pattern); production feeds ANN candidates
+    through the same margin algebra."""
+    from .operators.bitext import candidate_scores, mine_bitext
+
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext(
+        candidate_scores(src, tgt), k=_BITEXT_K, margin_threshold=_BITEXT_T
+    ).orderBy("src_id")
+
+
+BITEXT_SQL = f"""
+WITH src AS (
+  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 0
+), tgt AS (
+  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 1
+), cand AS (
+  SELECT s.src_id, t.tgt_id,
+         CAST(round(list_inner_product(s.e, t.e)
+              / (sqrt(list_inner_product(s.e, s.e)) * sqrt(list_inner_product(t.e, t.e)))
+              * 1e12) AS BIGINT) AS qcos
+  FROM src s CROSS JOIN tgt t
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id ORDER BY qcos DESC, tgt_id) AS rs,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY qcos DESC, src_id) AS rt
+  FROM cand
+), sx AS (
+  SELECT src_id, SUM(qcos) AS sx FROM ranked WHERE rs <= {_BITEXT_K} GROUP BY src_id
+), sy AS (
+  SELECT tgt_id, SUM(qcos) AS sy FROM ranked WHERE rt <= {_BITEXT_K} GROUP BY tgt_id
+), scored AS (
+  SELECT c.src_id, c.tgt_id,
+         ({2.0 * _BITEXT_K} * CAST(c.qcos AS DOUBLE)) / CAST(sx.sx + sy.sy AS DOUBLE) AS margin
+  FROM cand c JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+  WHERE c.qcos > 0 AND sx.sx + sy.sy > 0
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rb
+  FROM scored
+)
+SELECT src_id, tgt_id, margin FROM best
+WHERE rb = 1 AND margin >= {_BITEXT_T}
+ORDER BY src_id
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -6077,6 +6136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ngram_topk": corpus_ngram_topk,  # WIMBD most-common n-grams; hash-gated past the window (gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk, both covered)
     "edit_sim_pairs_docs": edit_sim_pairs_docs,  # fuzzy-dedup edit-distance verify; hash-gated past the window (candidate stage == dedup_ngram_jaccard machinery feeding the in-window closure gate, verify == bounded-pair equi-joins + codegen expression)
     "normalized_dedup_docs": normalized_dedup_docs,  # CCNet normalized-key dedup; hash-gated past the window (fused literal-rewrite codegen == doc_pii_scrub/doc_mojibake_fix family, 16-byte keyed group+back-join == dedup_exact_docs, in-window)
+    "bitext_mine_pairs": bitext_mine_pairs,  # margin-based bitext mining; hash-gated past the window (exact-cosine verify == ann_topk_cosine/embedding_near_dup_pairs, integer-quantized order-free sums == doc_ppl_buckets_hist discipline, windows over ids+longs)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6211,6 +6271,7 @@ ORACLES: dict[str, str] = {
     "corpus_ngram_topk": NGRAM_TOPK_SQL,
     "edit_sim_pairs_docs": EDIT_SIM_SQL,
     "normalized_dedup_docs": _normalized_dedup_sql(),
+    "bitext_mine_pairs": BITEXT_SQL,
 }
 
 

@@ -154,6 +154,7 @@ def test_differentiated_entries_inside_driver_window():
         "corpus_ngram_topk",        # WIMBD most-common n-grams; gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk
         "edit_sim_pairs_docs",      # fuzzy-dedup edit verify; candidate stage == dedup_ngram_jaccard machinery (in-window via closure gate), verify == bounded equi-joins + codegen
         "normalized_dedup_docs",    # CCNet normalized-key dedup; fused literal-rewrite codegen == pii/mojibake family, 16-byte keyed group == dedup_exact_docs
+        "bitext_mine_pairs",        # margin bitext mining; exact-cosine == ann/near-dup gates, order-free integer sums == ppl_buckets_hist discipline
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

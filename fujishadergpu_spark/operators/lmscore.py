@@ -46,7 +46,7 @@ of the hillshade trig and BM25 gates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,6 +96,33 @@ def lm_score(
     in principle flip with aggregation order). Scores differ from the
     default by at most n_bigrams ulp-halves; the default keeps the
     published round-after-sum definition."""
+    ids, terms = _doc_terms(docs, k, id_col, text_col, train)
+    if term_quantized:
+        sums = terms.groupBy("_id").agg(
+            (-F.sum(F.round(F.col("_t") * F.lit(1000000.0)).cast("bigint"))).alias("_nll")
+        )
+    else:
+        sums = terms.groupBy("_id").agg(
+            F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint").alias("_nll")
+        )
+    return ids.join(sums, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, F.col("_nll")).alias("nll_q6"),
+    )
+
+
+def _doc_terms(
+    docs: DataFrame,
+    k: float,
+    id_col: str,
+    text_col: str,
+    train: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared model/scoring core of lm_score and mink_prob: the
+    per-doc bigram-count relation ``ids`` (_id, n_bigrams) and the
+    per-occurrence log-probability relation ``terms`` (_id, _t) —
+    including the dirty-only-routed model-miss backoff terms."""
     t = train if train is not None else docs
     tb = t.select(_bigrams(_tokens(F.col(text_col))).alias("_bg"))
     model = (
@@ -148,18 +175,70 @@ def lm_score(
         .select("_id", unseen.alias("_t"))
     )
     terms = seen.unionByName(miss)
-    if term_quantized:
-        sums = terms.groupBy("_id").agg(
-            (-F.sum(F.round(F.col("_t") * F.lit(1000000.0)).cast("bigint"))).alias("_nll")
+    return ids, terms
+
+
+def mink_prob(
+    docs: DataFrame,
+    frac: tuple[int, int] = (1, 5),
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Min-K% prob membership signal (Shi et al. 2023, "Detecting
+    Pretraining Data from Large Language Models"): per document, the
+    average log-probability of its m = ceil(frac * n_bigrams)
+    LOWEST-probability bigrams under the (reference-trained) LM.
+    Member documents — text the model has seen — lack the deep
+    low-probability outlier tokens non-members have, so a HIGH
+    min-k% average flags likely training-set membership; data teams
+    run it as a leakage audit between a released model's suspected
+    corpus and candidate text.
+
+    Returns one row per document: (id, n_bigrams, n_mink,
+    mink_sum_q6, mink_avg_q6). Determinism: each per-bigram term is
+    quantized to 1e-6 nats (bigint) FIRST, so the bottom-m selection
+    and the sum are exact integer operations with no float-order
+    dependence (ties inside the quantum are interchangeable for the
+    sum — any tie choice yields the same integer), and the average is
+    ONE IEEE division of two exact integers. ``frac`` is an exact
+    (num, den) rational: m = (n*num + den - 1) div den, never a float
+    multiply. Docs with no bigrams report n_mink = 0 and NULL scores.
+
+    100-TB shape: identical to lm_score up to the per-doc window —
+    the selection window partitions by doc_id over (id, long) rows,
+    bounded by document length, AQE-splittable; nothing new shuffles.
+    """
+    num, den = frac
+    if not (0 < num <= den):
+        raise ValueError(f"frac must be a rational in (0, 1], got {frac}")
+    ids, terms = _doc_terms(docs, k, id_col, text_col, train)
+    tq = terms.select(
+        "_id", F.round(F.col("_t") * F.lit(1000000.0)).cast("bigint").alias("_tq")
+    )
+    w = Window.partitionBy("_id").orderBy(F.asc("_tq"))
+    wn = Window.partitionBy("_id")
+    ranked = tq.withColumns(
+        {"_r": F.row_number().over(w), "_n": F.count("*").over(wn)}
+    )
+    m = (F.col("_n") * num + (den - 1)) / den  # integer div below
+    sel = (
+        ranked.filter(F.col("_r") <= F.floor(m))
+        .groupBy("_id")
+        .agg(
+            F.sum("_tq").alias("_sum"),
+            F.count("*").cast("bigint").alias("_m"),
         )
-    else:
-        sums = terms.groupBy("_id").agg(
-            F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint").alias("_nll")
-        )
-    return ids.join(sums, "_id", "left").select(
+    )
+    return ids.join(sel, "_id", "left").select(
         F.col("_id").alias(id_col),
         "n_bigrams",
-        F.when(F.col("n_bigrams") > 0, F.col("_nll")).alias("nll_q6"),
+        F.coalesce("_m", F.lit(0)).cast("bigint").alias("n_mink"),
+        F.col("_sum").alias("mink_sum_q6"),
+        (F.col("_sum").cast("double") / F.col("_m").cast("double")).alias(
+            "mink_avg_q6"
+        ),
     )
 
 

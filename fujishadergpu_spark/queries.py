@@ -3775,6 +3775,49 @@ ORDER BY t.doc_id
 """
 
 
+_MINK_NUM, _MINK_DEN = 1, 5
+
+
+def doc_mink_prob(spark, sf_dir):
+    """Min-K% prob membership signal (operators/lmscore.mink_prob,
+    Shi 2023): average log-probability of each doc's lowest-20%
+    bigrams under the self-trained LM — the pretraining-data leakage
+    audit. Integer-quantized terms make selection and sum exact."""
+    from .operators.lmscore import mink_prob
+
+    return mink_prob(
+        _t(spark, sf_dir, "documents"), frac=(_MINK_NUM, _MINK_DEN)
+    ).orderBy("doc_id")
+
+
+MINK_PROB_SQL = f"""
+WITH {_LM_CORE_CTE},
+tq AS (
+  SELECT o.doc_id, CAST(round(p.t * 1000000.0) AS BIGINT) AS tq
+  FROM occ o JOIN probs p USING (bigram)
+), ranked AS (
+  SELECT doc_id, tq,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tq) AS r,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM tq
+), sel AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN r <= (n * {_MINK_NUM} + {_MINK_DEN - 1}) // {_MINK_DEN}
+                  THEN tq END) AS BIGINT) AS mink_sum_q6,
+         CAST(COUNT(*) FILTER (WHERE r <= (n * {_MINK_NUM} + {_MINK_DEN - 1}) // {_MINK_DEN})
+              AS BIGINT) AS m
+  FROM ranked GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.m, 0) AS n_mink,
+       s.mink_sum_q6 AS mink_sum_q6,
+       CAST(s.mink_sum_q6 AS DOUBLE) / CAST(s.m AS DOUBLE) AS mink_avg_q6
+FROM toks t LEFT JOIN hits h USING (doc_id) LEFT JOIN sel s USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def doc_ppl_buckets(spark, sf_dir):
     """CCNet §3.4 head/middle/tail perplexity buckets per language
     (operators/lmscore.ppl_buckets): rank-statistic thresholds in the
@@ -6137,6 +6180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_sim_pairs_docs": edit_sim_pairs_docs,  # fuzzy-dedup edit-distance verify; hash-gated past the window (candidate stage == dedup_ngram_jaccard machinery feeding the in-window closure gate, verify == bounded-pair equi-joins + codegen expression)
     "normalized_dedup_docs": normalized_dedup_docs,  # CCNet normalized-key dedup; hash-gated past the window (fused literal-rewrite codegen == doc_pii_scrub/doc_mojibake_fix family, 16-byte keyed group+back-join == dedup_exact_docs, in-window)
     "bitext_mine_pairs": bitext_mine_pairs,  # margin-based bitext mining; hash-gated past the window (exact-cosine verify == ann_topk_cosine/embedding_near_dup_pairs, integer-quantized order-free sums == doc_ppl_buckets_hist discipline, windows over ids+longs)
+    "doc_mink_prob": doc_mink_prob,  # Min-K% prob membership signal; hash-gated past the window (shared _doc_terms core with doc_lm_perplexity's oracle, per-doc bounded selection window == doc_shards prefix-sum skeleton)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6272,6 +6316,7 @@ ORACLES: dict[str, str] = {
     "edit_sim_pairs_docs": EDIT_SIM_SQL,
     "normalized_dedup_docs": _normalized_dedup_sql(),
     "bitext_mine_pairs": BITEXT_SQL,
+    "doc_mink_prob": MINK_PROB_SQL,
 }
 
 

@@ -188,3 +188,44 @@ def test_lm_score_term_quantized_close_and_integer(spark):
         # each term rounds within half a quantum of the double path
         assert abs(q[did]["nll_q6"] - d[did]["nll_q6"]) <= d[did]["n_bigrams"]
     assert q[2]["nll_q6"] is None  # unscored stays unscored
+
+
+def test_mink_prob_membership_signal(spark):
+    from fujishadergpu_spark.operators.lmscore import mink_prob
+
+    # train corpus: "a b" everywhere; the member doc repeats seen
+    # bigrams, the outlier doc ends in a model-miss bigram whose deep
+    # negative term dominates its bottom-20%
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b a b"),   # member-like: all high-prob bigrams
+            (1, "a b a b a b a b zq"),    # one rare tail bigram
+            (2, "x"),                      # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in mink_prob(docs, frac=(1, 5)).collect()}
+    assert set(out) == {0, 1, 2}
+    # n=9 bigrams each -> m = ceil(9/5) = 2
+    assert out[0]["n_bigrams"] == 9 and out[0]["n_mink"] == 2
+    assert out[1]["n_mink"] == 2
+    # the member doc's worst-20% average is HIGHER (less negative)
+    assert out[0]["mink_avg_q6"] > out[1]["mink_avg_q6"]
+    # selection sums exactly m quantized terms
+    assert out[0]["mink_sum_q6"] == 2 * (out[0]["mink_sum_q6"] // 2)  # two equal terms
+    assert out[2]["n_mink"] == 0 and out[2]["mink_sum_q6"] is None
+    assert out[2]["mink_avg_q6"] is None
+
+
+def test_mink_prob_m_rounds_up_and_validates(spark):
+    from fujishadergpu_spark.operators.lmscore import mink_prob
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])  # 2 bigrams
+    r = mink_prob(docs, frac=(1, 5)).collect()[0]
+    assert r["n_mink"] == 1  # ceil(2/5) = 1, never 0 for a scored doc
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="frac"):
+        mink_prob(docs, frac=(0, 5))
+    with _pt.raises(ValueError, match="frac"):
+        mink_prob(docs, frac=(6, 5))

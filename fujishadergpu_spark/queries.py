@@ -3631,6 +3631,40 @@ ORDER BY s.doc_id
 """
 
 
+_FUNNEL_RULES = ["quality_ok", "lang_ok", "dedup_keep", "decontam_keep"]
+
+
+def corpus_filter_funnel(spark, sf_dir):
+    """Filter-attribution funnel (operators/funnel): per-rule removal
+    and UNIQUE-removal counts over the composed pipeline's verdict
+    relation — the RefinedWeb/FineWeb-style ablation table that
+    justifies (or retires) each rule."""
+    from .operators.funnel import filter_attribution
+
+    v = corpus_filter_pipeline(spark, sf_dir)
+    return filter_attribution(v, _FUNNEL_RULES, keep_col="keep").orderBy("rule")
+
+
+def _funnel_sql() -> str:
+    rules = _FUNNEL_RULES
+    nf = " + ".join(f"CAST(NOT {r} AS INT)" for r in rules)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{r}' AS rule,
+       CAST(SUM(CAST(NOT {r} AS INT)) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN NOT {r} AND ({nf}) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_removed,
+       CAST(SUM(CAST(NOT {r} AS INT)) AS DOUBLE) / COUNT(*) AS removal_share,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(keep AS INT)) AS BIGINT) AS n_kept
+FROM v"""
+        for r in rules
+    )
+    return f"""
+WITH v AS ({_pipeline_sql()})
+SELECT * FROM ({arms})
+ORDER BY rule
+"""
+
+
 # ----------------------------------------------------------------------
 # BM25 ranked retrieval (operators/bm25.py)
 # ----------------------------------------------------------------------
@@ -6181,6 +6215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalized_dedup_docs": normalized_dedup_docs,  # CCNet normalized-key dedup; hash-gated past the window (fused literal-rewrite codegen == doc_pii_scrub/doc_mojibake_fix family, 16-byte keyed group+back-join == dedup_exact_docs, in-window)
     "bitext_mine_pairs": bitext_mine_pairs,  # margin-based bitext mining; hash-gated past the window (exact-cosine verify == ann_topk_cosine/embedding_near_dup_pairs, integer-quantized order-free sums == doc_ppl_buckets_hist discipline, windows over ids+longs)
     "doc_mink_prob": doc_mink_prob,  # Min-K% prob membership signal; hash-gated past the window (shared _doc_terms core with doc_lm_perplexity's oracle, per-doc bounded selection window == doc_shards prefix-sum skeleton)
+    "corpus_filter_funnel": corpus_filter_funnel,  # filter-attribution ablation table; hash-gated past the window (verdict relation == corpus_filter_pipeline's guarded oracle, single-row map-side-partial agg == corpus_dataset_card skeleton)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6317,6 +6352,7 @@ ORACLES: dict[str, str] = {
     "normalized_dedup_docs": _normalized_dedup_sql(),
     "bitext_mine_pairs": BITEXT_SQL,
     "doc_mink_prob": MINK_PROB_SQL,
+    "corpus_filter_funnel": _funnel_sql(),
 }
 
 

@@ -156,6 +156,7 @@ def test_differentiated_entries_inside_driver_window():
         "normalized_dedup_docs",    # CCNet normalized-key dedup; fused literal-rewrite codegen == pii/mojibake family, 16-byte keyed group == dedup_exact_docs
         "bitext_mine_pairs",        # margin bitext mining; exact-cosine == ann/near-dup gates, order-free integer sums == ppl_buckets_hist discipline
         "doc_mink_prob",            # Min-K% prob membership signal; shared _doc_terms core with doc_lm_perplexity, bounded per-doc selection window
+        "corpus_filter_funnel",     # filter-attribution ablation table; verdicts == corpus_filter_pipeline oracle, single-row agg == dataset_card skeleton
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -72,6 +72,14 @@ HEADLINE = [
     "doc_gopher_quality",
     "doc_script_profile",
     "doc_para_repetition",
+    # session-3 round-6 family: the 1M-pair cross-join + double-window
+    # bitext margin path, the candidate-join + levenshtein DP verify,
+    # the position-mass gram fan-out with global top-k, and the
+    # per-doc bottom-k selection window over LM terms
+    "bitext_mine_pairs",
+    "edit_sim_pairs_docs",
+    "corpus_ngram_topk",
+    "doc_mink_prob",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

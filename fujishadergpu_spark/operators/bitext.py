@@ -42,16 +42,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ann import cosine_col
-
 QUANT = 1e12
 
 
-def _qcos(a, b):
-    """Integer micro-unit cosine: round(cos * 1e12) as bigint — both
-    engines perform the identical multiply+round on the identical
-    double (HALF_UP == away-from-zero on either sign)."""
-    return F.round(cosine_col(a, b) * F.lit(QUANT)).cast("bigint")
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _unit_rows(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+    """(id, embedding / ||embedding||) — the norm is computed ONCE per
+    row here, not once per pair in the quadratic stage (higher-order
+    array functions are interpreted per element, so hoisting the two
+    norm folds out of the cross product cuts ~2/3 of its work)."""
+    e = F.col("embedding").cast("array<double>")
+    n = F.sqrt(
+        F.aggregate(F.transform(e, lambda v: v * v), F.lit(0.0), lambda a, v: a + v)
+    )
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.transform(e, lambda v: v / n).alias(emb_alias),
+    )
 
 
 def candidate_scores(src: DataFrame, tgt: DataFrame) -> DataFrame:
@@ -60,20 +72,15 @@ def candidate_scores(src: DataFrame, tgt: DataFrame) -> DataFrame:
 
     Embeddings are cast to array<double> BEFORE the arithmetic: float32
     products would wobble ~1e-7 against any double engine, while the
-    double-cast fold is bitwise-equal to DuckDB's list_inner_product
-    (measured over all 124,750 fixture pairs), which is what makes the
-    quantization deterministic."""
-    s = src.select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").cast("array<double>").alias("_se"),
-    )
-    t = tgt.select(
-        F.col("vec_id").alias("tgt_id"),
-        F.col("embedding").cast("array<double>").alias("_te"),
-    )
-    return s.crossJoin(F.broadcast(t)).select(
-        "src_id", "tgt_id", _qcos(F.col("_se"), F.col("_te")).alias("qcos")
-    )
+    double fold is bitwise-equal to DuckDB's (measured over all
+    124,750 fixture pairs), which is what makes the quantization
+    deterministic. Each side is unit-normalized once per ROW, so the
+    per-pair work is a single dot-product fold; the SQL twin
+    normalizes the same way so the IEEE sequences stay identical."""
+    s = _unit_rows(src, "src_id", "_se")
+    t = _unit_rows(tgt, "tgt_id", "_te")
+    qcos = F.round(_dot(F.col("_se"), F.col("_te")) * F.lit(QUANT)).cast("bigint")
+    return s.crossJoin(F.broadcast(t)).select("src_id", "tgt_id", qcos.alias("qcos"))
 
 
 def mine_bitext(

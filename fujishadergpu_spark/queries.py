@@ -1665,17 +1665,19 @@ def bitext_mine_pairs(spark, sf_dir):
 
 
 BITEXT_SQL = f"""
-WITH src AS (
-  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+WITH srcb AS (
+  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e0
   FROM embeddings WHERE vec_id % 2 = 0
-), tgt AS (
-  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e
+), tgtb AS (
+  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS e0
   FROM embeddings WHERE vec_id % 2 = 1
+), src AS (
+  SELECT src_id, [v / sqrt(list_inner_product(e0, e0)) FOR v IN e0] AS e FROM srcb
+), tgt AS (
+  SELECT tgt_id, [v / sqrt(list_inner_product(e0, e0)) FOR v IN e0] AS e FROM tgtb
 ), cand AS (
   SELECT s.src_id, t.tgt_id,
-         CAST(round(list_inner_product(s.e, t.e)
-              / (sqrt(list_inner_product(s.e, s.e)) * sqrt(list_inner_product(t.e, t.e)))
-              * 1e12) AS BIGINT) AS qcos
+         CAST(round(list_inner_product(s.e, t.e) * 1e12) AS BIGINT) AS qcos
   FROM src s CROSS JOIN tgt t
 ), ranked AS (
   SELECT *,

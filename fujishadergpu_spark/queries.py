@@ -3633,6 +3633,80 @@ ORDER BY s.doc_id
 """
 
 
+def doc_topic_assign(spark, sf_dir):
+    """Keyword-lexicon topic classification (operators/topics): the
+    WebOrganizer-style coarse topic bucket per document, argmax of
+    broadcast-lexicon hits with deterministic tie-break."""
+    from .operators.topics import topic_assign
+
+    return topic_assign(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def corpus_topic_shares(spark, sf_dir):
+    """Corpus topic distribution (operators/topics.topic_shares): the
+    relation a domain-mixture sampler consumes."""
+    from .operators.topics import topic_assign, topic_shares
+
+    return topic_shares(topic_assign(_t(spark, sf_dir, "documents"))).orderBy("topic")
+
+
+def _topic_cte() -> str:
+    """The DuckDB twin's shared CTEs, built from the SAME lexicon
+    constants as the Spark operator (single source of truth)."""
+    from .operators.topics import DEFAULT_LEXICON
+
+    values = ", ".join(
+        f"('{t}', '{w}')" for t, ws in sorted(DEFAULT_LEXICON.items()) for w in ws
+    )
+    return f"""lex(topic, word) AS (VALUES {values}),
+ttoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(COALESCE(text, '')), '[ \n]+'), x -> x != '')) AS word
+  FROM documents
+), tcnt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(COALESCE(text, '')), '[ \n]+'), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), thits AS (
+  SELECT t.doc_id, l.topic, COUNT(*) AS n
+  FROM ttoks t JOIN lex l USING (word) GROUP BY 1, 2
+), tbest AS (
+  SELECT doc_id, topic, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, topic) AS r
+    FROM thits
+  ) WHERE r = 1
+), tassign AS (
+  SELECT c.doc_id,
+         coalesce(b.topic, 'other') AS topic,
+         CAST(coalesce(b.n, 0) AS BIGINT) AS n_hits,
+         c.n_tokens,
+         CASE WHEN c.n_tokens > 0
+              THEN CAST(coalesce(b.n, 0) AS DOUBLE) / c.n_tokens
+              ELSE 0.0 END AS topic_share
+  FROM tcnt c LEFT JOIN tbest b USING (doc_id)
+)"""
+
+
+def _topic_assign_sql() -> str:
+    return f"""
+WITH {_topic_cte()}
+SELECT doc_id, topic, n_hits, n_tokens, topic_share FROM tassign
+ORDER BY doc_id
+"""
+
+
+def _topic_shares_sql() -> str:
+    return f"""
+WITH {_topic_cte()}
+SELECT topic,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM tassign) AS doc_share
+FROM tassign GROUP BY topic
+ORDER BY topic
+"""
+
+
 _FUNNEL_RULES = ["quality_ok", "lang_ok", "dedup_keep", "decontam_keep"]
 
 
@@ -6218,6 +6292,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mine_pairs": bitext_mine_pairs,  # margin-based bitext mining; hash-gated past the window (exact-cosine verify == ann_topk_cosine/embedding_near_dup_pairs, integer-quantized order-free sums == doc_ppl_buckets_hist discipline, windows over ids+longs)
     "doc_mink_prob": doc_mink_prob,  # Min-K% prob membership signal; hash-gated past the window (shared _doc_terms core with doc_lm_perplexity's oracle, per-doc bounded selection window == doc_shards prefix-sum skeleton)
     "corpus_filter_funnel": corpus_filter_funnel,  # filter-attribution ablation table; hash-gated past the window (verdict relation == corpus_filter_pipeline's guarded oracle, single-row map-side-partial agg == corpus_dataset_card skeleton)
+    "doc_topic_assign": doc_topic_assign,  # keyword-lexicon topic bucket; hash-gated past the window (broadcast-lexicon probe == doc_decontaminate skeleton, min-struct argmax == doc_repetition_filter discipline, in-window)
+    "corpus_topic_shares": corpus_topic_shares,  # corpus topic distribution; hash-gated past the window (bounded group-agg over doc_topic_assign's gated relation == doc_stats_by_lang skeleton)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6355,6 +6431,8 @@ ORACLES: dict[str, str] = {
     "bitext_mine_pairs": BITEXT_SQL,
     "doc_mink_prob": MINK_PROB_SQL,
     "corpus_filter_funnel": _funnel_sql(),
+    "doc_topic_assign": _topic_assign_sql(),
+    "corpus_topic_shares": _topic_shares_sql(),
 }
 
 

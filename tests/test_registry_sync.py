@@ -157,6 +157,8 @@ def test_differentiated_entries_inside_driver_window():
         "bitext_mine_pairs",        # margin bitext mining; exact-cosine == ann/near-dup gates, order-free integer sums == ppl_buckets_hist discipline
         "doc_mink_prob",            # Min-K% prob membership signal; shared _doc_terms core with doc_lm_perplexity, bounded per-doc selection window
         "corpus_filter_funnel",     # filter-attribution ablation table; verdicts == corpus_filter_pipeline oracle, single-row agg == dataset_card skeleton
+        "doc_topic_assign",         # lexicon topic bucket; broadcast probe == decontaminate skeleton, min-struct argmax == repetition discipline
+        "corpus_topic_shares",      # topic distribution; bounded group-agg over the gated assign relation == doc_stats_by_lang skeleton
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

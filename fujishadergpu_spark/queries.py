@@ -3633,6 +3633,57 @@ ORDER BY s.doc_id
 """
 
 
+def doc_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (functions/readability)
+    over the sentence-built corpus (the doc_sentence_chunks fixture
+    construction, so the sentence denominator varies for real)."""
+    from .functions.readability import readability
+
+    return readability(_sentence_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _readability_sql() -> str:
+    # called at ORACLES construction time, after _SENT_TOKENS exists —
+    # the sentence-built corpus construction is shared verbatim with
+    # DOC_SENTENCE_CHUNKS_SQL
+    st = _SENT_TOKENS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN array_to_string(
+      [array_to_string(tk[(i-1)*{st}+1:(i-1)*{st}+{st}], ' ')
+         || CASE (i-1) % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END
+       FOR i IN generate_series(1, CAST(ceil(len(tk)/{st}.0) AS INT))], ' ')
+    ELSE '' END AS text
+  FROM toks
+), counts AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '[ \n]+'), x -> x != '')) AS BIGINT) AS n_words,
+    CAST(len(list_filter(
+      list_transform(
+        string_split(regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)),
+        s -> trim(s)),
+      s -> s != '')) AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM built
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN
+    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+  END AS flesch_ease,
+  CASE WHEN n_words > 0 THEN
+    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+  END AS fk_grade
+FROM counts
+ORDER BY doc_id
+"""
+
+
 def doc_topic_assign(spark, sf_dir):
     """Keyword-lexicon topic classification (operators/topics): the
     WebOrganizer-style coarse topic bucket per document, argmax of
@@ -6294,6 +6345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter_funnel": corpus_filter_funnel,  # filter-attribution ablation table; hash-gated past the window (verdict relation == corpus_filter_pipeline's guarded oracle, single-row map-side-partial agg == corpus_dataset_card skeleton)
     "doc_topic_assign": doc_topic_assign,  # keyword-lexicon topic bucket; hash-gated past the window (broadcast-lexicon probe == doc_decontaminate skeleton, min-struct argmax == doc_repetition_filter discipline, in-window)
     "corpus_topic_shares": corpus_topic_shares,  # corpus topic distribution; hash-gated past the window (bounded group-agg over doc_topic_assign's gated relation == doc_stats_by_lang skeleton)
+    "doc_readability": doc_readability,  # Flesch/FK readability; hash-gated past the window (zero-shuffle regexp-count projection == doc_script_profile family, sentence splitter == doc_sentence_chunks' gated construction)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6433,6 +6485,7 @@ ORACLES: dict[str, str] = {
     "corpus_filter_funnel": _funnel_sql(),
     "doc_topic_assign": _topic_assign_sql(),
     "corpus_topic_shares": _topic_shares_sql(),
+    "doc_readability": _readability_sql(),
 }
 
 

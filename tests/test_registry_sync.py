@@ -159,6 +159,7 @@ def test_differentiated_entries_inside_driver_window():
         "corpus_filter_funnel",     # filter-attribution ablation table; verdicts == corpus_filter_pipeline oracle, single-row agg == dataset_card skeleton
         "doc_topic_assign",         # lexicon topic bucket; broadcast probe == decontaminate skeleton, min-struct argmax == repetition discipline
         "corpus_topic_shares",      # topic distribution; bounded group-agg over the gated assign relation == doc_stats_by_lang skeleton
+        "doc_readability",          # Flesch/FK readability; zero-shuffle regexp-count projection == script_profile family, splitter == sentence_chunks construction
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

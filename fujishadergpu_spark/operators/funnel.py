@@ -84,3 +84,69 @@ def filter_attribution(
         "n_docs",
         "n_kept",
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Filter-calibration curve — the FineWeb-Edu-style table behind
+    "where do we set the classifier cutoff": for each candidate
+    threshold, how many documents and how much token mass survive
+    ``score >= threshold``. Returns one row per threshold:
+    (threshold, n_kept, kept_share[, kept_weight, weight_share]).
+    NULL scores never pass any threshold (unscored is not kept).
+
+    Same execution shape as filter_attribution: ONE single-row global
+    aggregate with a conditional sum per threshold (map-side partial,
+    2·T+2 longs per partition), pivoted to T rows by a bounded stack —
+    no T-fold row blowup, no second scan."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError("thresholds must be ascending")
+    s = F.col(score_col)
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("bigint").alias("_tw"))
+    for i, t in enumerate(thresholds):
+        keep = s.isNotNull() & (s >= F.lit(t))
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(f"_k{i}"))
+        if weight_col is not None:
+            aggs.append(
+                F.sum(F.when(keep, F.col(weight_col)).otherwise(0))
+                .cast("bigint")
+                .alias(f"_w{i}")
+            )
+    one = scored.agg(*aggs)
+    stack_args = []
+    for i, t in enumerate(thresholds):
+        stack_args += [F.lit(float(t)), F.col(f"_k{i}")]
+        if weight_col is not None:
+            stack_args.append(F.col(f"_w{i}"))
+    names = ["threshold", "n_kept"] + (["kept_weight"] if weight_col else [])
+    rows = one.select(
+        "n_docs",
+        *(["_tw"] if weight_col else []),
+        F.stack(F.lit(len(thresholds)), *stack_args).alias(*names),
+    )
+    out = rows.select(
+        "threshold",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs").cast("double")).alias(
+            "kept_share"
+        ),
+        *(
+            [
+                "kept_weight",
+                (F.col("kept_weight").cast("double") / F.col("_tw").cast("double")).alias(
+                    "weight_share"
+                ),
+            ]
+            if weight_col
+            else []
+        ),
+    )
+    return out

@@ -3684,6 +3684,38 @@ ORDER BY doc_id
 """
 
 
+_SWEEP_THRESHOLDS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def quality_threshold_sweep(spark, sf_dir):
+    """Filter-calibration curve (operators/funnel.threshold_sweep):
+    kept docs + kept token mass at each candidate quality cutoff —
+    the FineWeb-Edu-style table behind choosing a threshold."""
+    from .operators.funnel import threshold_sweep
+
+    scored = doc_quality(spark, sf_dir)
+    return threshold_sweep(
+        scored, _SWEEP_THRESHOLDS, score_col="quality_score", weight_col="n_tokens"
+    ).orderBy("threshold")
+
+
+def _sweep_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {t} AS threshold,
+       CAST(SUM(CASE WHEN quality_score >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN quality_score >= {t} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_share,
+       CAST(SUM(CASE WHEN quality_score >= {t} THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_weight,
+       CAST(SUM(CASE WHEN quality_score >= {t} THEN n_tokens ELSE 0 END) AS DOUBLE) / SUM(n_tokens) AS weight_share
+FROM q"""
+        for t in _SWEEP_THRESHOLDS
+    )
+    return f"""
+WITH q AS ({DOC_QUALITY_SQL})
+SELECT * FROM ({arms})
+ORDER BY threshold
+"""
+
+
 def doc_topic_assign(spark, sf_dir):
     """Keyword-lexicon topic classification (operators/topics): the
     WebOrganizer-style coarse topic bucket per document, argmax of
@@ -6346,6 +6378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_topic_assign": doc_topic_assign,  # keyword-lexicon topic bucket; hash-gated past the window (broadcast-lexicon probe == doc_decontaminate skeleton, min-struct argmax == doc_repetition_filter discipline, in-window)
     "corpus_topic_shares": corpus_topic_shares,  # corpus topic distribution; hash-gated past the window (bounded group-agg over doc_topic_assign's gated relation == doc_stats_by_lang skeleton)
     "doc_readability": doc_readability,  # Flesch/FK readability; hash-gated past the window (zero-shuffle regexp-count projection == doc_script_profile family, sentence splitter == doc_sentence_chunks' gated construction)
+    "quality_threshold_sweep": quality_threshold_sweep,  # filter-calibration curve; hash-gated past the window (score relation == doc_quality's in-window oracle, single-row conditional-sum agg == corpus_filter_funnel skeleton)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6486,6 +6519,7 @@ ORACLES: dict[str, str] = {
     "doc_topic_assign": _topic_assign_sql(),
     "corpus_topic_shares": _topic_shares_sql(),
     "doc_readability": _readability_sql(),
+    "quality_threshold_sweep": _sweep_sql(),
 }
 
 

@@ -46,3 +46,30 @@ def test_keep_col_none_derives_from_rules(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError, match="rule_cols"):
         filter_attribution(_df(spark), [])
+
+
+def test_threshold_sweep_counts_and_null_policy(spark):
+    from fujishadergpu_spark.operators.funnel import threshold_sweep
+
+    rows = [(0, 0.1, 10), (1, 0.5, 20), (2, 0.9, 30), (3, None, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    out = {r["threshold"]: r.asDict() for r in threshold_sweep(
+        df, [0.0, 0.5, 1.0], weight_col="n_tokens"
+    ).collect()}
+    assert out[0.0]["n_kept"] == 3          # NULL score never kept
+    assert out[0.5]["n_kept"] == 2 and out[0.5]["kept_weight"] == 50
+    assert out[1.0]["n_kept"] == 0 and out[1.0]["kept_weight"] == 0
+    assert out[0.5]["kept_share"] == 2 / 4
+    assert out[0.5]["weight_share"] == 50 / 100
+
+
+def test_threshold_sweep_without_weight_and_validation(spark):
+    from fujishadergpu_spark.operators.funnel import threshold_sweep
+
+    df = spark.createDataFrame([(0, 0.7)], "doc_id long, score double")
+    out = threshold_sweep(df, [0.5]).collect()[0]
+    assert out["n_kept"] == 1 and "kept_weight" not in out.asDict()
+    with pytest.raises(ValueError, match="non-empty"):
+        threshold_sweep(df, [])
+    with pytest.raises(ValueError, match="ascending"):
+        threshold_sweep(df, [0.9, 0.1])

@@ -65,23 +65,79 @@ def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     return pdf[["doc_id", "pack_group", "seq_id", "seq_pos", "n_tokens", "overflow"]]
 
 
+def _pack_group_ffd(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """First-fit-decreasing within one group (Krell et al. 2021 run
+    offline bin packing for exactly this; FFD uses <= 11/9 OPT + 6/9
+    bins vs next-fit's 2 OPT): docs sorted by (n_tokens desc, doc_id)
+    each take the FIRST already-open sequence with room, else open a
+    new one. The scan keeps one int64 array of per-sequence remaining
+    capacity; worst case O(n·bins) per group — fine at the documented
+    ~10^6-docs-per-group sizing (fill is high, so open-bin count stays
+    small); a capacity-indexed tree drops it to O(n log n) if a
+    pathological group ever shows up. Ints only, one task per group,
+    same 16-byte shuffle rows as next-fit."""
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    n = pdf["n_tokens"].to_numpy(np.int64)
+    seq = np.zeros(len(n), np.int64)
+    pos = np.zeros(len(n), np.int64)
+    remaining: list[int] = []
+    for i in range(len(n)):
+        placed = False
+        for b, cap in enumerate(remaining):
+            if n[i] <= cap:
+                seq[i] = b
+                pos[i] = budget - cap
+                remaining[b] = cap - n[i]
+                placed = True
+                break
+        if not placed:
+            seq[i] = len(remaining)
+            pos[i] = 0
+            # an overflow doc occupies its own (over-full) sequence and
+            # leaves no room — same policy as next-fit
+            remaining.append(max(budget - int(n[i]), 0))
+    pdf["seq_id"] = seq
+    pdf["seq_pos"] = pos
+    pdf["overflow"] = pdf["n_tokens"] > budget
+    return pdf[["doc_id", "pack_group", "seq_id", "seq_pos", "n_tokens", "overflow"]]
+
+
+_PACKERS = {"nextfit": _pack_group, "ffd": _pack_group_ffd}
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
     groups: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "nextfit",
 ) -> DataFrame:
-    """Next-fit packing plan: (id, pack_group, seq_id, seq_pos,
-    n_tokens, overflow) for every document.
+    """Packing plan: (id, pack_group, seq_id, seq_pos, n_tokens,
+    overflow) for every document.
 
     ``seq_id`` counts sequences within the group, ``seq_pos`` is the
     document's token offset inside its sequence. Deterministic: group
-    = id mod groups, scan order = ascending id. Invariants (pinned in
-    tests/test_packing.py): non-overflow sequences fill <= budget;
-    every sequence except possibly a group's last one could not have
-    accepted the next document.
+    = id mod groups; ``strategy``:
+
+    - ``nextfit`` (default, the hash-oracled mode): scan ascending id,
+      append while it fits, else open a new sequence — the streaming
+      concat-and-chunk rule, one integer of running state.
+    - ``ffd``: first-fit-decreasing — the offline bin-packing rule
+      with the 11/9-OPT guarantee; strictly better fill on mixed
+      lengths, requires the group's sizes up front (it sorts), no SQL
+      twin (iterative argmin state) so it is pytest-pinned against a
+      pure-Python reference instead.
+
+    Invariants for both (pinned in tests/test_packing.py):
+    non-overflow sequences fill <= budget; a doc is flagged overflow
+    iff longer than the whole budget, and sits alone in its sequence.
     """
+    if strategy not in _PACKERS:
+        raise ValueError(f"unknown strategy {strategy!r} (nextfit/ffd)")
+    packer = _PACKERS[strategy]
     tk = F.filter(F.split(F.col(text_col), "[ \n]+"), lambda t: t != "")
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -94,7 +150,7 @@ def pack_sequences(
     return (
         keyed.repartition(groups, "pack_group")
         .groupBy("pack_group")
-        .applyInPandas(lambda pdf: _pack_group(pdf, budget), PACK_SCHEMA)
+        .applyInPandas(lambda pdf: packer(pdf, budget), PACK_SCHEMA)
     )
 
 

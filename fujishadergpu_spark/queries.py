@@ -3413,6 +3413,20 @@ def doc_pack_sequences(spark, sf_dir):
     )
 
 
+def doc_pack_sequences_ffd(spark, sf_dir):
+    """First-fit-decreasing packing plan (operators/packing,
+    strategy='ffd'): the offline 11/9-OPT bin-packing rule — strictly
+    better fill than next-fit on mixed lengths. Rows-only by nature
+    (iterative argmin state, no SQL twin); the assignment is pinned
+    against a pure-Python FFD reference in tests/test_packing.py."""
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, budget=_PACK_BUDGET, groups=_PACK_GROUPS, strategy="ffd"
+    ).orderBy("doc_id")
+
+
 PACK_SQL = f"""
 WITH RECURSIVE tk AS (
   SELECT doc_id,
@@ -6379,6 +6393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_topic_shares": corpus_topic_shares,  # corpus topic distribution; hash-gated past the window (bounded group-agg over doc_topic_assign's gated relation == doc_stats_by_lang skeleton)
     "doc_readability": doc_readability,  # Flesch/FK readability; hash-gated past the window (zero-shuffle regexp-count projection == doc_script_profile family, sentence splitter == doc_sentence_chunks' gated construction)
     "quality_threshold_sweep": quality_threshold_sweep,  # filter-calibration curve; hash-gated past the window (score relation == doc_quality's in-window oracle, single-row conditional-sum agg == corpus_filter_funnel skeleton)
+    "doc_pack_sequences_ffd": doc_pack_sequences_ffd,  # rows-only: FFD's iterative argmin has no SQL twin (the bpe_merges_table precedent); pinned vs a pure-Python FFD reference + budget/overflow invariants in tests/test_packing.py; plan shape == doc_pack_sequences' in-window gate
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).

@@ -104,3 +104,70 @@ def test_pack_group_scaling_smoke(spark):
     # spot invariant: every sequence's fill <= budget (no overflows here)
     fills = out.groupby("seq_id")["n_tokens"].sum()
     assert (fills <= 2048).all()
+
+
+def _ffd_reference(items, budget):
+    """Pure-Python FFD: list of (doc_id, n) -> {doc_id: (seq, pos)}."""
+    out = {}
+    bins = []  # remaining capacity per bin
+    for did, n in sorted(items, key=lambda x: (-x[1], x[0])):
+        for b, cap in enumerate(bins):
+            if n <= cap:
+                out[did] = (b, budget - cap)
+                bins[b] = cap - n
+                break
+        else:
+            out[did] = (len(bins), 0)
+            bins.append(max(budget - n, 0))
+    return out, len(bins)
+
+
+def test_ffd_matches_pure_python_reference(spark):
+    from fujishadergpu_spark.operators.packing import pack_sequences
+
+    sizes = [7, 5, 5, 4, 3, 2, 2, 1, 12, 6]  # includes one overflow (12 > 10)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    plan = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(docs, budget=10, groups=1, strategy="ffd").collect()
+    }
+    want, n_bins = _ffd_reference(list(enumerate(sizes)), 10)
+    for did, (seq, pos) in want.items():
+        assert (plan[did]["seq_id"], plan[did]["seq_pos"]) == (seq, pos), did
+    assert plan[8]["overflow"] is True and all(
+        plan[d]["seq_id"] != plan[8]["seq_id"] for d in plan if d != 8
+    )
+    # non-overflow bins respect the budget
+    fill = {}
+    for d, r in plan.items():
+        fill.setdefault(r["seq_id"], 0)
+        fill[r["seq_id"]] += r["n_tokens"]
+    assert all(v <= 10 for s, v in fill.items() if s != plan[8]["seq_id"])
+
+
+def test_ffd_uses_no_more_sequences_than_nextfit(spark):
+    from fujishadergpu_spark.operators.packing import pack_sequences
+
+    # adversarial-for-nextfit mix: alternating big/small
+    sizes = [9, 2, 9, 2, 9, 2, 9, 2]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    def n_seqs(strategy):
+        plan = pack_sequences(docs, budget=11, groups=1, strategy=strategy)
+        return plan.select("seq_id").distinct().count()
+    assert n_seqs("ffd") <= n_seqs("nextfit")
+    assert n_seqs("ffd") == 4  # 4x(9+2) fits exactly
+
+
+def test_unknown_strategy_rejected(spark):
+    from fujishadergpu_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown strategy"):
+        pack_sequences(docs, budget=10, strategy="bestfit")

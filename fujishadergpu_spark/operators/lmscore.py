@@ -375,3 +375,149 @@ def ppl_bucket_thresholds_hist(
         for i, (num, den) in enumerate(cuts)
     ]
     return cum.groupBy(*g).agg(*ths)
+
+
+# ---------------- interpolated trigram LM (order-3) -------------------
+# CCNet's production signal is a KenLM 5-gram; the bigram lm_score
+# above is the order-2 member of the family. This is the order-3
+# interpolated add-k model — p(w3|w1 w2) mixes trigram, bigram and
+# unigram maximum-likelihood-plus-k estimates with fixed weights
+# (Jelinek-Mercer interpolation, the standard backoff-free smoothing
+# whose every term stays a ratio of two counts — exactly
+# cross-engine-stateable, unlike KN's discounted continuation counts).
+
+TRIGRAM_LAMBDAS = (0.7, 0.2, 0.1)
+
+
+def _ngram_list(tk, n: int):
+    """NON-distinct position-ordered n-grams of a token array."""
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_score(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc interpolated-trigram negative log-likelihood:
+    (id, n_trigrams, nll3_q6) with
+    nll3_q6 = round(−Σ ln(λ3·p3 + λ2·p2 + λ1·p1) · 1e6),
+
+      p3 = (c(w1w2w3) + k) / (c(w1w2) + k·V)
+      p2 = (c(w2w3)   + k) / (c(w2)   + k·V)
+      p1 = (c(w3)     + k) / (T       + k·V)
+
+    over train-corpus counts (train defaults to docs — the
+    self-trained CCNet configuration). Docs with fewer than three
+    tokens keep n_trigrams = 0 and NULL nll3_q6.
+
+    100-TB shape (the lm_score discipline, one order up): all model
+    relations are vocabulary-bounded; the full mixture term is
+    pre-folded into ONE (trigram, term) relation — every component
+    join (prefix bigram, suffix bigram, middle/last unigram) runs
+    model-relation × model-relation, never against the corpus; the
+    corpus meets the model exactly once on the well-distributed
+    trigram key with map-side partial per-doc sums. Trigrams absent
+    from the model (train ≠ docs only) route dirty-only through the
+    component joins with coalesce(0) counts — the skewed short keys
+    never carry a corpus-wide exchange. Quantization after the sum
+    (the LM_SCORE wobble-below-quantum contract).
+    """
+    l3, l2, l1 = TRIGRAM_LAMBDAS
+    t = train if train is not None else docs
+    tk = _tokens(F.col(text_col))
+    tt = t.select(tk.alias("_tk"))
+    c3 = (
+        tt.select(F.explode(_ngram_list(F.col("_tk"), 3)).alias("_g3"))
+        .groupBy("_g3").agg(F.count("*").alias("_c3"))
+    )
+    c2 = (
+        tt.select(F.explode(_ngram_list(F.col("_tk"), 2)).alias("_g2"))
+        .groupBy("_g2").agg(F.count("*").alias("_c2"))
+    )
+    c1 = (
+        tt.select(F.explode(F.col("_tk")).alias("_g1"))
+        .groupBy("_g1").agg(F.count("*").alias("_c1"))
+    )
+    tot = tt.select(F.explode(F.col("_tk")).alias("_g1")).agg(
+        F.count("*").alias("_T"), F.countDistinct("_g1").alias("_v")
+    )
+
+    def _parts(g3):
+        p = F.split(g3, " ")
+        return (
+            F.concat_ws(" ", F.element_at(p, 1), F.element_at(p, 2)),
+            F.concat_ws(" ", F.element_at(p, 2), F.element_at(p, 3)),
+            F.element_at(p, 2),
+            F.element_at(p, 3),
+        )
+
+    def _term(c3c, p_pre, p_suf, p_mid, p_last):
+        kv = F.lit(k) * F.col("_v")
+        p3 = (c3c + F.lit(k)) / (p_pre + kv)
+        p2 = (p_suf + F.lit(k)) / (p_mid + kv)
+        p1 = (p_last + F.lit(k)) / (F.col("_T") + kv)
+        return F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1)
+
+    pre, suf, mid, last = _parts(F.col("_g3"))
+    probs = (
+        c3.withColumns({"_pre": pre, "_suf": suf, "_mid": mid, "_last": last})
+        .join(c2.select(F.col("_g2").alias("_pre"), F.col("_c2").alias("_cpre")), "_pre")
+        .join(c2.select(F.col("_g2").alias("_suf"), F.col("_c2").alias("_csuf")), "_suf")
+        .join(c1.select(F.col("_g1").alias("_mid"), F.col("_c1").alias("_cmid")), "_mid")
+        .join(c1.select(F.col("_g1").alias("_last"), F.col("_c1").alias("_clast")), "_last")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_g3",
+            _term(
+                F.col("_c3"), F.col("_cpre"), F.col("_csuf"),
+                F.col("_cmid"), F.col("_clast"),
+            ).alias("_t"),
+        )
+    )
+    ids = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(_ngram_list(tk, 3)).cast("bigint").alias("n_trigrams"),
+    )
+    occ = docs.select(
+        F.col(id_col).alias("_id"), F.explode(_ngram_list(tk, 3)).alias("_g3")
+    )
+    seen = occ.join(probs, "_g3").select("_id", "_t")
+    # dirty-only miss routing (train != docs): every count coalesces
+    # to 0 under the same interpolation formula
+    mpre, msuf, mmid, mlast = _parts(F.col("_g3"))
+    miss = (
+        occ.join(probs.select("_g3"), "_g3", "left_anti")
+        .withColumns({"_pre": mpre, "_suf": msuf, "_mid": mmid, "_last": mlast})
+        .join(c2.select(F.col("_g2").alias("_pre"), F.col("_c2").alias("_cpre")), "_pre", "left")
+        .join(c2.select(F.col("_g2").alias("_suf"), F.col("_c2").alias("_csuf")), "_suf", "left")
+        .join(c1.select(F.col("_g1").alias("_mid"), F.col("_c1").alias("_cmid")), "_mid", "left")
+        .join(c1.select(F.col("_g1").alias("_last"), F.col("_c1").alias("_clast")), "_last", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            _term(
+                F.lit(0).cast("bigint"),
+                F.coalesce(F.col("_cpre"), F.lit(0)),
+                F.coalesce(F.col("_csuf"), F.lit(0)),
+                F.coalesce(F.col("_cmid"), F.lit(0)),
+                F.coalesce(F.col("_clast"), F.lit(0)),
+            ).alias("_t"),
+        )
+    )
+    sums = seen.unionByName(miss).groupBy("_id").agg(
+        F.round(-F.sum("_t") * F.lit(1000000.0)).cast("bigint").alias("_nll")
+    )
+    return ids.join(sums, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_trigrams",
+        F.when(F.col("n_trigrams") > 0, F.col("_nll")).alias("nll3_q6"),
+    )

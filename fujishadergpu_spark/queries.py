@@ -3982,6 +3982,68 @@ ORDER BY t.doc_id
 """
 
 
+def doc_trigram_perplexity(spark, sf_dir):
+    """Interpolated trigram-LM score (operators/lmscore.trigram_score):
+    the order-3 member of the CCNet signal family — Jelinek-Mercer
+    mixture of trigram/bigram/unigram add-k estimates, self-trained."""
+    from .operators.lmscore import trigram_score
+
+    return trigram_score(_t(spark, sf_dir, "documents"), k=0.5).orderBy("doc_id")
+
+
+TRIGRAM_SCORE_SQL = """
+WITH ttoks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk
+  FROM documents
+), og3 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 3 THEN
+      [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+    ELSE [] END) AS g
+  FROM ttoks
+), og2 AS (
+  SELECT unnest(
+    CASE WHEN len(tk) >= 2 THEN
+      [array_to_string(tk[i:i+1], ' ') FOR i IN generate_series(1, len(tk) - 1)]
+    ELSE [] END) AS g
+  FROM ttoks
+), og1 AS (SELECT unnest(tk) AS g FROM ttoks),
+c3 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM og3 GROUP BY g),
+c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM og2 GROUP BY g),
+c1 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM og1 GROUP BY g),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(COUNT(DISTINCT g) AS BIGINT) AS v FROM og1),
+parts AS (
+  SELECT g AS g3, c,
+         string_split(g, ' ')[1] || ' ' || string_split(g, ' ')[2] AS pre,
+         string_split(g, ' ')[2] || ' ' || string_split(g, ' ')[3] AS suf,
+         string_split(g, ' ')[2] AS mid,
+         string_split(g, ' ')[3] AS lst
+  FROM c3
+), probs AS (
+  SELECT p.g3,
+         ln(0.7 * ((p.c + 0.5) / (cpre.c + 0.5 * tot.v))
+          + 0.2 * ((csuf.c + 0.5) / (cmid.c + 0.5 * tot.v))
+          + 0.1 * ((clast.c + 0.5) / (tot.t + 0.5 * tot.v))) AS term
+  FROM parts p
+  JOIN c2 cpre ON cpre.g = p.pre
+  JOIN c2 csuf ON csuf.g = p.suf
+  JOIN c1 cmid ON cmid.g = p.mid
+  JOIN c1 clast ON clast.g = p.lst
+  CROSS JOIN tot
+), hits AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(round(-SUM(pr.term) * 1000000.0) AS BIGINT) AS nll3_q6
+  FROM og3 o JOIN probs pr ON pr.g3 = o.g
+  GROUP BY o.doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_trigrams, 0) AS n_trigrams,
+       h.nll3_q6 AS nll3_q6
+FROM ttoks t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 _MINK_NUM, _MINK_DEN = 1, 5
 
 
@@ -6394,6 +6456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_readability": doc_readability,  # Flesch/FK readability; hash-gated past the window (zero-shuffle regexp-count projection == doc_script_profile family, sentence splitter == doc_sentence_chunks' gated construction)
     "quality_threshold_sweep": quality_threshold_sweep,  # filter-calibration curve; hash-gated past the window (score relation == doc_quality's in-window oracle, single-row conditional-sum agg == corpus_filter_funnel skeleton)
     "doc_pack_sequences_ffd": doc_pack_sequences_ffd,  # rows-only: FFD's iterative argmin has no SQL twin (the bpe_merges_table precedent); pinned vs a pure-Python FFD reference + budget/overflow invariants in tests/test_packing.py; plan shape == doc_pack_sequences' in-window gate
+    "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6535,6 +6598,7 @@ ORACLES: dict[str, str] = {
     "corpus_topic_shares": _topic_shares_sql(),
     "doc_readability": _readability_sql(),
     "quality_threshold_sweep": _sweep_sql(),
+    "doc_trigram_perplexity": TRIGRAM_SCORE_SQL,
 }
 
 

@@ -229,3 +229,66 @@ def test_mink_prob_m_rounds_up_and_validates(spark):
         mink_prob(docs, frac=(0, 5))
     with _pt.raises(ValueError, match="frac"):
         mink_prob(docs, frac=(6, 5))
+
+
+def _trigram_reference(doc_tokens, train_docs, k=0.5, lams=(0.7, 0.2, 0.1)):
+    """Pure-Python interpolated-trigram nll for one token list."""
+    import math
+    from collections import Counter
+
+    c3, c2, c1 = Counter(), Counter(), Counter()
+    T = 0
+    for tks in train_docs:
+        T += len(tks)
+        c1.update(tks)
+        c2.update(" ".join(tks[i:i + 2]) for i in range(len(tks) - 1))
+        c3.update(" ".join(tks[i:i + 3]) for i in range(len(tks) - 2))
+    V = len(c1)
+    nll = 0.0
+    for i in range(len(doc_tokens) - 2):
+        w1, w2, w3 = doc_tokens[i:i + 3]
+        p3 = (c3[f"{w1} {w2} {w3}"] + k) / (c2[f"{w1} {w2}"] + k * V)
+        p2 = (c2[f"{w2} {w3}"] + k) / (c1[w2] + k * V)
+        p1 = (c1[w3] + k) / (T + k * V)
+        nll -= math.log(lams[0] * p3 + lams[1] * p2 + lams[2] * p1)
+    return round(nll * 1e6)
+
+
+def test_trigram_score_matches_reference_self_trained(spark):
+    from fujishadergpu_spark.operators.lmscore import trigram_score
+
+    texts = ["a b c a b d", "b c a b c", "x y"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in trigram_score(docs, k=0.5).collect()}
+    train = [t.split() for t in texts]
+    for i, t in enumerate(texts):
+        tks = t.split()
+        if len(tks) < 3:
+            assert out[i]["n_trigrams"] == 0 and out[i]["nll3_q6"] is None
+        else:
+            assert out[i]["n_trigrams"] == len(tks) - 2
+            assert out[i]["nll3_q6"] == _trigram_reference(tks, train), i
+
+
+def test_trigram_score_miss_routing_external_train(spark):
+    from fujishadergpu_spark.operators.lmscore import trigram_score
+
+    train = spark.createDataFrame([(0, "a b c a b c")], ["doc_id", "text"])
+    # "a b z" is a model-miss trigram (z unseen entirely); "b c a" seen
+    docs = spark.createDataFrame([(0, "a b z b c a")], ["doc_id", "text"])
+    out = trigram_score(docs, k=0.5, train=train).collect()[0]
+    want = _trigram_reference("a b z b c a".split(), [["a", "b", "c", "a", "b", "c"]])
+    assert out["nll3_q6"] == want
+
+
+def test_trigram_fluent_scores_below_scrambled(spark):
+    from fujishadergpu_spark.operators.lmscore import trigram_score
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(0, base.strip()), (1, "dog the over quick lazy fox the jumps brown")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in trigram_score(docs).collect()}
+    per = lambda i: out[i]["nll3_q6"] / out[i]["n_trigrams"]  # noqa: E731
+    assert per(0) < per(1)  # fluent text = lower per-trigram nll

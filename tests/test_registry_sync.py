@@ -161,6 +161,7 @@ def test_differentiated_entries_inside_driver_window():
         "corpus_topic_shares",      # topic distribution; bounded group-agg over the gated assign relation == doc_stats_by_lang skeleton
         "doc_readability",          # Flesch/FK readability; zero-shuffle regexp-count projection == script_profile family, splitter == sentence_chunks construction
         "quality_threshold_sweep",  # filter-calibration curve; score relation == doc_quality oracle, single-row conditional-sum agg == funnel skeleton
+        "doc_trigram_perplexity",   # interpolated trigram LM; model pre-fold + single corpus-model join == doc_lm_perplexity skeleton, one order up
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

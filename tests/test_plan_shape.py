@@ -167,3 +167,67 @@ def test_bm25_query_path_has_no_corpus_wide_join(spark):
     plan = _plan(bm25_topk(d, q, k=3))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topic_assign_broadcasts_lexicon(spark):
+    """The lexicon probe must be a broadcast join — the corpus-side
+    token relation is scanned, never shuffled for the probe (the
+    decontaminate discipline)."""
+    from fujishadergpu_spark.operators.topics import topic_assign
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(topic_assign(docs))
+    assert "BroadcastHashJoin" in plan
+    # the probe key never keys an exchange: the only shuffles are the
+    # (id, topic) aggregate and the id-keyed totality join (ids +
+    # longs); a hashpartitioning on `word` would mean the lexicon
+    # probe shuffled the corpus token relation
+    assert not re.search(r"Exchange hashpartitioning\(word", plan)
+
+
+def test_funnel_and_sweep_are_single_aggregate_no_window(spark):
+    """filter_attribution and threshold_sweep promise ONE single-row
+    global aggregate pivoted by a bounded stack: no Window node, no
+    join, and exactly one pair of (partial, final) aggregates."""
+    from fujishadergpu_spark.operators.funnel import (
+        filter_attribution,
+        threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(0, True, False, 0.5, 10)],
+        "doc_id long, a boolean, b boolean, score double, w long",
+    )
+    for plan in (
+        _plan(filter_attribution(df, ["a", "b"], keep_col=None)),
+        _plan(threshold_sweep(df, [0.1, 0.9], weight_col="w")),
+    ):
+        assert "Window" not in plan
+        assert "Join" not in plan
+        # one global aggregate: a single-partition exchange at most
+        assert plan.count("Exchange") <= 1
+
+
+def test_ngram_topk_plans_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (partial
+    per-partition top-k), never a global Sort over the vocabulary."""
+    from fujishadergpu_spark.operators.vocab import ngram_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_topk(docs, 3, 50))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bitext_topk_plans_window_group_limit(spark):
+    """The per-side kNN rank<=k filters must plan as WindowGroupLimit
+    (partial per-partition top-k before the window) so the full
+    candidate relation never materializes through a naive rank."""
+    from pyspark.sql import functions as F_
+
+    from fujishadergpu_spark.operators.bitext import candidate_scores, mine_bitext
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = e.filter(F_.col("vec_id") % 2 == 0)
+    tgt = e.filter(F_.col("vec_id") % 2 == 1)
+    plan = _plan(mine_bitext(candidate_scores(src, tgt), k=4))
+    assert "WindowGroupLimit" in plan

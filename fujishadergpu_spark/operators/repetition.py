@@ -510,3 +510,23 @@ def ngram_repetition_features(
     for g in gates[1:]:
         keep = keep & g
     return out.select("doc_id", F.col("total_chars").cast("bigint").alias("total_chars"), *fracs, keep.alias("keep"))
+
+
+def sentence_dedup(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level SENTENCE dedup — the third granularity of the
+    _unit_dedup family (docs -> paragraphs -> lines -> sentences ->
+    spans is the full coarse-to-fine ladder; sentence granularity is
+    what a RAG index deduplicates before chunking, and what C4-style
+    line rules approximate when lines are sentence-ish). Keeper and
+    scale shape are the shared straggler-free core: min(doc_id, pos)
+    struct aggregate per distinct sentence, never a window over
+    sentence partitions. Rebuilt text joins surviving sentences with
+    single spaces (terminal punctuation survives inside each
+    sentence, so segmentation round-trips)."""
+    from ..functions.sentences import sentences
+
+    return _unit_dedup(df, doc_id_col, text_col, sentences, " ", "n_sentences")

@@ -3982,6 +3982,65 @@ ORDER BY t.doc_id
 """
 
 
+def sentence_dedup_docs(spark, sf_dir):
+    """Corpus-level sentence dedup (operators/repetition.sentence_dedup)
+    over the sentence-built corpus: globally-first keeper per distinct
+    sentence, documents rebuilt from surviving sentences — the RAG
+    pre-chunking granularity of the _unit_dedup ladder."""
+    from .operators.repetition import sentence_dedup
+
+    return sentence_dedup(_sentence_documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sentence_dedup_sql() -> str:
+    st = _SENT_TOKENS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> x != '') AS tk
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN array_to_string(
+      [array_to_string(tk[(i-1)*{st}+1:(i-1)*{st}+{st}], ' ')
+         || CASE (i-1) % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END
+       FOR i IN generate_series(1, CAST(ceil(len(tk)/{st}.0) AS INT))], ' ')
+    ELSE '' END AS text
+  FROM toks
+), sents AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)),
+        s -> trim(s)),
+      s -> s != '') AS s
+  FROM built
+), units AS (
+  SELECT doc_id, u.sent AS sent, u.pos AS pos FROM (
+    SELECT doc_id,
+           unnest([{{'sent': s[i], 'pos': i - 1}} FOR i IN generate_series(1, len(s))]) AS u
+    FROM sents
+  )
+), ranked AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+  FROM units
+), kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(sent, ' ' ORDER BY pos) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(s) AS n_sentences FROM sents
+)
+SELECT t.doc_id,
+  CAST(t.n_sentences AS BIGINT) AS n_sentences,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(t.n_sentences - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(k.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def doc_trigram_perplexity(spark, sf_dir):
     """Interpolated trigram-LM score (operators/lmscore.trigram_score):
     the order-3 member of the CCNet signal family — Jelinek-Mercer
@@ -6457,6 +6516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_threshold_sweep": quality_threshold_sweep,  # filter-calibration curve; hash-gated past the window (score relation == doc_quality's in-window oracle, single-row conditional-sum agg == corpus_filter_funnel skeleton)
     "doc_pack_sequences_ffd": doc_pack_sequences_ffd,  # rows-only: FFD's iterative argmin has no SQL twin (the bpe_merges_table precedent); pinned vs a pure-Python FFD reference + budget/overflow invariants in tests/test_packing.py; plan shape == doc_pack_sequences' in-window gate
     "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
+    "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6599,6 +6659,7 @@ ORACLES: dict[str, str] = {
     "doc_readability": _readability_sql(),
     "quality_threshold_sweep": _sweep_sql(),
     "doc_trigram_perplexity": TRIGRAM_SCORE_SQL,
+    "sentence_dedup_docs": _sentence_dedup_sql(),
 }
 
 

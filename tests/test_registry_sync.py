@@ -162,6 +162,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_readability",          # Flesch/FK readability; zero-shuffle regexp-count projection == script_profile family, splitter == sentence_chunks construction
         "quality_threshold_sweep",  # filter-calibration curve; score relation == doc_quality oracle, single-row conditional-sum agg == funnel skeleton
         "doc_trigram_perplexity",   # interpolated trigram LM; model pre-fold + single corpus-model join == doc_lm_perplexity skeleton, one order up
+        "sentence_dedup_docs",      # sentence-granularity corpus dedup; shared _unit_dedup core with line_dedup_docs (in-window), splitter == sentence_chunks
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

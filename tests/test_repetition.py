@@ -284,3 +284,24 @@ def test_paragraph_dedup_plan_has_no_unit_window(spark):
     df = spark.createDataFrame([(0, "a\n\nb")], "doc_id long, text string")
     plan = paragraph_dedup(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan
+
+
+def test_sentence_dedup_keeper_and_rebuild(spark):
+    from fujishadergpu_spark.operators.repetition import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat. it ran fast. the cat sat."),   # in-doc dup
+            (1, "it ran fast. something new here."),          # cross-doc dup of doc 0's sentence
+            (2, "no punctuation single sentence"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in sentence_dedup(docs).collect()}
+    assert out[0]["n_sentences"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == "the cat sat. it ran fast."
+    # doc 1 loses "it ran fast." to doc 0's earlier occurrence
+    assert out[1]["n_kept"] == 1 and out[1]["text_dedup"] == "something new here."
+    assert out[2]["n_kept"] == 1 and out[2]["n_removed"] == 0
+    assert out[3]["n_sentences"] == 0 and out[3]["text_dedup"] == ""

@@ -479,6 +479,23 @@ def main(argv=None):
     c.add_argument("--unimax-max-epochs", type=int, default=1)
     c.add_argument("--shard-budget", type=int, default=1_048_576,
                    help="tokens per shard in the final shuffled shard layout")
+    c.add_argument("--norm-dedup", action="store_true",
+                   help="insert the CCNet normalized-key exact dedup right "
+                        "after pii (case/digit/accent/punct-style copies "
+                        "collapse to one keeper)")
+    c.add_argument("--sent-dedup", action="store_true",
+                   help="insert sentence-granularity corpus dedup after "
+                        "line dedup (the finer _unit_dedup rung)")
+    c.add_argument("--readability-range", default=None,
+                   help="LO,HI Flesch-reading-ease band gate after the "
+                        "repetition stage, e.g. '10,90'")
+    c.add_argument("--topic-keep", default=None,
+                   help="comma list of lexicon topics to keep before the "
+                        "sampler (list 'other' to keep unmatched docs)")
+    c.add_argument("--pack-strategy", default="nextfit",
+                   choices=["nextfit", "ffd"],
+                   help="packing rule: streaming next-fit (default) or "
+                        "first-fit-decreasing (better fill, offline)")
     c.add_argument("--run-id", default=None)
 
     r = sub.add_parser(
@@ -540,7 +557,18 @@ def main(argv=None):
                 pack_groups=args.pack_groups or _NB,
                 ngram_rules=args.ngram_rules,
                 gopher_doc_rules=args.gopher_doc_rules,
+                norm_dedup=args.norm_dedup,
                 para_dedup=args.para_dedup,
+                sent_dedup=args.sent_dedup,
+                readability_range=tuple(
+                    float(x) for x in args.readability_range.split(",")
+                )
+                if args.readability_range
+                else None,
+                topic_keep=tuple(args.topic_keep.split(","))
+                if args.topic_keep
+                else None,
+                pack_strategy=args.pack_strategy,
                 dsir_target_path=args.dsir_target,
                 dsir_select=args.dsir_select,
                 mixture_targets=_json.loads(args.mixture_targets)

@@ -100,8 +100,12 @@ OPTIONAL_STAGES = (
     "domain",
     "mojibake",
     "boilerplate",
+    "norm_dedup",
     "para_dedup",
+    "sent_dedup",
+    "readability",
     "ppl",
+    "topic",
     "chunk",
 )
 
@@ -124,7 +128,12 @@ def run_clean_corpus(
     pack_groups: int = N_BUCKETS,
     ngram_rules: bool = False,
     gopher_doc_rules: bool = False,
+    norm_dedup: bool = False,
     para_dedup: bool = False,
+    sent_dedup: bool = False,
+    readability_range: tuple | None = None,
+    topic_keep: tuple | None = None,
+    pack_strategy: str = "nextfit",
     dsir_target_path: str | None = None,
     dsir_select: int = 1000,
     mixture_targets: dict[str, float] | None = None,
@@ -207,8 +216,18 @@ def run_clean_corpus(
     ``seen_snapshot_path`` (a parquet exact_snapshot of a prior
     release) enables the cross-snapshot dedup stage right after it —
     recrawl batches drop docs the kept corpus already has, plus
-    in-batch exact dups. All are pure functions of their input, so
-    bucketed resume stays sound.
+    in-batch exact dups. ``norm_dedup`` inserts the CCNet
+    normalized-key exact dedup (functions/textnorm.py) right after
+    pii — trivially-differing copies collapse before any content
+    gate re-scores them; ``sent_dedup`` inserts sentence-granularity
+    corpus dedup after line_dedup (the finer _unit_dedup rung);
+    ``readability_range=(lo, hi)`` inserts a Flesch-reading-ease band
+    gate after repetition (functions/readability.py);
+    ``topic_keep`` inserts a lexicon-topic keep gate before the
+    sampler (operators/topics.py — list 'other' to keep unmatched
+    docs); ``pack_strategy`` selects next-fit (default) or 'ffd'
+    first-fit-decreasing packing. All are pure functions of their
+    input, so bucketed resume stays sound.
     """
     modes = [
         n
@@ -333,6 +352,19 @@ def run_clean_corpus(
         ),
     ).select("doc_id", "text")
 
+    # 1b. (opt-in) CCNet normalized-key exact dedup — case / digits /
+    # accents / punctuation-style copies collapse to one keeper
+    # (functions/textnorm.py). Runs right after pii, before any
+    # content gate: the cheapest whole-doc dedup, and the gates
+    # shouldn't re-score trivial copies
+    if norm_dedup:
+        from ..functions.textnorm import normalized_dedup
+
+        nk = normalized_dedup(pii_out).where("keep").select("doc_id")
+        pii_out = stage("norm_dedup", _bucketed(pii_out.join(nk, "doc_id"))).select(
+            "doc_id", "text"
+        )
+
     # 2. Gopher repetition gate — drop docs failing any §A1.1 rule
     rep_keep = repetition_features(pii_out).where("keep").select("doc_id")
     if ngram_rules:
@@ -352,6 +384,23 @@ def run_clean_corpus(
     rep_out = stage(
         "repetition", _bucketed(pii_out.join(rep_keep, "doc_id"))
     ).select("doc_id", "text")
+
+    # 2a. (opt-in) readability band — keep docs whose Flesch reading
+    # ease falls in [lo, hi] (functions/readability.py): drops both
+    # word-salad (very low) and degenerate ultra-short-word text
+    # (very high); unscored (word-less) docs drop
+    if readability_range is not None:
+        from ..functions.readability import readability
+
+        lo, hi = readability_range
+        rb = (
+            readability(rep_out)
+            .where(F.col("flesch_ease").between(float(lo), float(hi)))
+            .select("doc_id")
+        )
+        rep_out = stage("readability", _bucketed(rep_out.join(rb, "doc_id"))).select(
+            "doc_id", "text"
+        )
 
     # 2b. (opt-in) corpus-level paragraph dedup — the RefinedWeb
     # granularity, BEFORE line dedup: line_dedup rejoins kept lines
@@ -375,6 +424,20 @@ def run_clean_corpus(
         "line_dedup",
         _bucketed(ld.select("doc_id", F.col("text_dedup").alias("text"))),
     ).select("doc_id", "text")
+
+    # 3b. (opt-in) corpus-level sentence dedup — the finer rung below
+    # lines (docs -> paragraphs -> lines -> sentences -> spans);
+    # line_dedup's single-newline rejoin leaves sentences intact, so
+    # sentence dedup correctly runs AFTER it. Fully-duplicate docs
+    # drop out.
+    if sent_dedup:
+        from ..operators.repetition import sentence_dedup
+
+        sdp = sentence_dedup(ld_out).where(F.col("n_kept") > 0)
+        ld_out = stage(
+            "sent_dedup",
+            _bucketed(sdp.select("doc_id", F.col("text_dedup").alias("text"))),
+        ).select("doc_id", "text")
 
     # 4. ExactSubstr span removal — rewrite text with corpus-duplicated
     # spans excised; docs reduced to nothing drop out
@@ -419,6 +482,22 @@ def run_clean_corpus(
             .select("doc_id")
         )
         dc_out = stage("ppl", _bucketed(dc_out.join(kept_ids, "doc_id"))).select(
+            "doc_id", "text"
+        )
+
+    # 5c. (opt-in) topic gate — keep only documents whose
+    # lexicon-argmax topic is in ``topic_keep`` (operators/topics.py;
+    # 'other' must be listed to keep unmatched docs). The broadcast
+    # probe rides the scan; deterministic argmax keeps resume sound.
+    if topic_keep is not None:
+        from ..operators.topics import topic_assign
+
+        tk_ids = (
+            topic_assign(dc_out)
+            .where(F.col("topic").isin(*topic_keep))
+            .select("doc_id")
+        )
+        dc_out = stage("topic", _bucketed(dc_out.join(tk_ids, "doc_id"))).select(
             "doc_id", "text"
         )
 
@@ -470,8 +549,11 @@ def run_clean_corpus(
     sm_out = stage("sample", _bucketed(sampled)).select("doc_id", "text")
 
     # 7. sequence packing — the training-batch plan, keyed by its own
-    # pack_group (natural resume unit: one group packs in one task)
-    plan = pack_sequences(sm_out, budget=pack_budget, groups=pack_groups)
+    # pack_group (natural resume unit: one group packs in one task);
+    # strategy 'ffd' swaps in first-fit-decreasing for better fill
+    plan = pack_sequences(
+        sm_out, budget=pack_budget, groups=pack_groups, strategy=pack_strategy
+    )
     stage("pack", plan, key_col="pack_group")
 
     # 8. shard layout — deterministic corpus shuffle + token-budget

@@ -543,3 +543,101 @@ def test_clean_corpus_urlfilter_and_increment_stages(spark, tmp_path):
     # 1 already in the prior release's snapshot
     assert _ids(spark, out, "increment") == {0}
     assert _ids(spark, out, "pii") == {0}
+
+
+def test_clean_corpus_norm_dedup_stage(spark, tmp_path):
+    """Opt-in normalized-key dedup: case/digit/whitespace copies
+    collapse to the min-id keeper right after pii."""
+    base = "the answer is 42 and the rest of this text carries on for a while longer here"
+    docs = [
+        (0, base),
+        (1, base.upper().replace("42", "17")),  # case+digit copy -> dropped
+        (2, "a fully different document with its own words that stands alone here today"),
+    ]
+    src = str(tmp_path / "nd_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "nd_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="nd", pack_budget=16, pack_groups=2,
+        norm_dedup=True,
+    )
+    assert "norm_dedup" in s
+    assert _ids(spark, out, "norm_dedup") == {0, 2}
+
+
+def test_clean_corpus_sent_dedup_stage(spark, tmp_path):
+    """Opt-in sentence dedup after line dedup: a sentence duplicated
+    across docs survives only in the first doc."""
+    dup_sent = "this exact sentence shows up in two documents verbatim."
+    docs = [
+        (0, dup_sent + " and doc zero carries plenty of its own words beyond it to pass gates here."),
+        (1, dup_sent + " while doc one also has a long unique remainder that keeps it alive through filters."),
+    ]
+    src = str(tmp_path / "sd_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "sd_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="sd", pack_budget=16, pack_groups=2,
+        sent_dedup=True,
+    )
+    assert "sent_dedup" in s
+    t = _texts(spark, out, "sent_dedup")
+    assert dup_sent in t[0]
+    assert dup_sent not in t[1] and "unique remainder" in t[1]
+
+
+def test_clean_corpus_readability_and_topic_gates(spark, tmp_path):
+    """Opt-in readability band and topic gates: the band drops the
+    out-of-range doc; the topic gate keeps only listed buckets."""
+    easy = ("the cat sat on the mat. the dog ran to the park. we like to "
+            "walk and talk. it is a good day for all of us out here now.")
+    dense = ("notwithstanding institutional heterogeneity epistemological "
+             "reorganization necessitates comprehensive multidimensional "
+             "transdisciplinary recontextualization methodologies enabling "
+             "paradigmatic interoperability considerations henceforth")
+    docs = [(0, easy), (1, dense)]
+    src = str(tmp_path / "rt_docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "rt_out")
+    s = run_clean_corpus(
+        spark, src, out, run_id="rt", pack_budget=16, pack_groups=2,
+        readability_range=(0.0, 206.0),
+    )
+    assert "readability" in s
+    # the dense doc's flesch ease is deeply negative -> dropped
+    assert _ids(spark, out, "readability") == {0}
+
+    # topic gate: a joins-heavy doc survives, a storage-heavy doc
+    # doesn't when only 'joins' is listed
+    # diverse wording (the Gopher repetition gate upstream must pass)
+    # with a clear topical majority: 4 joins-words vs 1 storage-word
+    jd = ("join merge hash key against one table while every other word "
+          "here stays unique so no repetition rule can fire on this text")
+    sd = ("table part data value beside one join since all remaining words "
+          "differ from each other and keep the gopher gate satisfied fully")
+    src2 = str(tmp_path / "tp_docs.parquet")
+    spark.createDataFrame([(0, jd), (1, sd)], "doc_id long, text string").write.parquet(src2)
+    out2 = str(tmp_path / "tp_out")
+    s2 = run_clean_corpus(
+        spark, src2, out2, run_id="tp", pack_budget=16, pack_groups=2,
+        topic_keep=("joins",),
+    )
+    assert "topic" in s2
+    assert _ids(spark, out2, "topic") == {0}
+
+
+def test_clean_corpus_pack_strategy_ffd(spark, corpus_path, tmp_path):
+    """pack_strategy='ffd' flows through to the pack stage and keeps
+    the budget invariant."""
+    out = str(tmp_path / "ffd_out")
+    run_clean_corpus(
+        spark, corpus_path, out, run_id="ffd", pack_budget=16, pack_groups=2,
+        pack_strategy="ffd",
+    )
+    plan = spark.read.parquet(f"{out}/pack")
+    per_seq = (
+        plan.where(~F.col("overflow"))
+        .groupBy("pack_group", "seq_id")
+        .agg(F.sum("n_tokens").alias("t"))
+    )
+    assert per_seq.where(F.col("t") > 16).count() == 0

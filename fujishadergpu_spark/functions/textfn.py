@@ -89,6 +89,35 @@ def lang_id(text: Column) -> Column:
     return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_id_margin(text: Column) -> tuple[Column, Column, Column, Column]:
+    """(pred_lang, top_hits, second_hits, margin) — the
+    CONFIDENCE-aware language ID: CCNet keeps a page only when the
+    classifier's top-language score clears a threshold (Wenzek 2020
+    §3.2, fastText score >= 0.5); the stopword-family analog is the
+    hit margin between the best and runner-up languages,
+    margin = (top - second) / (top + second) in [0, 1] (one IEEE
+    division of exact ints; 1.0 when unambiguous, 0.0 on a tie, NULL
+    when no language hits at all). Pure column expressions — the
+    sorted pair array is built once and min/sliced, no UDF."""
+    scores = lang_scores(text)
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+                for lang in sorted(STOPWORDS)
+            ]
+        )
+    )
+    top = F.element_at(pairs, 1)
+    second = F.element_at(pairs, 2)
+    t, s = -top["neg"], -second["neg"]
+    pred = F.when(t > 0, top["lang"]).otherwise(F.lit("und"))
+    margin = F.when(
+        t > 0, (t - s).cast("double") / (t + s).cast("double")
+    )
+    return pred, t.cast("bigint"), s.cast("bigint"), margin
+
+
 # --------------------- fingerprint (rolling hash) ---------------------
 
 _FP_P = np.uint64(1099511628211)  # FNV-ish multiplier

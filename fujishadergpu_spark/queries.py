@@ -1559,6 +1559,59 @@ FROM s ORDER BY doc_id
 LANG_ID_SQL = _lang_id_sql()
 
 
+def doc_lang_id_margin(spark, sf_dir):
+    """Confidence-aware language ID (textfn.lang_id_margin): the CCNet
+    keep-if-confident gate's evidence — top/runner-up stopword hits
+    and their normalized margin."""
+    d = _t(spark, sf_dir, "documents")
+    pred, top, second, margin = textfn.lang_id_margin(F.col("text"))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        top.alias("top_hits"),
+        second.alias("second_hits"),
+        margin.alias("margin"),
+    ).orderBy("doc_id")
+
+
+def _lang_id_margin_sql() -> str:
+    """Margin twin, generated from the SAME stopword table; struct
+    list_sort orders by (neg hits, lang) exactly like Spark's
+    array_sort over identically-shaped structs."""
+    langs = sorted(textfn.STOPWORDS)
+    score_cols = ",\n         ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in textfn.STOPWORDS[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    structs = ", ".join(
+        f"{{'neg': -s_{lang}, 'lang': '{lang}'}}" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), ' +'), x -> x != '')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM t
+), arrs AS (
+  SELECT doc_id, list_sort([{structs}]) AS arr FROM s
+)
+SELECT doc_id,
+  CASE WHEN -(arr[1].neg) > 0 THEN arr[1].lang ELSE 'und' END AS pred_lang,
+  CAST(-(arr[1].neg) AS BIGINT) AS top_hits,
+  CAST(-(arr[2].neg) AS BIGINT) AS second_hits,
+  CASE WHEN -(arr[1].neg) > 0
+       THEN CAST((-(arr[1].neg)) - (-(arr[2].neg)) AS DOUBLE)
+            / CAST((-(arr[1].neg)) + (-(arr[2].neg)) AS DOUBLE)
+  END AS margin
+FROM arrs ORDER BY doc_id
+"""
+
+
 def doc_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textfn.fingerprint_udf("text").alias("fingerprint")).orderBy("doc_id")
@@ -6517,6 +6570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences_ffd": doc_pack_sequences_ffd,  # rows-only: FFD's iterative argmin has no SQL twin (the bpe_merges_table precedent); pinned vs a pure-Python FFD reference + budget/overflow invariants in tests/test_packing.py; plan shape == doc_pack_sequences' in-window gate
     "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
+    "doc_lang_id_margin": doc_lang_id_margin,  # confidence-aware language ID; hash-gated past the window (shared STOPWORDS table + argmax skeleton with doc_lang_id, in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6660,6 +6714,7 @@ ORACLES: dict[str, str] = {
     "quality_threshold_sweep": _sweep_sql(),
     "doc_trigram_perplexity": TRIGRAM_SCORE_SQL,
     "sentence_dedup_docs": _sentence_dedup_sql(),
+    "doc_lang_id_margin": _lang_id_margin_sql(),
 }
 
 

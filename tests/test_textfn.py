@@ -66,3 +66,43 @@ def test_fingerprint_matches_reference_fnv():
     got = _fingerprint_series(pd.Series(texts)).tolist()
     exp = [fnv1a(t) for t in texts]
     assert got == exp
+
+
+def test_lang_id_margin(spark):
+    from pyspark.sql import functions as F
+
+    from fujishadergpu_spark.functions.textfn import lang_id_margin
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the and that with have this from they"),  # pure en
+            (1, "the der and und"),                         # en/de tie 2-2
+            (2, "zz qq xx"),                                # no hits
+        ],
+        "doc_id long, text string",
+    )
+    pred, top, second, margin = lang_id_margin(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select(
+            "doc_id", pred.alias("p"), top.alias("t"), second.alias("s"), margin.alias("m")
+        ).collect()
+    }
+    assert out[0]["p"] == "en" and out[0]["s"] == 0 and out[0]["m"] == 1.0
+    # tie: lang-ascending argmax (de before en), margin exactly 0
+    assert out[1]["p"] == "de" and out[1]["t"] == 2 and out[1]["s"] == 2
+    assert out[1]["m"] == 0.0
+    assert out[2]["p"] == "und" and out[2]["m"] is None
+
+
+def test_lang_id_margin_agrees_with_lang_id(spark):
+    from pyspark.sql import functions as F
+
+    from fujishadergpu_spark.functions.textfn import lang_id, lang_id_margin
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = lang_id_margin(F.col("text"))[0]
+    n = d.select(
+        (pred == lang_id(F.col("text"))).alias("same")
+    ).where(~F.col("same")).count()
+    assert n == 0

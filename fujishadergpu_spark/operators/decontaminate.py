@@ -209,3 +209,46 @@ def embedding_decontaminate(
         .join(hits, "_id", "left")
         .select(*out(F.coalesce("_hits", F.lit(0))))
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    assignment: DataFrame,
+    n: int = 8,
+    train_split: str = "train",
+    test_split: str = "test",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split leakage audit: for every TRAIN document, how many
+    of its distinct token n-grams also occur anywhere in the TEST
+    split — the eval-leak check a team runs AFTER assigning splits
+    (and the measurement that justifies sampling.split_assign's
+    group-keyed boundaries: row-keyed splits cut straight through
+    near-duplicate families, and this report shows the damage).
+
+    ``assignment``: (id, split) relation, e.g. split_assign output.
+    Returns one row per train document: (id, split, n_grams,
+    n_leaked, leak_frac, clean) — clean = no shared n-gram.
+
+    100-TB shape: exactly the decontaminate contract — the test
+    split's distinct grams broadcast (eval splits are small by
+    construction), the train side scans map-side; the audit is one
+    more consumer of the same skeleton, not a new plan.
+    """
+    train_ids = assignment.filter(F.col("split") == train_split).select(id_col)
+    test_docs = docs.join(
+        assignment.filter(F.col("split") == test_split).select(id_col), id_col
+    )
+    rep = decontaminate(
+        docs.join(train_ids, id_col), test_docs, n=n,
+        id_col=id_col, text_col=text_col, bench_text_col=text_col,
+    )
+    return rep.select(
+        F.col(id_col),
+        F.lit(train_split).alias("split"),
+        "n_grams",
+        F.col("n_contaminated").alias("n_leaked"),
+        F.col("contaminated_frac").alias("leak_frac"),
+        F.col("keep").alias("clean"),
+    )

@@ -5749,6 +5749,83 @@ FROM h ORDER BY doc_id
 """
 
 
+_LEAK_N = 8
+
+
+def split_leakage_report(spark, sf_dir):
+    """Cross-split leakage audit (operators/decontaminate.split_leakage)
+    under a deliberately ROW-keyed split (draw on doc_id, not the
+    source group): near-duplicate docs straddle the boundary, so the
+    report shows real leaked grams — the measurement that justifies
+    group-keyed split_assign."""
+    from .operators.decontaminate import split_leakage
+    from .operators.sampling import split_assign
+
+    d = _dup_planted_documents(spark, sf_dir)
+    asg = split_assign(d, SPLIT_WEIGHTS, "doc_id").select("doc_id", "split")
+    return split_leakage(d, asg, n=_LEAK_N).orderBy("doc_id")
+
+
+def _split_leakage_sql() -> str:
+    from .operators.sampling import DENOM, P31, SAMPLE_A, SAMPLE_B
+
+    items = sorted(SPLIT_WEIGHTS.items())
+    tot = sum(SPLIT_WEIGHTS.values())
+    case, acc = [], 0.0
+    for name, wgt in items[:-1]:
+        acc += wgt / tot
+        case.append(f"WHEN d < {int(round(acc * DENOM))} THEN '{name}'")
+    n = _LEAK_N
+    return f"""
+WITH planted AS (
+  SELECT a.doc_id,
+         CASE WHEN a.doc_id % 13 = 5 AND b.text IS NOT NULL
+              THEN b.text ELSE a.text END AS text
+  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 5
+), asg AS (
+  SELECT doc_id,
+         CASE {' '.join(case)} ELSE '{items[-1][0]}' END AS split
+  FROM (
+    SELECT doc_id,
+      ((doc_id % {P31} + {P31}) % {P31} * {SAMPLE_A} + {SAMPLE_B}) % {P31} % {DENOM} AS d
+    FROM planted
+  )
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \n]+'), x -> x != '') AS tk
+  FROM planted
+), bgrams AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) >= {n} THEN
+      [array_to_string(tk[i:i+{n - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {n - 1})]
+    ELSE [] END) AS gram
+  FROM toks JOIN asg USING (doc_id) WHERE asg.split = 'test'
+), dgrams AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= {n} THEN
+      [array_to_string(tk[i:i+{n - 1}], ' ')
+       FOR i IN generate_series(1, len(tk) - {n - 1})]
+    ELSE [] END) AS grams
+  FROM toks JOIN asg USING (doc_id) WHERE asg.split = 'train'
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_leaked
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM dgrams)
+  JOIN bgrams USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  'train' AS split,
+  CAST(len(d.grams) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+  CASE WHEN len(d.grams) > 0
+       THEN CAST(coalesce(h.n_leaked, 0) AS DOUBLE) / len(d.grams)
+       ELSE 0.0 END AS leak_frac,
+  coalesce(h.n_leaked, 0) = 0 AS clean
+FROM dgrams d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 # domain keywords (operators/domains.domain_keywords)
 # ----------------------------------------------------------------------
@@ -6571,6 +6648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
     "doc_lang_id_margin": doc_lang_id_margin,  # confidence-aware language ID; hash-gated past the window (shared STOPWORDS table + argmax skeleton with doc_lang_id, in-window)
+    "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6715,6 +6793,7 @@ ORACLES: dict[str, str] = {
     "doc_trigram_perplexity": TRIGRAM_SCORE_SQL,
     "sentence_dedup_docs": _sentence_dedup_sql(),
     "doc_lang_id_margin": _lang_id_margin_sql(),
+    "split_leakage_report": _split_leakage_sql(),
 }
 
 

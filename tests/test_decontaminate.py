@@ -191,3 +191,29 @@ def test_embedding_decontaminate_empty_benchmark_is_total(spark):
         ).collect()
         assert len(out) == 40, exhaustive
         assert all(r["keep"] and r["n_hits"] == 0 for r in out), exhaustive
+
+
+def test_split_leakage_detects_planted_cross_split_dup(spark):
+    from pyspark.sql import functions as F
+
+    from fujishadergpu_spark.operators.decontaminate import split_leakage
+
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " plus train only words here"),
+            (1, "completely different training text with no overlap at all whatsoever"),
+            (2, shared + " plus test side words instead"),
+        ],
+        "doc_id long, text string",
+    )
+    asg = spark.createDataFrame(
+        [(0, "train"), (1, "train"), (2, "test")], "doc_id long, split string"
+    )
+    rep = {r["doc_id"]: r.asDict() for r in split_leakage(docs, asg, n=8).collect()}
+    assert set(rep) == {0, 1}                      # train docs only
+    # 10-token shared run -> 3 fully-inside 8-grams, plus the boundary
+    # gram "a4..a10 plus" (both docs continue with 'plus') = 4
+    assert rep[0]["n_leaked"] == 4 and rep[0]["clean"] is False
+    assert rep[1]["n_leaked"] == 0 and rep[1]["clean"] is True
+    assert rep[0]["split"] == "train"

@@ -2801,6 +2801,35 @@ FROM range(500) r ORDER BY media_id
 """
 
 
+def media_header_probe(spark, sf_dir):
+    """REAL container-header parsing under the hash gate
+    (sources/multimodal.probe_media_headers): the fixture payloads
+    carry genuine PNG IHDR / JPEG SOF0 / GIF89a / WAV fmt byte
+    layouts with id-derived dimensions, the Spark side PARSES the
+    bytes, and the oracle recomputes the planted ground truth in
+    closed form — hash equality proves the parser inverts the real
+    header construction (the pre-decode resolution/sample-rate filter
+    of a multimodal pipeline)."""
+    from .sources.multimodal import probe_media_headers, synthetic_headered_media
+
+    m = synthetic_headered_media(spark, 500)
+    return probe_media_headers(m).orderBy("media_id")
+
+
+MEDIA_PROBE_SQL = """
+SELECT r.range AS media_id,
+       CASE (r.range % 4) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                          WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
+       CASE WHEN r.range % 4 IN (0, 1, 2)
+            THEN CAST(16 + (r.range % 1904) AS INT) END AS probe_width,
+       CASE WHEN r.range % 4 IN (0, 1, 2)
+            THEN CAST(16 + (r.range % 1064) AS INT) END AS probe_height,
+       CASE WHEN r.range % 4 = 3
+            THEN CAST(8000 + (r.range % 40000) AS INT) END AS sample_rate
+FROM range(500) r ORDER BY media_id
+"""
+
+
 def knn_ring_trace(spark, sf_dir):
     """Ring-expansion diagnostics: counts per final rank distance —
     keeps the iterative operator under driver smoke coverage."""
@@ -6649,6 +6678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
     "doc_lang_id_margin": doc_lang_id_margin,  # confidence-aware language ID; hash-gated past the window (shared STOPWORDS table + argmax skeleton with doc_lang_id, in-window)
     "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
+    "media_header_probe": media_header_probe,  # REAL container-header parse vs closed-form planted truth; hash-gated past the window (mapInPandas binary plumbing == media_features' in-window contract gate)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6794,6 +6824,7 @@ ORACLES: dict[str, str] = {
     "sentence_dedup_docs": _sentence_dedup_sql(),
     "doc_lang_id_margin": _lang_id_margin_sql(),
     "split_leakage_report": _split_leakage_sql(),
+    "media_header_probe": MEDIA_PROBE_SQL,
 }
 
 

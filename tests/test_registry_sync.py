@@ -165,6 +165,7 @@ def test_differentiated_entries_inside_driver_window():
         "sentence_dedup_docs",      # sentence-granularity corpus dedup; shared _unit_dedup core with line_dedup_docs (in-window), splitter == sentence_chunks
         "doc_lang_id_margin",       # confidence-aware language ID; shared STOPWORDS + argmax skeleton with doc_lang_id (in-window)
         "split_leakage_report",     # cross-split eval-leak audit; split draw == doc_split_assign oracle, broadcast-gram probe == decontaminate (in-window)
+        "media_header_probe",       # REAL header parse vs closed-form planted truth; mapInPandas binary plumbing == media_features contract gate (in-window)
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -6571,14 +6571,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup_docs": span_dedup_docs,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_stratified_sample": doc_stratified_sample,
-    "doc_lang_id": doc_lang_id,
+    "doc_lang_id_margin": doc_lang_id_margin,  # supersedes doc_lang_id in-window: same STOPWORDS argmax PLUS top/runner-up hits and the confidence margin (r6 session 3)
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash_docs": dedup_simhash_docs,
     "url_canonical_dedup": url_canonical_dedup,
-    "dedup_canonical_docs": dedup_canonical_docs,
-    "doc_fingerprint_distinct": doc_fingerprint_distinct,
-    "media_features": media_features,
+    "edit_sim_pairs_docs": edit_sim_pairs_docs,  # admitted r6 session 3: the fuzzy-dedup PRECISION stage (length-band prefilter + levenshtein verify) — a new skeleton class
+    "bitext_mine_pairs": bitext_mine_pairs,  # admitted r6 session 3: margin-based bitext mining (integer micro-unit cosine algebra + forward argmax) — a new skeleton class
+    "media_header_probe": media_header_probe,  # supersedes media_features in-window: same mapInPandas binary plumbing PLUS real PNG/JPEG/GIF/WAV header parsing vs planted truth (r6 session 3)
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "bm25_topk_docs": bm25_topk_docs,
@@ -6622,6 +6622,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_openness_normalized_z5": tile_openness_normalized_z5,  # percentile_approx-sketch plan variant; the exact sibling hash-gates the identical stats->inject->stretch pipeline in-window (demoted r6)
     "spatial_hillshade_z5": spatial_hillshade_z5,  # pre-smooth multi-radius variant; the exact sibling hash-gates the full overview composition in-window, the sigma-pre-smooth branch stays pytest-world-oracled (demoted r6)
     "nodata_border_infer_normalize": nodata_border_infer_normalize,  # border-rule variant of nodata_infer_normalize's infer->inject->normalize skeleton; the border argmax rule stays pinned in tests/test_encoding.py + its oracle under the demoted guard (demoted r6 to admit doc_classifier_scores)
+    "doc_lang_id": doc_lang_id,  # demoted r6 s3: doc_lang_id_margin gates the same STOPWORDS argmax in-window plus the confidence evidence (oracle kept, guard-rechecked)
+    "dedup_canonical_docs": dedup_canonical_docs,  # demoted r6 s3 to admit edit_sim_pairs_docs: the closure is dedup_cluster_components' in-window gate, the totality back-join == dedup_exact_docs' keeper skeleton (oracle kept)
+    "doc_fingerprint_distinct": doc_fingerprint_distinct,  # demoted r6 s3 to admit bitext_mine_pairs: content-hash determinism stays in-window via doc_extract_text_roundtrip's byte-identity gate (oracle kept)
+    "media_features": media_features,  # demoted r6 s3: media_header_probe gates the same mapInPandas binary plumbing in-window plus real header parsing (oracle kept)
     "streaming_dedup_keep": streaming_dedup_keep,  # batch twin of the streaming dedup, deterministic keeper
     "corpus_filter_pipeline": corpus_filter_pipeline,  # capstone AND of four in-window hash-gated stage skeletons
     "ann_ivf_probe_exhaustive": ann_ivf_probe_exhaustive,  # nprobe=n_buckets: provably == brute force, hash-gated
@@ -6664,9 +6668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup_docs": paragraph_dedup_docs,  # RefinedWeb paragraph-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs, in-window)
     "doc_sentence_chunks": doc_sentence_chunks,  # sentence segmentation + sentence windows; hash-gated past the window (zero-shuffle transform+posexplode skeleton == doc_chunk_windows, oracled)
     "corpus_ngram_topk": corpus_ngram_topk,  # WIMBD most-common n-grams; hash-gated past the window (gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk, both covered)
-    "edit_sim_pairs_docs": edit_sim_pairs_docs,  # fuzzy-dedup edit-distance verify; hash-gated past the window (candidate stage == dedup_ngram_jaccard machinery feeding the in-window closure gate, verify == bounded-pair equi-joins + codegen expression)
     "normalized_dedup_docs": normalized_dedup_docs,  # CCNet normalized-key dedup; hash-gated past the window (fused literal-rewrite codegen == doc_pii_scrub/doc_mojibake_fix family, 16-byte keyed group+back-join == dedup_exact_docs, in-window)
-    "bitext_mine_pairs": bitext_mine_pairs,  # margin-based bitext mining; hash-gated past the window (exact-cosine verify == ann_topk_cosine/embedding_near_dup_pairs, integer-quantized order-free sums == doc_ppl_buckets_hist discipline, windows over ids+longs)
     "doc_mink_prob": doc_mink_prob,  # Min-K% prob membership signal; hash-gated past the window (shared _doc_terms core with doc_lm_perplexity's oracle, per-doc bounded selection window == doc_shards prefix-sum skeleton)
     "corpus_filter_funnel": corpus_filter_funnel,  # filter-attribution ablation table; hash-gated past the window (verdict relation == corpus_filter_pipeline's guarded oracle, single-row map-side-partial agg == corpus_dataset_card skeleton)
     "doc_topic_assign": doc_topic_assign,  # keyword-lexicon topic bucket; hash-gated past the window (broadcast-lexicon probe == doc_decontaminate skeleton, min-struct argmax == doc_repetition_filter discipline, in-window)
@@ -6676,9 +6678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences_ffd": doc_pack_sequences_ffd,  # rows-only: FFD's iterative argmin has no SQL twin (the bpe_merges_table precedent); pinned vs a pure-Python FFD reference + budget/overflow invariants in tests/test_packing.py; plan shape == doc_pack_sequences' in-window gate
     "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
-    "doc_lang_id_margin": doc_lang_id_margin,  # confidence-aware language ID; hash-gated past the window (shared STOPWORDS table + argmax skeleton with doc_lang_id, in-window)
     "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
-    "media_header_probe": media_header_probe,  # REAL container-header parse vs closed-form planted truth; hash-gated past the window (mapInPandas binary plumbing == media_features' in-window contract gate)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).

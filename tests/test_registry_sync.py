@@ -152,9 +152,7 @@ def test_differentiated_entries_inside_driver_window():
         "paragraph_dedup_docs",     # RefinedWeb paragraph dedup; shared _unit_dedup core with line_dedup_docs in-window
         "doc_sentence_chunks",      # sentence windows; zero-shuffle transform+posexplode skeleton == doc_chunk_windows (oracled)
         "corpus_ngram_topk",        # WIMBD most-common n-grams; gram fan-out == doc_decontaminate, hash-agg + TakeOrdered top-k == doc_vocab_topk
-        "edit_sim_pairs_docs",      # fuzzy-dedup edit verify; candidate stage == dedup_ngram_jaccard machinery (in-window via closure gate), verify == bounded equi-joins + codegen
         "normalized_dedup_docs",    # CCNet normalized-key dedup; fused literal-rewrite codegen == pii/mojibake family, 16-byte keyed group == dedup_exact_docs
-        "bitext_mine_pairs",        # margin bitext mining; exact-cosine == ann/near-dup gates, order-free integer sums == ppl_buckets_hist discipline
         "doc_mink_prob",            # Min-K% prob membership signal; shared _doc_terms core with doc_lm_perplexity, bounded per-doc selection window
         "corpus_filter_funnel",     # filter-attribution ablation table; verdicts == corpus_filter_pipeline oracle, single-row agg == dataset_card skeleton
         "doc_topic_assign",         # lexicon topic bucket; broadcast probe == decontaminate skeleton, min-struct argmax == repetition discipline
@@ -163,9 +161,11 @@ def test_differentiated_entries_inside_driver_window():
         "quality_threshold_sweep",  # filter-calibration curve; score relation == doc_quality oracle, single-row conditional-sum agg == funnel skeleton
         "doc_trigram_perplexity",   # interpolated trigram LM; model pre-fold + single corpus-model join == doc_lm_perplexity skeleton, one order up
         "sentence_dedup_docs",      # sentence-granularity corpus dedup; shared _unit_dedup core with line_dedup_docs (in-window), splitter == sentence_chunks
-        "doc_lang_id_margin",       # confidence-aware language ID; shared STOPWORDS + argmax skeleton with doc_lang_id (in-window)
         "split_leakage_report",     # cross-split eval-leak audit; split draw == doc_split_assign oracle, broadcast-gram probe == decontaminate (in-window)
-        "media_header_probe",       # REAL header parse vs closed-form planted truth; mapInPandas binary plumbing == media_features contract gate (in-window)
+        "doc_lang_id",              # demoted r6 s3: doc_lang_id_margin gates the same STOPWORDS argmax in-window plus confidence evidence
+        "dedup_canonical_docs",     # demoted r6 s3: closure == dedup_cluster_components, totality back-join == dedup_exact_docs keeper (both in-window)
+        "doc_fingerprint_distinct", # demoted r6 s3: content-hash determinism == doc_extract_text_roundtrip byte-identity gate (in-window)
+        "media_features",           # demoted r6 s3: media_header_probe gates the same mapInPandas plumbing in-window plus real parsing
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

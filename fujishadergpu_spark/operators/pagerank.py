@@ -1,0 +1,138 @@
+"""Link-graph PageRank over a web corpus — the host/page authority
+signal a Common-Crawl-scale curation pipeline uses for crawl
+prioritisation and quality weighting (cf. Page et al. 1999; Common
+Crawl publishes exactly this style of host-level ranking for its
+crawl frontier).
+
+Arithmetic is EXACT-INTEGER fixed point: ranks are BIGINT micro-units
+of ``scale`` (default 10^12), every update term is a floor division
+of positive longs, and integer sums are order-independent — so the
+result is bit-identical across engines, partition counts, and cluster
+sizes by construction (no float-summation-order argument needed, the
+same discipline as the USM/waterfill gates). Update rule per node v:
+
+    rank'(v) = base + dang + sum_{u -> v} (num * rank(u)) div (den * out_deg(u))
+
+    base = ((den - num) * scale) div (den * n)      # teleport share
+    dang = (num * sum_{dangling u} rank(u)) div (den * n)
+
+with damping num/den = 85/100. Floor losses (< 1 unit per edge per
+round) make the total mass drift down by ~|E| units per round —
+eleven orders below ``scale``; the SIGN of the drift is deterministic
+and both engines reproduce it exactly.
+
+Scale shape (10^12 nodes): the iteration state is (id, rank) two-long
+rows; per round there are exactly two wide exchanges — the ranks ⋈
+edges equi-join on src (AQE skew-splittable; a hot hub's OUT-edges
+share one src key only if one page links out billions of times, which
+the dedup stages upstream cap) and the map-side-partial SUM on dst.
+Document text never enters the loop. The dangling total is a
+single-row aggregate cross-joined back (a 1-row broadcast, the
+components.py fingerprint discipline — no unbounded driver collect);
+``localCheckpoint`` per round truncates the growing lineage exactly
+like operators/components.py / operators/knn.py. The one driver-side
+scalar is ``nodes.count()`` at build time (n is needed inside the
+teleport constant).
+
+Reference analog: none (the reference is a single-raster engine);
+this extends the corpus-curation family (dedup.py, domains.py) with
+the graph-authority signal, reusing components.py's iterative
+discipline (SURVEY.md §2.E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, out_deg, rank_q12) for every node, after ``iters`` exact
+    integer fixed-point PageRank rounds.
+
+    ``edges`` is a directed (src, dst) link relation; self-loops and
+    duplicate links are removed here so callers can feed raw extracted
+    hyperlinks. ``nodes`` (optional, one ``id`` column) fixes the node
+    universe — pages with no links in OR out still hold teleport mass;
+    when omitted the universe is the ids appearing in ``edges``.
+    Nodes with no out-links are dangling: their mass is redistributed
+    uniformly each round, the standard correction.
+    """
+    if iters < 0:
+        raise ValueError(f"pagerank: iters must be >= 0, got {iters}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"pagerank: need 0 < damping_num < damping_den, got "
+            f"{damping_num}/{damping_den}"
+        )
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes is None:
+        ids = e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+    else:
+        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    base_nodes = (
+        ids.join(deg, "id", "left")
+        .select("id", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
+        .localCheckpoint()
+    )
+    n = base_nodes.count()
+    if n == 0:
+        return base_nodes.withColumn("rank_q12", F.lit(0).cast("long"))
+    # Teleport share: exact Python-int floor — identical to the SQL
+    # twin's in-query integer expression by the uniqueness of floor.
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    dang_denom = damping_den * n
+
+    r = base_nodes.select("id", "out_deg", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        # 1-row dangling-mass aggregate, broadcast back (never collects).
+        dt = r.where(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("_dt")
+        )
+        contrib = (
+            e.join(
+                r.select(F.col("id").alias("src"), "rank", "out_deg"), "src"
+            )
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(
+                    f"({damping_num} * rank) div ({damping_den} * out_deg)"
+                ).alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        r = (
+            base_nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dt))
+            .select(
+                "id",
+                "out_deg",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_num} * _dt) div {dang_denom}")
+                    + F.coalesce(F.col("_s"), F.lit(0).cast("long"))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return r.select("id", "out_deg", F.col("rank").alias("rank_q12"))

@@ -35,6 +35,7 @@ from .functions.cells import cell_of_sql
 from .functions.tiles import tile_pixel, tile_xy_sql
 from .operators import ann, components, dedup
 from .operators.knn import knn
+from .operators.pagerank import pagerank
 from .operators.pip_join import PipIndex, pip_join
 from .operators.tile_kernels import tile_kernel_stats
 from .sources.multimodal import extract_features, synthetic_media
@@ -6495,6 +6496,90 @@ FROM agg ORDER BY doc_id
 """
 
 
+def _web_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic hyperlink graph over the documents
+    table (the geo_points derivation precedent): each page links to
+    three modular targets (doc_id * m + a) % n, except pages with
+    doc_id % 17 == 0, which emit nothing — the planted DANGLING set
+    that exercises the redistribution branch. n arrives by a 1-row
+    broadcast cross-join, so the fixture itself stays declarative."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    nrow = d.agg(F.count("*").alias("_n"))
+    c = d.crossJoin(F.broadcast(nrow))
+    parts = [
+        c.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * m + a) % F.col("_n")).alias("dst"),
+        )
+        for m, a in _LINK_GENS
+    ]
+    links = parts[0]
+    for p in parts[1:]:
+        links = links.unionByName(p)
+    return links.where((F.col("src") % 17 != 0) & (F.col("src") != F.col("dst")))
+
+
+_LINK_GENS = [(7919, 97), (104729, 194), (337, 291)]
+_PAGERANK_ITERS = 6
+
+
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer fixed-point PageRank over the synthetic link
+    graph — the graph-authority signal of a crawl-curation pipeline
+    (operators/pagerank.py). Node universe = every document (isolated
+    and dangling pages hold teleport mass). Bit-exact by construction:
+    every update term is a floor division of positive longs, so the
+    DuckDB unrolled-CTE twin reproduces each of the 6 rounds to the
+    unit with no float-summation-order caveat."""
+    d = _t(spark, sf_dir, "documents")
+    return pagerank(
+        _web_links(spark, sf_dir),
+        nodes=d.select(F.col("doc_id").alias("id")),
+        iters=_PAGERANK_ITERS,
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB twin of web_pagerank: the identical integer recurrence,
+    one CTE pair (dangling total + rank relation) per round. DuckDB
+    ``//`` on positive BIGINTs == Spark ``div`` (both floor); SUM
+    returns HUGEINT, cast back (sums are bounded by scale=1e12)."""
+    raw = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id AS src, (doc_id*{m} + {a}) % (SELECT n FROM _nn) AS dst FROM documents"
+        for m, a in _LINK_GENS
+    )
+    ctes = [
+        "_nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"_links AS (SELECT DISTINCT src, dst FROM (\n      {raw}\n    ) WHERE src % 17 <> 0 AND src <> dst)",
+        "_nd AS (SELECT d.doc_id AS id, COALESCE(g.deg, 0) AS out_deg FROM documents d"
+        " LEFT JOIN (SELECT src, COUNT(*) AS deg FROM _links GROUP BY src) g ON g.src = d.doc_id)",
+        "_r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM _nn) AS BIGINT) AS pr FROM _nd)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"_r{i - 1}"
+        ctes.append(
+            f"_d{i} AS (SELECT CAST(COALESCE(SUM(r.pr), 0) AS BIGINT) AS dt"
+            f" FROM {p} r JOIN _nd ON _nd.id = r.id WHERE _nd.out_deg = 0)"
+        )
+        ctes.append(
+            f"_r{i} AS (SELECT _nd.id, CAST("
+            f"(15 * 1000000000000) // (100 * (SELECT n FROM _nn))"
+            f" + (85 * (SELECT dt FROM _d{i})) // (100 * (SELECT n FROM _nn))"
+            f" + COALESCE(c.s, 0) AS BIGINT) AS pr"
+            f" FROM _nd LEFT JOIN ("
+            f"SELECT l.dst AS id, CAST(SUM((85 * r.pr) // (100 * g.out_deg)) AS BIGINT) AS s"
+            f" FROM _links l JOIN {p} r ON l.src = r.id JOIN _nd g ON g.id = l.src"
+            f" GROUP BY l.dst) c ON c.id = _nd.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT _nd.id, CAST(_nd.out_deg AS BIGINT) AS out_deg,"
+        f" _r{iters}.pr AS rank_q12"
+        f" FROM _nd JOIN _r{iters} ON _r{iters}.id = _nd.id"
+    )
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -6679,6 +6764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
     "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
+    "web_pagerank": web_pagerank,  # link-graph authority; hash-gated past the window (iterative two-long-row loop == dedup_cluster_components' in-window closure skeleton; exact-integer contract == the waterfill/USM gates)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6825,6 +6911,7 @@ ORACLES: dict[str, str] = {
     "doc_lang_id_margin": _lang_id_margin_sql(),
     "split_leakage_report": _split_leakage_sql(),
     "media_header_probe": MEDIA_PROBE_SQL,
+    "web_pagerank": _pagerank_sql(_PAGERANK_ITERS),
 }
 
 

@@ -6539,20 +6539,54 @@ def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(iters: int) -> str:
-    """DuckDB twin of web_pagerank: the identical integer recurrence,
-    one CTE pair (dangling total + rank relation) per round. DuckDB
-    ``//`` on positive BIGINTs == Spark ``div`` (both floor); SUM
-    returns HUGEINT, cast back (sums are bounded by scale=1e12)."""
-    raw = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id AS src, (doc_id*{m} + {a}) % (SELECT n FROM _nn) AS dst FROM documents"
+_RAW_LINKS_SQL = (
+    "SELECT DISTINCT src, dst FROM (\n      "
+    + "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id AS src, (doc_id*{m} + {a}) % (SELECT COUNT(*) FROM documents) AS dst FROM documents"
         for m, a in _LINK_GENS
     )
+    + "\n    ) WHERE src % 17 <> 0 AND src <> dst"
+)
+
+
+_N_HOSTS = 37
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank — the Common-Crawl-style host ranking: the
+    page link graph rolls up to its host graph (distinct host->host
+    edges, intra-host links dropped) and the same exact integer fixed
+    point ranks hosts. Host identity is synthesized as doc_id % 37
+    (the geo_points derivation precedent; production maps
+    url -> registered domain via functions/urlnorm.py). The rollup is
+    one DISTINCT over two-long rows — at 10^12 pages the host graph
+    is ~10^7 nodes, so the iteration that follows is tiny; the rollup
+    exchange is the only corpus-sized stage."""
+    links = _web_links(spark, sf_dir)
+    he = links.select(
+        (F.col("src") % _N_HOSTS).alias("src"), (F.col("dst") % _N_HOSTS).alias("dst")
+    )
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % _N_HOSTS).alias("id"))
+        .distinct()
+    )
+    return pagerank(he, nodes=hosts, iters=_PAGERANK_ITERS)
+
+
+def _pagerank_sql(iters: int, links_sql: str, nodes_sql: str) -> str:
+    """DuckDB twin of the pagerank operator: the identical integer
+    recurrence, one CTE pair (dangling total + rank relation) per
+    round, over caller-supplied ``_links`` (src, dst) and ``_nodes``
+    (id) relations. DuckDB ``//`` on positive BIGINTs == Spark ``div``
+    (both floor); SUM returns HUGEINT, cast back (sums are bounded by
+    scale=1e12)."""
     ctes = [
-        "_nn AS (SELECT COUNT(*) AS n FROM documents)",
-        f"_links AS (SELECT DISTINCT src, dst FROM (\n      {raw}\n    ) WHERE src % 17 <> 0 AND src <> dst)",
-        "_nd AS (SELECT d.doc_id AS id, COALESCE(g.deg, 0) AS out_deg FROM documents d"
-        " LEFT JOIN (SELECT src, COUNT(*) AS deg FROM _links GROUP BY src) g ON g.src = d.doc_id)",
+        f"_links AS ({links_sql})",
+        f"_nodes AS ({nodes_sql})",
+        "_nn AS (SELECT COUNT(*) AS n FROM _nodes)",
+        "_nd AS (SELECT _nodes.id, COALESCE(g.deg, 0) AS out_deg FROM _nodes"
+        " LEFT JOIN (SELECT src, COUNT(*) AS deg FROM _links GROUP BY src) g ON g.src = _nodes.id)",
         "_r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM _nn) AS BIGINT) AS pr FROM _nd)",
     ]
     for i in range(1, iters + 1):
@@ -6765,6 +6799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
     "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
     "web_pagerank": web_pagerank,  # link-graph authority; hash-gated past the window (iterative two-long-row loop == dedup_cluster_components' in-window closure skeleton; exact-integer contract == the waterfill/USM gates)
+    "host_pagerank": host_pagerank,  # host-graph rollup + rank; hash-gated past the window (rollup = one DISTINCT over two-long rows; iteration == web_pagerank's gated recurrence on the host universe)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6911,7 +6946,17 @@ ORACLES: dict[str, str] = {
     "doc_lang_id_margin": _lang_id_margin_sql(),
     "split_leakage_report": _split_leakage_sql(),
     "media_header_probe": MEDIA_PROBE_SQL,
-    "web_pagerank": _pagerank_sql(_PAGERANK_ITERS),
+    "web_pagerank": _pagerank_sql(
+        _PAGERANK_ITERS,
+        _RAW_LINKS_SQL,
+        "SELECT doc_id AS id FROM documents",
+    ),
+    "host_pagerank": _pagerank_sql(
+        _PAGERANK_ITERS,
+        f"SELECT DISTINCT src % {_N_HOSTS} AS src, dst % {_N_HOSTS} AS dst"
+        f" FROM ({_RAW_LINKS_SQL}) WHERE src % {_N_HOSTS} <> dst % {_N_HOSTS}",
+        f"SELECT DISTINCT doc_id % {_N_HOSTS} AS id FROM documents",
+    ),
 }
 
 

@@ -19,7 +19,10 @@ same discipline as the USM/waterfill gates). Update rule per node v:
 with damping num/den = 85/100. Floor losses (< 1 unit per edge per
 round) make the total mass drift down by ~|E| units per round —
 eleven orders below ``scale``; the SIGN of the drift is deterministic
-and both engines reproduce it exactly.
+and both engines reproduce it exactly. A ``teleport`` seed set turns
+the same recurrence into TrustRank (Gyongyi 2004): base and dangling
+shares land on the seeds only, so plain PageRank is the special case
+"every node is a seed" — one code path, one twin.
 
 Scale shape (10^12 nodes): the iteration state is (id, rank) two-long
 rows; per round there are exactly two wide exchanges — the ranks ⋈
@@ -55,6 +58,7 @@ def pagerank(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(id, out_deg, rank_q12) for every node, after ``iters`` exact
     integer fixed-point PageRank rounds.
@@ -66,6 +70,15 @@ def pagerank(
     when omitted the universe is the ids appearing in ``edges``.
     Nodes with no out-links are dangling: their mass is redistributed
     uniformly each round, the standard correction.
+
+    ``teleport`` (optional, one id column) switches the recurrence to
+    TrustRank (Gyongyi, Garcia-Molina, Pedersen 2004): the teleport
+    AND dangling shares land only on the seed set — trust flows out of
+    curated seeds along links, so pages unreachable from every seed
+    converge to rank 0. The corpus-curation use is quality propagation
+    from a vetted domain list. Initial mass also starts on the seeds
+    (the paper's d = normalized seed vector). Seeds outside the node
+    universe are ignored; at least one seed must remain.
     """
     if iters < 0:
         raise ValueError(f"pagerank: iters must be >= 0, got {iters}")
@@ -89,20 +102,40 @@ def pagerank(
     else:
         ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    base_nodes = (
-        ids.join(deg, "id", "left")
-        .select("id", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
-        .localCheckpoint()
+    base_nodes = ids.join(deg, "id", "left").select(
+        "id", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
     )
+    if teleport is None:
+        # Plain PageRank == TrustRank with every node a seed.
+        base_nodes = base_nodes.withColumn("_seed", F.lit(True))
+    else:
+        seeds = (
+            teleport.select(
+                F.col(teleport.columns[0]).cast("long").alias("id"),
+                F.lit(True).alias("_seed"),
+            ).distinct()
+        )
+        base_nodes = base_nodes.join(seeds, "id", "left").select(
+            "id", "out_deg", F.coalesce("_seed", F.lit(False)).alias("_seed")
+        )
+    base_nodes = base_nodes.localCheckpoint()
     n = base_nodes.count()
     if n == 0:
-        return base_nodes.withColumn("rank_q12", F.lit(0).cast("long"))
+        return base_nodes.select("id", "out_deg", F.lit(0).cast("long").alias("rank_q12"))
+    s = base_nodes.where("_seed").count() if teleport is not None else n
+    if s == 0:
+        raise ValueError("pagerank: teleport set is empty or disjoint from the node universe")
     # Teleport share: exact Python-int floor — identical to the SQL
     # twin's in-query integer expression by the uniqueness of floor.
-    base = ((damping_den - damping_num) * scale) // (damping_den * n)
-    dang_denom = damping_den * n
+    base = ((damping_den - damping_num) * scale) // (damping_den * s)
+    dang_denom = damping_den * s
 
-    r = base_nodes.select("id", "out_deg", F.lit(scale // n).cast("long").alias("rank"))
+    r = base_nodes.select(
+        "id",
+        "out_deg",
+        "_seed",
+        F.when(F.col("_seed"), F.lit(scale // s)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
     for _ in range(iters):
         # 1-row dangling-mass aggregate, broadcast back (never collects).
         dt = r.where(F.col("out_deg") == 0).agg(
@@ -127,9 +160,13 @@ def pagerank(
             .select(
                 "id",
                 "out_deg",
+                "_seed",
                 (
-                    F.lit(base).cast("long")
-                    + F.expr(f"({damping_num} * _dt) div {dang_denom}")
+                    F.when(
+                        F.col("_seed"),
+                        F.lit(base).cast("long")
+                        + F.expr(f"({damping_num} * _dt) div {dang_denom}"),
+                    ).otherwise(F.lit(0).cast("long"))
                     + F.coalesce(F.col("_s"), F.lit(0).cast("long"))
                 ).alias("rank"),
             )

@@ -6574,21 +6574,75 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(he, nodes=hosts, iters=_PAGERANK_ITERS)
 
 
-def _pagerank_sql(iters: int, links_sql: str, nodes_sql: str) -> str:
+def web_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen 2004) over the
+    synthetic link graph: the spam-demotion / quality-propagation
+    signal of a crawl-curation pipeline. A curated seed set (every
+    13th page — production: a vetted domain whitelist joined through
+    functions/urlnorm.py) holds all teleport and dangling mass, so
+    trust flows out of the seeds along links and pages unreachable
+    from every seed converge to exactly 0. Same exact-integer fixed
+    point as web_pagerank (operators/pagerank.py, ``teleport`` arg) —
+    plain PageRank is the special case "every node is a seed" — so the
+    DuckDB twin is the same unrolled CTE recurrence with the base and
+    dangling shares CASE-gated on the seed flag, bit-exact per round."""
+    d = _t(spark, sf_dir, "documents")
+    return pagerank(
+        _web_links(spark, sf_dir),
+        nodes=d.select(F.col("doc_id").alias("id")),
+        iters=_PAGERANK_ITERS,
+        teleport=d.select(F.col("doc_id").alias("id")).where(F.col("id") % 13 == 0),
+    )
+
+
+def _pagerank_sql(
+    iters: int, links_sql: str, nodes_sql: str, seeds_sql: str | None = None
+) -> str:
     """DuckDB twin of the pagerank operator: the identical integer
     recurrence, one CTE pair (dangling total + rank relation) per
     round, over caller-supplied ``_links`` (src, dst) and ``_nodes``
     (id) relations. DuckDB ``//`` on positive BIGINTs == Spark ``div``
     (both floor); SUM returns HUGEINT, cast back (sums are bounded by
-    scale=1e12)."""
+    scale=1e12). ``seeds_sql`` (one id column) parameterizes the twin
+    to TrustRank exactly as the operator's ``teleport`` arg does: the
+    seed flag joins into ``_nd``, the teleport/dangling denominators
+    count seeds instead of nodes, and the base + dangling shares are
+    CASE-gated on the flag (plain PageRank == every node a seed, so
+    ``seeds_sql=None`` emits the identical original text)."""
+    if seeds_sql is None:
+        cnt, seed_on = "_nn", ""
+        nd_extra, seed_join = "", ""
+    else:
+        cnt, seed_on = "_sn", "CASE WHEN _nd.seed THEN "
+        nd_extra = ", CASE WHEN sd.id IS NOT NULL THEN TRUE ELSE FALSE END AS seed"
+        seed_join = " LEFT JOIN _sd sd ON sd.id = _nodes.id"
     ctes = [
         f"_links AS ({links_sql})",
         f"_nodes AS ({nodes_sql})",
         "_nn AS (SELECT COUNT(*) AS n FROM _nodes)",
-        "_nd AS (SELECT _nodes.id, COALESCE(g.deg, 0) AS out_deg FROM _nodes"
-        " LEFT JOIN (SELECT src, COUNT(*) AS deg FROM _links GROUP BY src) g ON g.src = _nodes.id)",
-        "_r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM _nn) AS BIGINT) AS pr FROM _nd)",
     ]
+    if seeds_sql is not None:
+        # seeds outside the node universe are ignored (operator contract)
+        ctes.append(
+            f"_sd AS (SELECT DISTINCT _nodes.id FROM _nodes"
+            f" JOIN ({seeds_sql}) s ON s.id = _nodes.id)"
+        )
+        ctes.append("_sn AS (SELECT COUNT(*) AS n FROM _sd)")
+    ctes.append(
+        f"_nd AS (SELECT _nodes.id, COALESCE(g.deg, 0) AS out_deg{nd_extra} FROM _nodes"
+        f" LEFT JOIN (SELECT src, COUNT(*) AS deg FROM _links GROUP BY src) g"
+        f" ON g.src = _nodes.id{seed_join})"
+    )
+    if seeds_sql is None:
+        ctes.append(
+            "_r0 AS (SELECT id, CAST(1000000000000 // (SELECT n FROM _nn) AS BIGINT) AS pr FROM _nd)"
+        )
+    else:
+        ctes.append(
+            "_r0 AS (SELECT id, CAST(CASE WHEN seed THEN"
+            " 1000000000000 // (SELECT n FROM _sn) ELSE 0 END AS BIGINT) AS pr FROM _nd)"
+        )
+    seed_off = "" if seeds_sql is None else " ELSE 0 END"
     for i in range(1, iters + 1):
         p = f"_r{i - 1}"
         ctes.append(
@@ -6597,8 +6651,8 @@ def _pagerank_sql(iters: int, links_sql: str, nodes_sql: str) -> str:
         )
         ctes.append(
             f"_r{i} AS (SELECT _nd.id, CAST("
-            f"(15 * 1000000000000) // (100 * (SELECT n FROM _nn))"
-            f" + (85 * (SELECT dt FROM _d{i})) // (100 * (SELECT n FROM _nn))"
+            f"{seed_on}(15 * 1000000000000) // (100 * (SELECT n FROM {cnt}))"
+            f" + (85 * (SELECT dt FROM _d{i})) // (100 * (SELECT n FROM {cnt})){seed_off}"
             f" + COALESCE(c.s, 0) AS BIGINT) AS pr"
             f" FROM _nd LEFT JOIN ("
             f"SELECT l.dst AS id, CAST(SUM((85 * r.pr) // (100 * g.out_deg)) AS BIGINT) AS s"
@@ -6800,6 +6854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
     "web_pagerank": web_pagerank,  # link-graph authority; hash-gated past the window (iterative two-long-row loop == dedup_cluster_components' in-window closure skeleton; exact-integer contract == the waterfill/USM gates)
     "host_pagerank": host_pagerank,  # host-graph rollup + rank; hash-gated past the window (rollup = one DISTINCT over two-long rows; iteration == web_pagerank's gated recurrence on the host universe)
+    "web_trustrank": web_trustrank,  # seed-gated TrustRank; hash-gated past the window (same recurrence as web_pagerank with the base/dangling shares CASE-gated on the seed flag)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -6956,6 +7011,12 @@ ORACLES: dict[str, str] = {
         f"SELECT DISTINCT src % {_N_HOSTS} AS src, dst % {_N_HOSTS} AS dst"
         f" FROM ({_RAW_LINKS_SQL}) WHERE src % {_N_HOSTS} <> dst % {_N_HOSTS}",
         f"SELECT DISTINCT doc_id % {_N_HOSTS} AS id FROM documents",
+    ),
+    "web_trustrank": _pagerank_sql(
+        _PAGERANK_ITERS,
+        _RAW_LINKS_SQL,
+        "SELECT doc_id AS id FROM documents",
+        seeds_sql="SELECT doc_id AS id FROM documents WHERE doc_id % 13 = 0",
     ),
 }
 

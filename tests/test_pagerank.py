@@ -16,22 +16,24 @@ from pyspark.sql import functions as F
 from fujishadergpu_spark.operators.pagerank import pagerank
 
 
-def _py_pagerank(edges, node_ids, iters, num=85, den=100, scale=10**12):
-    """Reference recurrence over Python ints (exact)."""
+def _py_pagerank(edges, node_ids, iters, num=85, den=100, scale=10**12, seeds=None):
+    """Reference recurrence over Python ints (exact); ``seeds``
+    switches to TrustRank exactly as the operator does."""
     e = sorted({(int(u), int(v)) for u, v in edges if u != v})
     ids = sorted(set(node_ids))
+    seed = set(ids) if seeds is None else {i for i in ids if i in set(seeds)}
     out = {i: 0 for i in ids}
     adj = {}
     for u, v in e:
         out[u] += 1
         adj.setdefault(u, []).append(v)
-    n = len(ids)
-    r = {i: scale // n for i in ids}
-    base = ((den - num) * scale) // (den * n)
+    s = len(seed)
+    r = {i: (scale // s if i in seed else 0) for i in ids}
+    base = ((den - num) * scale) // (den * s)
     for _ in range(iters):
         dt = sum(r[i] for i in ids if out[i] == 0)
-        dang = (num * dt) // (den * n)
-        nxt = {i: base + dang for i in ids}
+        dang = (num * dt) // (den * s)
+        nxt = {i: (base + dang if i in seed else 0) for i in ids}
         for u in ids:
             if out[u]:
                 c = (num * r[u]) // (den * out[u])
@@ -41,14 +43,19 @@ def _py_pagerank(edges, node_ids, iters, num=85, den=100, scale=10**12):
     return {i: (out[i], r[i]) for i in ids}
 
 
-def _run(spark, edges, node_ids=None, iters=6, **kw):
+def _run(spark, edges, node_ids=None, iters=6, seeds=None, **kw):
     e = spark.createDataFrame(edges, "src long, dst long")
     nodes = (
         None
         if node_ids is None
         else spark.createDataFrame([(int(i),) for i in node_ids], "id long")
     )
-    rows = pagerank(e, nodes=nodes, iters=iters, **kw).collect()
+    tele = (
+        None
+        if seeds is None
+        else spark.createDataFrame([(int(i),) for i in seeds], "id long")
+    )
+    rows = pagerank(e, nodes=nodes, iters=iters, teleport=tele, **kw).collect()
     return {r["id"]: (r["out_deg"], r["rank_q12"]) for r in rows}
 
 
@@ -131,6 +138,43 @@ def test_bad_params_raise(spark):
         pagerank(e, iters=-1)
     with pytest.raises(ValueError):
         pagerank(e, damping_num=100, damping_den=100)
+
+
+def test_trustrank_matches_reference_exactly(spark):
+    # Two components: seeds {0} in the first; the second (10-11-12
+    # cycle) is unreachable from any seed. Node 9 dangling.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 9), (10, 11), (11, 12), (12, 10)]
+    ids = list(range(13))
+    got = _run(spark, edges, node_ids=ids, iters=7, seeds=[0])
+    want = _py_pagerank(edges, ids, iters=7, seeds=[0])
+    assert got == want
+
+
+def test_trustrank_unreachable_nodes_get_zero(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    got = _run(spark, edges, node_ids=list(range(12)), iters=6, seeds=[0])
+    # Trust flows only along links out of the seed component.
+    assert got[10][1] == 0 and got[11][1] == 0
+    assert all(got[i][1] > 0 for i in (0, 1, 2))
+    # Nodes 3..9 have no in-links at all: zero.
+    assert all(got[i][1] == 0 for i in range(3, 10))
+
+
+def test_trustrank_seeds_outside_universe_ignored(spark):
+    edges = [(0, 1), (1, 0)]
+    got = _run(spark, edges, node_ids=[0, 1], iters=4, seeds=[0, 999])
+    want = _py_pagerank(edges, [0, 1], iters=4, seeds=[0])
+    assert got == want
+    with pytest.raises(ValueError):
+        _run(spark, edges, node_ids=[0, 1], iters=2, seeds=[999])
+
+
+def test_trustrank_all_seeds_equals_plain(spark):
+    edges = [(u, (u * 3 + 1) % 9) for u in range(9)]
+    ids = list(range(9))
+    assert _run(spark, edges, node_ids=ids, iters=5, seeds=ids) == _run(
+        spark, edges, node_ids=ids, iters=5
+    )
 
 
 def test_mass_conservation_bound(spark):

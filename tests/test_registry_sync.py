@@ -168,6 +168,7 @@ def test_differentiated_entries_inside_driver_window():
         "media_features",           # demoted r6 s3: media_header_probe gates the same mapInPandas plumbing in-window plus real parsing
         "web_pagerank",             # link-graph authority; iterative two-long-row loop == dedup_cluster_components closure (in-window), exact-integer fixed point == waterfill/USM contract
         "host_pagerank",            # host-graph rollup + rank; rollup = DISTINCT over two-long rows, iteration == web_pagerank's gated recurrence on the host universe
+        "web_trustrank",            # seed-gated TrustRank; identical recurrence to web_pagerank with the base/dangling shares CASE-gated on the seed flag (operator + twin share one parameterization)
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

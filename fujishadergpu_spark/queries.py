@@ -35,6 +35,7 @@ from .functions.cells import cell_of_sql
 from .functions.tiles import tile_pixel, tile_xy_sql
 from .operators import ann, components, dedup
 from .operators.knn import knn
+from .operators.hits import hits
 from .operators.pagerank import pagerank
 from .operators.pip_join import PipIndex, pip_join
 from .operators.tile_kernels import tile_kernel_stats
@@ -6668,6 +6669,74 @@ def _pagerank_sql(
     )
 
 
+def web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the synthetic
+    link graph — the link-analysis complement to web_pagerank: seed
+    expansion wants hub pages, quality weighting wants authorities.
+    Exact integer L1-normalized power iteration (operators/hits.py):
+    every round is two order-free BIGINT sums plus one floor-division
+    renormalization, so the DuckDB unrolled-CTE twin reproduces all 6
+    rounds to the unit (overflow bound scale^2 = 10^18 < 2^63)."""
+    d = _t(spark, sf_dir, "documents")
+    return hits(
+        _web_links(spark, sf_dir),
+        nodes=d.select(F.col("doc_id").alias("id")),
+        iters=_PAGERANK_ITERS,
+    )
+
+
+def _hits_sql(iters: int, links_sql: str, nodes_sql: str, scale: int = 10**9) -> str:
+    """DuckDB twin of the hits operator: the identical integer
+    recurrence — per round one (raw-sum, total, renormalize) CTE
+    triple per side — over caller-supplied ``_links`` (src, dst) and
+    ``_nodes`` (id). DuckDB ``//`` on non-negative BIGINTs == Spark
+    ``div``; SUM returns HUGEINT, cast back under the documented
+    scale^2 bound; a zero total CASE-gates to 0 exactly as the
+    operator's _renorm does. Every CTE is AS MATERIALIZED: each round
+    references the previous round's relations twice, so DuckDB's
+    default inline expansion would grow exponentially in ``iters``
+    (observed as an fd-exhaustion blowup at 6 rounds); materializing
+    makes the plan linear, values unchanged."""
+    ctes = [
+        f"_links AS MATERIALIZED ({links_sql})",
+        f"_nodes AS MATERIALIZED ({nodes_sql})",
+        "_nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM _nodes)",
+        f"_h0 AS MATERIALIZED (SELECT id, CAST({scale} // (SELECT n FROM _nn) AS BIGINT) AS v FROM _nodes)",
+        "_a0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS v FROM _nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"_ar{i} AS MATERIALIZED (SELECT l.dst AS id, CAST(SUM(h.v) AS BIGINT) AS s"
+            f" FROM _links l JOIN _h{i - 1} h ON h.id = l.src GROUP BY l.dst)"
+        )
+        ctes.append(
+            f"_at{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t FROM _ar{i})"
+        )
+        ctes.append(
+            f"_a{i} AS MATERIALIZED (SELECT _nodes.id, CAST(CASE WHEN (SELECT t FROM _at{i}) = 0"
+            f" THEN 0 ELSE (COALESCE(r.s, 0) * {scale}) // (SELECT t FROM _at{i})"
+            f" END AS BIGINT) AS v FROM _nodes LEFT JOIN _ar{i} r ON r.id = _nodes.id)"
+        )
+        ctes.append(
+            f"_hr{i} AS MATERIALIZED (SELECT l.src AS id, CAST(SUM(a.v) AS BIGINT) AS s"
+            f" FROM _links l JOIN _a{i} a ON a.id = l.dst GROUP BY l.src)"
+        )
+        ctes.append(
+            f"_ht{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t FROM _hr{i})"
+        )
+        ctes.append(
+            f"_h{i} AS MATERIALIZED (SELECT _nodes.id, CAST(CASE WHEN (SELECT t FROM _ht{i}) = 0"
+            f" THEN 0 ELSE (COALESCE(r.s, 0) * {scale}) // (SELECT t FROM _ht{i})"
+            f" END AS BIGINT) AS v FROM _nodes LEFT JOIN _hr{i} r ON r.id = _nodes.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.id, a.v AS auth_q9, h.v AS hub_q9"
+        f" FROM _a{iters} a JOIN _h{iters} h ON h.id = a.id"
+    )
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -6855,6 +6924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_pagerank": web_pagerank,  # link-graph authority; hash-gated past the window (iterative two-long-row loop == dedup_cluster_components' in-window closure skeleton; exact-integer contract == the waterfill/USM gates)
     "host_pagerank": host_pagerank,  # host-graph rollup + rank; hash-gated past the window (rollup = one DISTINCT over two-long rows; iteration == web_pagerank's gated recurrence on the host universe)
     "web_trustrank": web_trustrank,  # seed-gated TrustRank; hash-gated past the window (same recurrence as web_pagerank with the base/dangling shares CASE-gated on the seed flag)
+    "web_hits": web_hits,  # HITS hubs/authorities; hash-gated past the window (same two-exchange iterative loop skeleton as web_pagerank, with L1 floor-div renormalization instead of the teleport constant)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7017,6 +7087,11 @@ ORACLES: dict[str, str] = {
         _RAW_LINKS_SQL,
         "SELECT doc_id AS id FROM documents",
         seeds_sql="SELECT doc_id AS id FROM documents WHERE doc_id % 13 = 0",
+    ),
+    "web_hits": _hits_sql(
+        _PAGERANK_ITERS,
+        _RAW_LINKS_SQL,
+        "SELECT doc_id AS id FROM documents",
     ),
 }
 

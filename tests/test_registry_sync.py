@@ -169,6 +169,7 @@ def test_differentiated_entries_inside_driver_window():
         "web_pagerank",             # link-graph authority; iterative two-long-row loop == dedup_cluster_components closure (in-window), exact-integer fixed point == waterfill/USM contract
         "host_pagerank",            # host-graph rollup + rank; rollup = DISTINCT over two-long rows, iteration == web_pagerank's gated recurrence on the host universe
         "web_trustrank",            # seed-gated TrustRank; identical recurrence to web_pagerank with the base/dangling shares CASE-gated on the seed flag (operator + twin share one parameterization)
+        "web_hits",                 # HITS hubs/authorities; same iterative two-exchange loop skeleton as the gated web_pagerank, L1 floor-div renormalization in place of the teleport constant
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

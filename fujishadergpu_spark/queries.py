@@ -36,6 +36,7 @@ from .functions.tiles import tile_pixel, tile_xy_sql
 from .operators import ann, components, dedup
 from .operators.knn import knn
 from .operators.hits import hits
+from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
 from .operators.pip_join import PipIndex, pip_join
 from .operators.tile_kernels import tile_kernel_stats
@@ -6737,6 +6738,46 @@ def _hits_sql(iters: int, links_sql: str, nodes_sql: str, scale: int = 10**9) ->
     )
 
 
+def web_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page link-graph structure signals over the synthetic link
+    graph — degrees and reciprocity, the pre-rank link-spam features
+    (operators/linkstats.py). All columns are exact integers (counts
+    + a parts-per-million floor-div ratio), so the DuckDB twin is
+    bit-equal with no float caveat."""
+    d = _t(spark, sf_dir, "documents")
+    return link_stats(
+        _web_links(spark, sf_dir),
+        nodes=d.select(F.col("doc_id").alias("id")),
+    )
+
+
+def _link_stats_sql(links_sql: str, nodes_sql: str) -> str:
+    """DuckDB twin of the link_stats operator: identical degree
+    aggregates, swapped-key reciprocity join, and ppm floor division
+    (`//` on non-negative BIGINTs == Spark `div`) over caller-supplied
+    ``_links`` (already distinct, self-loop-free) and ``_nodes``."""
+    return f"""
+    WITH _links AS MATERIALIZED ({links_sql}),
+    _nodes AS MATERIALIZED ({nodes_sql}),
+    _out AS (SELECT src AS id, COUNT(*) AS c FROM _links GROUP BY src),
+    _in AS (SELECT dst AS id, COUNT(*) AS c FROM _links GROUP BY dst),
+    _rec AS (
+      SELECT l.src AS id, COUNT(*) AS c FROM _links l
+      JOIN _links r ON r.src = l.dst AND r.dst = l.src GROUP BY l.src
+    )
+    SELECT n.id,
+      CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+      CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg,
+      CAST(COALESCE(r.c, 0) AS BIGINT) AS recip_out,
+      CAST(CASE WHEN COALESCE(o.c, 0) = 0 THEN 0
+           ELSE (COALESCE(r.c, 0) * 1000000) // o.c END AS BIGINT) AS recip_q6
+    FROM _nodes n
+    LEFT JOIN _out o ON o.id = n.id
+    LEFT JOIN _in i ON i.id = n.id
+    LEFT JOIN _rec r ON r.id = n.id
+    """
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -6925,6 +6966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": host_pagerank,  # host-graph rollup + rank; hash-gated past the window (rollup = one DISTINCT over two-long rows; iteration == web_pagerank's gated recurrence on the host universe)
     "web_trustrank": web_trustrank,  # seed-gated TrustRank; hash-gated past the window (same recurrence as web_pagerank with the base/dangling shares CASE-gated on the seed flag)
     "web_hits": web_hits,  # HITS hubs/authorities; hash-gated past the window (same two-exchange iterative loop skeleton as web_pagerank, with L1 floor-div renormalization instead of the teleport constant)
+    "web_link_stats": web_link_stats,  # degree/reciprocity link-spam signals; hash-gated past the window (two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of the gated web_pagerank plan)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7090,6 +7132,10 @@ ORACLES: dict[str, str] = {
     ),
     "web_hits": _hits_sql(
         _PAGERANK_ITERS,
+        _RAW_LINKS_SQL,
+        "SELECT doc_id AS id FROM documents",
+    ),
+    "web_link_stats": _link_stats_sql(
         _RAW_LINKS_SQL,
         "SELECT doc_id AS id FROM documents",
     ),

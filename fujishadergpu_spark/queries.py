@@ -36,6 +36,7 @@ from .functions.tiles import tile_pixel, tile_xy_sql
 from .operators import ann, components, dedup
 from .operators.knn import knn
 from .operators.hits import hits
+from .operators.anchors import anchor_topk
 from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
 from .operators.pip_join import PipIndex, pip_join
@@ -6778,6 +6779,66 @@ def _link_stats_sql(links_sql: str, nodes_sql: str) -> str:
     """
 
 
+def _web_anchored_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic link graph with deterministic two-term anchor
+    text: 'wA wB' where A = (src + 2*dst) % 7 and B = (src*5 + dst)
+    % 11 — modular token ids shared literally with the SQL twin, so
+    the real tokenizer path (lower + non-alnum split + explode) is
+    exercised on both engines. Links are DISTINCT pairs first (the
+    _RAW_LINKS_SQL normalization — the three generators can collide),
+    and the anchor is a pure function of the pair, so distinct-then-
+    anchor equals anchor-then-distinct."""
+    return _web_links(spark, sf_dir).distinct().select(
+        "src",
+        "dst",
+        F.concat(
+            F.lit("w"),
+            ((F.col("src") + 2 * F.col("dst")) % 7).cast("string"),
+            F.lit(" w"),
+            ((F.col("src") * 5 + F.col("dst")) % 11).cast("string"),
+        ).alias("anchor"),
+    )
+
+
+def web_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor terms per link target over the synthetic anchored
+    link graph (operators/anchors.py) — the query-independent
+    relevance / anchor-spam signal. Counts are exact integers and the
+    rank tie-break is lexicographic, so the DuckDB twin is bit-equal."""
+    return anchor_topk(_web_anchored_links(spark, sf_dir), k=3)
+
+
+def _anchor_topk_sql(links_sql: str, k: int) -> str:
+    """DuckDB twin of web_anchor_topk: identical anchor synthesis,
+    identical tokenizer (lower + '[^a-z0-9]+' split — Java regex and
+    DuckDB RE2 agree on this literal class), ROW_NUMBER top-k with the
+    same (n DESC, term ASC) order."""
+    return f"""
+    WITH _links AS MATERIALIZED ({links_sql}),
+    _anchored AS (
+      SELECT dst, 'w' || CAST((src + 2*dst) % 7 AS VARCHAR)
+             || ' w' || CAST((src*5 + dst) % 11 AS VARCHAR) AS anchor
+      FROM _links
+    ),
+    _terms AS (
+      SELECT dst AS target,
+             unnest(regexp_split_to_array(lower(anchor), '[^a-z0-9]+')) AS term
+      FROM _anchored
+    ),
+    _counts AS (
+      SELECT target, term, COUNT(*) AS n FROM _terms
+      WHERE term <> '' GROUP BY target, term
+    ),
+    _ranked AS (
+      SELECT target, term, n,
+             ROW_NUMBER() OVER (PARTITION BY target ORDER BY n DESC, term ASC) AS r
+      FROM _counts
+    )
+    SELECT target, CAST(r AS INTEGER) AS rank, term, CAST(n AS BIGINT) AS n
+    FROM _ranked WHERE r <= {k}
+    """
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -6967,6 +7028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_trustrank": web_trustrank,  # seed-gated TrustRank; hash-gated past the window (same recurrence as web_pagerank with the base/dangling shares CASE-gated on the seed flag)
     "web_hits": web_hits,  # HITS hubs/authorities; hash-gated past the window (same two-exchange iterative loop skeleton as web_pagerank, with L1 floor-div renormalization instead of the teleport constant)
     "web_link_stats": web_link_stats,  # degree/reciprocity link-spam signals; hash-gated past the window (two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of the gated web_pagerank plan)
+    "web_anchor_topk": web_anchor_topk,  # per-target top-k anchor terms; hash-gated past the window (explode + map-side-partial COUNT == the gated WIMBD gram rollup; window-free sort_array+slice top-k == domain_keywords' rank contract)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7139,6 +7201,7 @@ ORACLES: dict[str, str] = {
         _RAW_LINKS_SQL,
         "SELECT doc_id AS id FROM documents",
     ),
+    "web_anchor_topk": _anchor_topk_sql(_RAW_LINKS_SQL, 3),
 }
 
 

@@ -281,6 +281,33 @@ def ngram_jaccard_pairs(
     DuckDB's RE2, unlike \\s+ whose whitespace sets differ (\\x0B),
     which would silently diverge the DuckDB oracle twin.
     """
+    ix, sa, sb = _ngram_intersections(df, id_col, text_col, n, max_df)
+    out = (
+        ix.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _ngram_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the exact n-gram pair joins: (ix, sa, sb) where
+    ix = (id_a, id_b, _i) shared-distinct-gram counts (id_a < id_b)
+    and sa/sb = full distinct-gram counts keyed for the two join
+    sides. Factored so jaccard and containment run the byte-identical
+    gram build; see ngram_jaccard_pairs for the expression-level
+    rationale (tokenizer class, short-doc gram, df cap)."""
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \t\r\n]+"), lambda t: t != ""
     )
@@ -304,7 +331,7 @@ def ngram_jaccard_pairs(
         .select("_id", F.xxhash64("_gram").alias("_gh"))
         .localCheckpoint(eager=False)  # one tokenize+gram scan total
     )
-    # full distinct-gram counts (pre-cap — Jaccard denominators), from
+    # full distinct-gram counts (pre-cap — ratio denominators), from
     # the checkpointed rows so nothing upstream re-executes
     sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_df is not None:
@@ -320,17 +347,43 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    out = (
+    return ix, sa, sb
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT word-n-gram CONTAINMENT join (Broder 1997): the
+    asymmetric companion to ngram_jaccard_pairs for partial-copy
+    detection — cont_ab = |S(A)∩S(B)| / |S(A)| is high when A sits
+    inside B (quoted article, boilerplate-wrapped re-post) even when
+    Jaccard is low because B is much longer. Emits (id_a, id_b,
+    cont_ab, cont_ba) with id_a < id_b, kept when EITHER direction
+    reaches ``threshold``.
+
+    Same plan as the Jaccard join (shared _ngram_intersections core,
+    identical tokenizer/gram/df-cap semantics): the only change is
+    the ratio projection — intersections divide by one side's gram
+    count instead of the union. Determinism: exact-integer numerator
+    and denominators; one IEEE double division per direction,
+    bit-equal cross-engine.
+    """
+    ix, sa, sb = _ngram_intersections(df, id_col, text_col, n, max_df)
+    cont_ab = F.col("_i").cast("double") / F.col("_na")
+    cont_ba = F.col("_i").cast("double") / F.col("_nb")
+    return (
         ix.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("cont_ab", cont_ab)
+        .withColumn("cont_ba", cont_ba)
+        .filter(F.greatest(F.col("cont_ab"), F.col("cont_ba")) >= threshold)
+        .select("id_a", "id_b", "cont_ab", "cont_ba")
     )
-    return out
 
 
 # ------------------------------ simhash -------------------------------

@@ -1012,7 +1012,7 @@ def dedup_ngram_jaccard_docs(spark, sf_dir):
 # The pair-join oracle AND the component/canonical closure oracles are
 # built from this single text, so the edge definition can never drift
 # between them.
-_NGRAM_PAIRS_CTES = """base AS (
+_NGRAM_IX_CTES = """base AS (
   SELECT doc_id,
          list_filter(string_split_regex(COALESCE(text, ''), '[ \\t\\r\\n]+'), t -> t != '') AS w
   FROM documents
@@ -1029,7 +1029,9 @@ ix AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+_NGRAM_PAIRS_CTES = _NGRAM_IX_CTES + """,
 pairs AS (
   SELECT ix.id_a, ix.id_b,
          CAST(ix.i AS DOUBLE) / (sa.na + sb.nb - ix.i) AS jaccard
@@ -1042,6 +1044,32 @@ pairs AS (
 DEDUP_NGRAM_SQL = f"""
 WITH {_NGRAM_PAIRS_CTES}
 SELECT id_a, id_b, jaccard FROM pairs
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_ngram_containment_docs(spark, sf_dir):
+    """Exact word-3-gram containment join (Broder 1997; partial-copy
+    detection the symmetric Jaccard misses) — same gram machinery as
+    dedup_ngram_jaccard_docs via the shared _ngram_intersections core,
+    ratio per direction against one side's gram count."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(d, "doc_id", n=3, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# containment twin shares the gram/intersection CTE prefix with the
+# Jaccard oracle so the edge definition cannot drift between them
+DEDUP_CONTAIN_SQL = f"""
+WITH {_NGRAM_IX_CTES}
+SELECT ix.id_a, ix.id_b,
+       CAST(ix.i AS DOUBLE) / sa.na AS cont_ab,
+       CAST(ix.i AS DOUBLE) / sb.nb AS cont_ba
+FROM ix
+JOIN (SELECT doc_id, len(s) AS na FROM sh) sa ON sa.doc_id = ix.id_a
+JOIN (SELECT doc_id, len(s) AS nb FROM sh) sb ON sb.doc_id = ix.id_b
+WHERE greatest(CAST(ix.i AS DOUBLE) / sa.na, CAST(ix.i AS DOUBLE) / sb.nb) >= 0.6
 ORDER BY id_a, id_b
 """
 
@@ -7029,6 +7057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_hits": web_hits,  # HITS hubs/authorities; hash-gated past the window (same two-exchange iterative loop skeleton as web_pagerank, with L1 floor-div renormalization instead of the teleport constant)
     "web_link_stats": web_link_stats,  # degree/reciprocity link-spam signals; hash-gated past the window (two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of the gated web_pagerank plan)
     "web_anchor_topk": web_anchor_topk,  # per-target top-k anchor terms; hash-gated past the window (explode + map-side-partial COUNT == the gated WIMBD gram rollup; window-free sort_array+slice top-k == domain_keywords' rank contract)
+    "dedup_ngram_containment_docs": dedup_ngram_containment_docs,  # Broder containment pairs; hash-gated past the window (shares _ngram_intersections byte-for-byte with the in-window-gated jaccard join — only the ratio projection differs)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7202,6 +7231,7 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id AS id FROM documents",
     ),
     "web_anchor_topk": _anchor_topk_sql(_RAW_LINKS_SQL, 3),
+    "dedup_ngram_containment_docs": DEDUP_CONTAIN_SQL,
 }
 
 

@@ -214,3 +214,57 @@ def test_ngram_jaccard_max_df_caps_boilerplate(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (100, 101) in got
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_ngram_containment_exactness_vs_python(spark):
+    """Containment (Broder 1997) must equal a brute-force python
+    oracle in BOTH directions, and the refactored shared core must
+    keep the jaccard-identical gram rules (short-doc whole-text gram,
+    empty-doc exclusion)."""
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g h i j k l m n o p",  # 1 contained in 2
+        3: "x y",
+        4: "x y",
+        5: "totally other words live here",
+        6: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_ab"], r["cont_ba"])
+        for r in dedup.ngram_containment_pairs(df, "doc_id", n=3, threshold=0.01).collect()
+    }
+
+    def gramset(t):
+        w = t.split()
+        if not w:
+            return None
+        if len(w) <= 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = gramset(texts[a]), gramset(texts[b])
+        if sa is None or sb is None:
+            continue
+        i = len(sa & sb)
+        if i and max(i / len(sa), i / len(sb)) >= 0.01:
+            want[(a, b)] = (i / len(sa), i / len(sb))
+    assert got == want
+    # the asymmetry this operator exists for: A fully inside B
+    assert got[(1, 2)][0] == 1.0 and got[(1, 2)][1] < 1.0
+
+
+def test_ngram_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment 1.0,
+    jaccard below any useful threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = dedup.ngram_containment_pairs(df, "doc_id", n=3, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["cont_ab"] == 1.0
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.4).collect()
+    assert jac == []

@@ -172,6 +172,7 @@ def test_differentiated_entries_inside_driver_window():
         "web_hits",                 # HITS hubs/authorities; same iterative two-exchange loop skeleton as the gated web_pagerank, L1 floor-div renormalization in place of the teleport constant
         "web_link_stats",           # degree/reciprocity signals; two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of web_pagerank's gated plan shape
         "web_anchor_topk",          # per-target top-k anchor terms; explode + map-side-partial COUNT == the gated WIMBD rollup, window-free sort_array+slice == domain_keywords' in-window rank contract
+        "dedup_ngram_containment_docs",  # Broder containment; shares _ngram_intersections byte-for-byte with the gated jaccard join, only the ratio projection differs
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

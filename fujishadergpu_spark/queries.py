@@ -37,6 +37,7 @@ from .operators import ann, components, dedup
 from .operators.knn import knn
 from .operators.hits import hits
 from .operators.anchors import anchor_topk
+from .sources.warc import assemble_warc_files, parse_warc, warc_record_bytes
 from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
 from .operators.pip_join import PipIndex, pip_join
@@ -6867,6 +6868,41 @@ def _anchor_topk_sql(links_sql: str, k: int) -> str:
     """
 
 
+def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC connector gate (sources/warc.py): documents serialize to
+    per-record-gzipped WARC file blobs (8 files, records in doc_id
+    order — the Common Crawl layout), then parse back; the oracle
+    computes the expected (target_uri, content_length, text) DIRECTLY
+    from the table, so a hash match proves the full serialize ->
+    assemble -> gzip -> scan -> decode chain is byte-faithful (the
+    media_features contract-oracle pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    rec = d.select(
+        (F.col("doc_id") % 8).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        warc_record_bytes(
+            F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")),
+            F.lit("2024-01-01T00:00:00Z"),
+        ).alias("record"),
+    )
+    parsed = parse_warc(assemble_warc_files(rec, compress=True))
+    return parsed.select(
+        "target_uri",
+        "content_length",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+WARC_ROUNDTRIP_SQL = """
+SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS content_length,
+       COALESCE(text, '') AS text
+FROM documents
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7058,6 +7094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_link_stats": web_link_stats,  # degree/reciprocity link-spam signals; hash-gated past the window (two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of the gated web_pagerank plan)
     "web_anchor_topk": web_anchor_topk,  # per-target top-k anchor terms; hash-gated past the window (explode + map-side-partial COUNT == the gated WIMBD gram rollup; window-free sort_array+slice top-k == domain_keywords' rank contract)
     "dedup_ngram_containment_docs": dedup_ngram_containment_docs,  # Broder containment pairs; hash-gated past the window (shares _ngram_intersections byte-for-byte with the in-window-gated jaccard join — only the ratio projection differs)
+    "warc_roundtrip_docs": warc_roundtrip_docs,  # WARC connector roundtrip; hash-gated past the window (contract-oracle pattern == the in-window media_features gate; grouped-map assembly == doc_pack_sequences' sharded-group shape)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7232,6 +7269,7 @@ ORACLES: dict[str, str] = {
     ),
     "web_anchor_topk": _anchor_topk_sql(_RAW_LINKS_SQL, 3),
     "dedup_ngram_containment_docs": DEDUP_CONTAIN_SQL,
+    "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
 }
 
 

@@ -37,6 +37,7 @@ from .operators import ann, components, dedup
 from .operators.knn import knn
 from .operators.hits import hits
 from .operators.anchors import anchor_topk
+from .operators.bfs import seed_distance
 from .sources.warc import assemble_warc_files, parse_warc, warc_record_bytes
 from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
@@ -6903,6 +6904,50 @@ FROM documents
 """
 
 
+def web_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS hop distance from the curated seed set (the same
+    doc_id % 13 whitelist web_trustrank teleports to) over the
+    synthetic link graph — the focused-crawl frontier / seed-proximity
+    signal (operators/bfs.py). Hop counts are tiny exact integers, so
+    the unrolled-CTE twin matches with no numeric caveat."""
+    d = _t(spark, sf_dir, "documents")
+    return seed_distance(
+        _web_links(spark, sf_dir),
+        seeds=d.select("doc_id").where(F.col("doc_id") % 13 == 0),
+        max_hops=_PAGERANK_ITERS,
+        nodes=d.select(F.col("doc_id").alias("id")),
+    )
+
+
+def _seed_distance_sql(
+    max_hops: int, links_sql: str, nodes_sql: str, seeds_sql: str
+) -> str:
+    """DuckDB twin of seed_distance: per round one MIN-combine of the
+    prior distances with the ring expansion (d.h = round-1 mirrors the
+    operator's frontier pruning — identical result either way).
+    MATERIALIZED for the same exponential-inlining reason as the
+    pagerank/hits twins (each round references the prior one twice)."""
+    ctes = [
+        f"_links AS MATERIALIZED ({links_sql})",
+        f"_nodes AS MATERIALIZED ({nodes_sql})",
+        f"_d0 AS MATERIALIZED (SELECT DISTINCT id, CAST(0 AS INTEGER) AS h FROM ({seeds_sql}))",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"_d{i} AS MATERIALIZED (SELECT id, MIN(h) AS h FROM ("
+            f"SELECT id, h FROM _d{i - 1}"
+            f" UNION ALL SELECT l.dst AS id, CAST({i} AS INTEGER) AS h"
+            f" FROM _links l JOIN _d{i - 1} d ON d.id = l.src AND d.h = {i - 1}"
+            f") GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT n.id, CAST(COALESCE(d.h, -1) AS INTEGER) AS hops"
+        f" FROM _nodes n LEFT JOIN _d{max_hops} d ON d.id = n.id"
+    )
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7095,6 +7140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_anchor_topk": web_anchor_topk,  # per-target top-k anchor terms; hash-gated past the window (explode + map-side-partial COUNT == the gated WIMBD gram rollup; window-free sort_array+slice top-k == domain_keywords' rank contract)
     "dedup_ngram_containment_docs": dedup_ngram_containment_docs,  # Broder containment pairs; hash-gated past the window (shares _ngram_intersections byte-for-byte with the in-window-gated jaccard join — only the ratio projection differs)
     "warc_roundtrip_docs": warc_roundtrip_docs,  # WARC connector roundtrip; hash-gated past the window (contract-oracle pattern == the in-window media_features gate; grouped-map assembly == doc_pack_sequences' sharded-group shape)
+    "web_seed_distance": web_seed_distance,  # bounded BFS from the trustrank seed whitelist; hash-gated past the window (per-round join+MIN == web_pagerank's gated two-exchange loop with the rank projection replaced by a min-combine)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7270,6 +7316,12 @@ ORACLES: dict[str, str] = {
     "web_anchor_topk": _anchor_topk_sql(_RAW_LINKS_SQL, 3),
     "dedup_ngram_containment_docs": DEDUP_CONTAIN_SQL,
     "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
+    "web_seed_distance": _seed_distance_sql(
+        _PAGERANK_ITERS,
+        _RAW_LINKS_SQL,
+        "SELECT doc_id AS id FROM documents",
+        "SELECT doc_id AS id FROM documents WHERE doc_id % 13 = 0",
+    ),
 }
 
 

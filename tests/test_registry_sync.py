@@ -174,6 +174,7 @@ def test_differentiated_entries_inside_driver_window():
         "web_anchor_topk",          # per-target top-k anchor terms; explode + map-side-partial COUNT == the gated WIMBD rollup, window-free sort_array+slice == domain_keywords' in-window rank contract
         "dedup_ngram_containment_docs",  # Broder containment; shares _ngram_intersections byte-for-byte with the gated jaccard join, only the ratio projection differs
         "warc_roundtrip_docs",      # WARC connector roundtrip; contract-oracle pattern == the in-window media_features gate, grouped-map file assembly == doc_pack_sequences' sharded-group shape
+        "web_seed_distance",        # bounded BFS from the trustrank seed set; per-round join+MIN == web_pagerank's gated two-exchange loop, min-combine in place of the rank projection
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -51,6 +51,29 @@ def normalize_url(u: Column) -> Column:
     )
 
 
+def surt_key(u: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform — the Internet
+    Archive / Heritrix key CDX indexes sort by): the canonical URL's
+    host reversed into comma-joined segments, then ``)`` and the
+    path+query, e.g. ``http://www.Example.com/a?b=1`` ->
+    ``com,example,www)/a?b=1``. Builds ON TOP of normalize_url, so
+    fragment/port/utm/case handling is inherited from one place.
+    Deliberate variant vs pywb: path case is preserved (case-distinct
+    paths are distinct resources) and ``www`` is kept (host identity,
+    not site identity — host rollup is urlnorm's registered-domain
+    job). All JVM expressions; lookaround-free regexes shared with
+    the DuckDB twin."""
+    canon = normalize_url(u)
+    rest = F.regexp_replace(canon, SCHEME_RE, "")
+    host = F.regexp_extract(rest, "^([^/?]*)", 1)
+    pathquery = F.regexp_replace(rest, "^[^/?]*", "")
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"),
+        pathquery,
+    )
+
+
 def _strip_port(scheme: Column, hostport: Column) -> Column:
     no443 = F.substring(hostport, 1, F.length(hostport) - F.lit(4))
     no80 = F.substring(hostport, 1, F.length(hostport) - F.lit(3))

@@ -38,7 +38,7 @@ from .operators.knn import knn
 from .operators.hits import hits
 from .operators.anchors import anchor_topk
 from .operators.bfs import seed_distance
-from .sources.warc import assemble_warc_files, parse_warc, warc_record_bytes
+from .sources.warc import assemble_warc_files, parse_warc, warc_cdx, warc_record_bytes
 from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
 from .operators.pip_join import PipIndex, pip_join
@@ -1260,14 +1260,12 @@ ORDER BY d.doc_id
 """
 
 
-def url_canonical_dedup(spark, sf_dir):
-    """URL-level crawl dedup: messy URL variants (case noise, default
-    ports, utm tracking params, unsorted queries, trailing slashes,
-    fragments) synthesized arithmetically from customer keys on BOTH
-    engines, canonicalized by functions/urlnorm.normalize_url on the
-    Spark side and by the identical lookaround-free regex/list
-    pipeline in DuckDB — the normalizer is under bit-exact oracle
-    test end-to-end."""
+def _messy_urls(spark, sf_dir):
+    """The shared messy-URL fixture (case noise, default ports, utm
+    params, unsorted queries, trailing slashes, fragments) synthesized
+    arithmetically from customer keys — one definition feeding both
+    the canonicalization and the SURT gates, mirrored literally by
+    the r/_raw CTE of their SQL twins."""
     k = F.col("k")
     d = k % 250
     raw = F.concat(
@@ -1290,11 +1288,20 @@ def url_canonical_dedup(spark, sf_dir):
         .otherwise("?a=1&b=2"),
         F.when(k % 2 == 1, "#frag").otherwise(""),
     )
-    urls = (
+    return (
         _t(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("k"))
         .select(raw.alias("raw_url"))
     )
+
+
+def url_canonical_dedup(spark, sf_dir):
+    """URL-level crawl dedup: the shared messy-URL fixture
+    canonicalized by functions/urlnorm.normalize_url on the Spark
+    side and by the identical lookaround-free regex/list pipeline in
+    DuckDB — the normalizer is under bit-exact oracle test
+    end-to-end."""
+    urls = _messy_urls(spark, sf_dir)
     return (
         urls.select(urlnorm.normalize_url(F.col("raw_url")).alias("canonical_url"), "raw_url")
         .groupBy("canonical_url")
@@ -1306,8 +1313,11 @@ def url_canonical_dedup(spark, sf_dir):
     )
 
 
-URL_CANON_SQL = """
-WITH r AS (
+# shared canonical-parts CTE chain: the messy-URL synthesis plus the
+# normalize_url pipeline broken into (scheme, host, path, q) — both the
+# canonicalization oracle and the SURT oracle build from this one text,
+# so the URL grammar cannot drift between the two gates
+_URL_PARTS_CTES = """r AS (
   SELECT (CASE WHEN c_custkey % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END ||
           CASE WHEN c_custkey % 3 = 0 THEN 'Shop' ELSE 'shop' END ||
           CAST((c_custkey % 250) % 5 AS VARCHAR) || '.example.com' ||
@@ -1347,19 +1357,48 @@ hh AS (
          regexp_replace(pathquery, '^[^?]*\\??', '') AS query
   FROM hp
 ),
+qq AS (
+  SELECT raw_url, scheme, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+                         p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+  FROM hh
+)"""
+
+URL_CANON_SQL = f"""
+WITH {_URL_PARTS_CTES},
 canon AS (
   SELECT raw_url,
          scheme || '://' || host || path ||
          CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
-  FROM (
-    SELECT raw_url, scheme, host, path,
-           array_to_string(list_sort(list_filter(string_split(query, '&'),
-                           p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS q
-    FROM hh
-  )
+  FROM qq
 )
 SELECT canonical_url, COUNT(*) AS n_raw, COUNT(DISTINCT raw_url) AS n_distinct_raw
 FROM canon GROUP BY 1 ORDER BY canonical_url
+"""
+
+
+def url_surt_keys(spark, sf_dir):
+    """SURT keys (Internet Archive sort-friendly URI transform — the
+    CDX index key) over the shared messy-URL fixture: surt_key builds
+    on normalize_url, so this gate covers the reversed-host grammar
+    END-TO-END on top of the already-gated canonicalization."""
+    urls = _messy_urls(spark, sf_dir)
+    return (
+        urls.select(urlnorm.surt_key(F.col("raw_url")).alias("surt"))
+        .groupBy("surt")
+        .agg(F.count("*").alias("n_raw"))
+        .orderBy("surt")
+    )
+
+
+URL_SURT_SQL = f"""
+WITH {_URL_PARTS_CTES},
+surt AS (
+  SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || path ||
+         CASE WHEN q = '' THEN '' ELSE '?' || q END AS surt
+  FROM qq
+)
+SELECT surt, COUNT(*) AS n_raw FROM surt GROUP BY 1 ORDER BY surt
 """
 
 
@@ -6877,17 +6916,7 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the table, so a hash match proves the full serialize ->
     assemble -> gzip -> scan -> decode chain is byte-faithful (the
     media_features contract-oracle pattern)."""
-    d = _t(spark, sf_dir, "documents")
-    rec = d.select(
-        (F.col("doc_id") % 8).alias("file_key"),
-        F.col("doc_id").alias("order_key"),
-        warc_record_bytes(
-            F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")),
-            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
-            F.concat(F.lit("urn:doc:"), F.col("doc_id")),
-            F.lit("2024-01-01T00:00:00Z"),
-        ).alias("record"),
-    )
+    rec = _warc_doc_records(spark, sf_dir).drop("target_uri")
     parsed = parse_warc(assemble_warc_files(rec, compress=True))
     return parsed.select(
         "target_uri",
@@ -6901,6 +6930,66 @@ SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS content_length,
        COALESCE(text, '') AS text
 FROM documents
+"""
+
+
+def _warc_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared WARC record synthesis over documents (8 files,
+    records in doc_id order) — one definition feeding the roundtrip
+    and CDX gates, mirrored by the twins' header reconstruction."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.col("doc_id") % 8).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")).alias("target_uri"),
+        warc_record_bytes(
+            F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")),
+            F.lit("2024-01-01T00:00:00Z"),
+        ).alias("record"),
+    )
+
+
+def warc_cdx_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index rows for the synthesized WARC files (sources/warc.py
+    warc_cdx + functions/urlnorm.surt_key): SURT lookup key, file,
+    byte offset, record length. The oracle reconstructs every record's
+    exact byte length from the documents table alone (ASCII header
+    string + payload bytes + terminator) and windows the offsets the
+    same way — so a hash match proves the writer-side index is
+    byte-true without parsing anything."""
+    idx = warc_cdx(_warc_doc_records(spark, sf_dir))
+    return idx.select(
+        urlnorm.surt_key(F.col("target_uri")).alias("surt"),
+        "file_key",
+        "offset",
+        "length",
+    )
+
+
+WARC_CDX_SQL = """
+WITH rec AS (
+  SELECT doc_id % 8 AS file_key, doc_id,
+         octet_length(encode(COALESCE(text, ''))) AS plen
+  FROM documents
+),
+len AS (
+  SELECT file_key, doc_id,
+         CAST(length(E'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Record-ID: urn:doc:'
+                     || CAST(doc_id AS VARCHAR)
+                     || E'\\r\\nWARC-Date: 2024-01-01T00:00:00Z\\r\\nWARC-Target-URI: http://example.com/doc/'
+                     || CAST(doc_id AS VARCHAR)
+                     || E'\\r\\nContent-Length: ' || CAST(plen AS VARCHAR)
+                     || E'\\r\\n\\r\\n') + plen + 4 AS BIGINT) AS rlen
+  FROM rec
+)
+SELECT 'com,example)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+       file_key,
+       CAST(COALESCE(SUM(rlen) OVER (PARTITION BY file_key ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+       rlen AS length
+FROM len
 """
 
 
@@ -7141,6 +7230,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_containment_docs": dedup_ngram_containment_docs,  # Broder containment pairs; hash-gated past the window (shares _ngram_intersections byte-for-byte with the in-window-gated jaccard join — only the ratio projection differs)
     "warc_roundtrip_docs": warc_roundtrip_docs,  # WARC connector roundtrip; hash-gated past the window (contract-oracle pattern == the in-window media_features gate; grouped-map assembly == doc_pack_sequences' sharded-group shape)
     "web_seed_distance": web_seed_distance,  # bounded BFS from the trustrank seed whitelist; hash-gated past the window (per-round join+MIN == web_pagerank's gated two-exchange loop with the rank projection replaced by a min-combine)
+    "url_surt_keys": url_surt_keys,  # SURT CDX-index keys; hash-gated past the window (builds on the in-window-gated normalize_url pipeline — only the reversed-host tail is new, and its twin shares the canonical-parts CTEs)
+    "warc_cdx_docs": warc_cdx_docs,  # writer-side CDX byte offsets; hash-gated past the window (per-file window cumsum == doc_pack_sequences' bounded-group discipline; record synthesis shared with the gated warc roundtrip)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7322,6 +7413,8 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id AS id FROM documents",
         "SELECT doc_id AS id FROM documents WHERE doc_id % 13 = 0",
     ),
+    "url_surt_keys": URL_SURT_SQL,
+    "warc_cdx_docs": WARC_CDX_SQL,
 }
 
 

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 _CRLF2 = "\r\n\r\n"
 
 WARC_SCHEMA = (
-    "file_key long, rec_index int, warc_type string, record_id string, "
+    "file_key long, rec_index int, offset long, warc_type string, record_id string, "
     "warc_date string, target_uri string, content_length long, payload binary"
 )
 
@@ -109,6 +109,38 @@ def assemble_warc_files(
     )
 
 
+def warc_cdx(
+    records: DataFrame,
+    file_key: str = "file_key",
+    order_key: str = "order_key",
+    record: str = "record",
+    target_uri: str = "target_uri",
+) -> DataFrame:
+    """Writer-side CDX index rows (the Common Crawl cdx-*.gz layout):
+    (file_key, offset, length, target_uri) for each record of the
+    assembled UNCOMPRESSED file — offset = cumulative byte length of
+    the records before it in ``order_key`` order. One window per
+    file: bounded by records-per-file (the packing.py group-size
+    argument), never corpus-wide. Callers sort/key by
+    ``functions.urlnorm.surt_key(target_uri)`` for the lookup index;
+    parse_warc's ``offset`` column is the scanner-side check that
+    these writer-side offsets are byte-true."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(file_key)
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    length = F.length(F.col(record)).cast("long")
+    return records.select(
+        F.col(file_key).alias("file_key"),
+        F.coalesce(F.sum(length).over(w), F.lit(0).cast("long")).alias("offset"),
+        length.alias("length"),
+        F.col(target_uri).alias("target_uri"),
+    )
+
+
 def _scan_records(blob: bytes, where: str):
     """Linear Content-Length-driven record walk; yields header-field
     dicts + payload bytes. Raises on any structural violation."""
@@ -133,7 +165,7 @@ def _scan_records(blob: bytes, where: str):
         body = hdr_end + 4
         if body + clen > len(blob):
             raise ValueError(f"{where}: payload overruns blob at offset {pos}")
-        yield idx, fields, blob[body : body + clen]
+        yield idx, pos, fields, blob[body : body + clen]
         pos = body + clen
         if blob[pos : pos + 4] != b"\r\n\r\n":
             raise ValueError(f"{where}: missing record terminator at offset {pos}")
@@ -147,24 +179,27 @@ def parse_warc(
     data: str = "data",
 ) -> DataFrame:
     """One row per WARC record across all file blobs: (file_key,
-    rec_index, warc_type, record_id, warc_date, target_uri,
+    rec_index, offset, warc_type, record_id, warc_date, target_uri,
     content_length, payload). rec_index is the record's 0-based
     position within its file — with file_key it is the record's
     stable global identity (the resume/lineage key a production
-    ingest would checkpoint on)."""
+    ingest would checkpoint on); offset is the record's start byte in
+    the UNCOMPRESSED stream (for gzip blobs: after decompression —
+    the replay key within the logical file)."""
     cols = (files[file_key].alias("_fk"), files[data].alias("_d"))
     src = files.select(*cols)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
-                "file_key", "rec_index", "warc_type", "record_id",
+                "file_key", "rec_index", "offset", "warc_type", "record_id",
                 "warc_date", "target_uri", "content_length", "payload",
             )}
             for fk, blob in zip(pdf["_fk"], pdf["_d"]):
-                for idx, fields, payload in _scan_records(bytes(blob), f"file {fk}"):
+                for idx, off, fields, payload in _scan_records(bytes(blob), f"file {fk}"):
                     out["file_key"].append(fk)
                     out["rec_index"].append(idx)
+                    out["offset"].append(off)
                     out["warc_type"].append(fields.get("warc-type"))
                     out["record_id"].append(fields.get("warc-record-id"))
                     out["warc_date"].append(fields.get("warc-date"))

@@ -175,6 +175,8 @@ def test_differentiated_entries_inside_driver_window():
         "dedup_ngram_containment_docs",  # Broder containment; shares _ngram_intersections byte-for-byte with the gated jaccard join, only the ratio projection differs
         "warc_roundtrip_docs",      # WARC connector roundtrip; contract-oracle pattern == the in-window media_features gate, grouped-map file assembly == doc_pack_sequences' sharded-group shape
         "web_seed_distance",        # bounded BFS from the trustrank seed set; per-round join+MIN == web_pagerank's gated two-exchange loop, min-combine in place of the rank projection
+        "url_surt_keys",            # SURT keys; builds on the in-window url_canonical_dedup pipeline — only the reversed-host tail is new, twin shares the canonical-parts CTEs
+        "warc_cdx_docs",            # CDX byte offsets; per-file window cumsum == doc_pack_sequences' bounded-group shape, record synthesis shared with the gated warc roundtrip
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -107,3 +107,17 @@ def test_host_suffixes_bounded_and_ordered(spark):
 
     out = spark.range(1).select(host_suffixes(F.lit("a.b.c.d")).alias("s")).collect()[0]["s"]
     assert out == ["a.b.c.d", "b.c.d", "c.d", "d"]
+
+
+def test_surt_key_grammar(spark):
+    from fujishadergpu_spark.functions.urlnorm import surt_key
+
+    cases = {
+        "http://www.Example.com/a/B?b=2&a=1#f": "com,example,www)/a/B?a=1&b=2",
+        "https://sub.shop.example.co.uk:443/x": "uk,co,example,shop,sub)/x",
+        "http://host/": "host)",              # root fold then reverse
+        "http://h.io/p?utm_source=x": "io,h)/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r["u"]: r["s"] for r in df.select("u", surt_key(F.col("u")).alias("s")).collect()}
+    assert got == cases

@@ -95,3 +95,40 @@ def test_malformed_fails_loud(spark, blob, msg):
     with pytest.raises(Exception) as e:
         parse_warc(df).collect()
     assert msg in str(e.value)
+
+
+def test_cdx_offsets_match_scanner(spark):
+    """Writer-side CDX offsets (window cumsum over record lengths)
+    must equal the offsets the Content-Length scanner reports when it
+    walks the assembled uncompressed file — byte-true both ways."""
+    from fujishadergpu_spark.sources.warc import warc_cdx
+
+    df = spark.createDataFrame(DOCS, "doc_id long, url string, body binary")
+    rec = df.select(
+        (F.col("doc_id") % 2).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        F.col("url").alias("target_uri"),
+        warc_record_bytes(
+            F.col("url"), F.col("body"),
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")),
+            F.lit("2024-01-01T00:00:00Z"),
+        ).alias("record"),
+    )
+    writer_side = {
+        (r["file_key"], r["target_uri"]): (r["offset"], r["length"])
+        for r in warc_cdx(rec).collect()
+    }
+    files = assemble_warc_files(rec.drop("target_uri"))
+    scanner_side = {
+        (r["file_key"], r["target_uri"]): r["offset"]
+        for r in parse_warc(files).collect()
+    }
+    assert set(writer_side) == set(scanner_side)
+    for k, (off, _ln) in writer_side.items():
+        assert scanner_side[k] == off, k
+    # lengths tile the files exactly
+    sizes = {r["file_key"]: len(bytes(r["data"])) for r in files.collect()}
+    per_file = {}
+    for (fk, _u), (_o, ln) in writer_side.items():
+        per_file[fk] = per_file.get(fk, 0) + ln
+    assert per_file == sizes

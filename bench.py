@@ -80,6 +80,12 @@ HEADLINE = [
     "edit_sim_pairs_docs",
     "corpus_ngram_topk",
     "doc_mink_prob",
+    # session-4 round-6 link-graph family: the 6-round iterative
+    # join+agg loop (per-round localCheckpoint overhead is the cost
+    # driver, not data volume) and the WARC serialize->gzip->parse
+    # ingestion roundtrip (grouped-map assembly + mapInPandas scan)
+    "web_pagerank",
+    "warc_roundtrip_docs",
 ]
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))

@@ -38,6 +38,7 @@ from .operators.knn import knn
 from .operators.hits import hits
 from .operators.anchors import anchor_topk
 from .operators.bfs import seed_distance
+from .functions.robots import parse_robots, render_robots, robots_eval
 from .sources.warc import assemble_warc_files, parse_warc, warc_cdx, warc_record_bytes
 from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
@@ -7037,6 +7038,122 @@ def _seed_distance_sql(
     )
 
 
+_ROBOTS_PATHS = [
+    "/private/x", "/private/ok/y", "/public", "/tmp/z",
+    "/exact", "/exact/more", "/bot/q",
+]
+
+
+def _robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host robots rules over the document host
+    universe (doc_id % 5): every host carries a '*' group exercising
+    the longest-match / allow-override / '*'-wildcard / '$'-anchor
+    quartet; even-numbered hosts add a 'fetchbot'-specific group
+    (group exclusivity — RFC 9309 groups never merge). Mirrored
+    literally by the twins' VALUES list."""
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 5).alias("hk"))
+        .distinct()
+    )
+
+    def _r(agent, rule, path):
+        return F.struct(
+            F.lit(agent).alias("agent"), F.lit(rule).alias("rule"), F.lit(path).alias("path")
+        )
+
+    base = F.array(
+        _r("*", "disallow", "/private"),
+        _r("*", "allow", "/private/ok"),
+        _r("*", "disallow", "/tmp*"),
+        _r("*", "disallow", "/exact$"),
+    )
+    with_bot = F.concat(base, F.array(_r("fetchbot", "disallow", "/bot")))
+    return hosts.select(
+        F.concat(F.lit("h"), F.col("hk")).alias("host"),
+        F.explode(F.when(F.col("hk") % 2 == 0, with_bot).otherwise(base)).alias("_r"),
+    ).select("host", "_r.agent", "_r.rule", "_r.path")
+
+
+_ROBOTS_RULES_SQL = """
+  SELECT 'h' || CAST(hk AS VARCHAR) AS host, agent, rule, path
+  FROM (SELECT DISTINCT doc_id % 5 AS hk FROM documents),
+       (VALUES ('*', 'disallow', '/private'),
+               ('*', 'allow', '/private/ok'),
+               ('*', 'disallow', '/tmp*'),
+               ('*', 'disallow', '/exact$')) AS t(agent, rule, path)
+  UNION ALL
+  SELECT 'h' || CAST(hk AS VARCHAR), 'fetchbot', 'disallow', '/bot'
+  FROM (SELECT DISTINCT doc_id % 5 AS hk FROM documents) WHERE hk % 2 = 0
+"""
+
+
+def robots_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parser/renderer contract gate (functions/robots.py):
+    the synthesized rules render to per-host robots.txt texts and
+    parse back; the oracle is the rules relation itself, so a hash
+    match proves render -> parse is lossless (the WARC roundtrip
+    pattern)."""
+    return parse_robots(render_robots(_robots_rules(spark, sf_dir)))
+
+
+ROBOTS_ROUNDTRIP_SQL = f"WITH _rules AS ({_ROBOTS_RULES_SQL}) SELECT * FROM _rules"
+
+
+def web_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl-permission evaluation under agent 'fetchbot':
+    per distinct (host, path), group selection (exact-agent beats '*',
+    never merged), longest-octet match, allow-wins ties. The twin
+    replays the same selection/ranking; fixture rule paths are
+    metachar-free apart from the RFC '*'/'$' forms, so the twin's
+    regex build skips the quoting step the operator applies (quoting
+    itself is pinned by tests/test_robots.py against re.escape)."""
+    d = _t(spark, sf_dir, "documents")
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    urls = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5)).alias("host"),
+        F.element_at(paths, (F.col("doc_id") % 7 + 1).cast("int")).alias("path"),
+    )
+    return robots_eval(urls, _robots_rules(spark, sf_dir), "fetchbot")
+
+
+_ROBOTS_PATHS_SQL = "['" + "', '".join(_ROBOTS_PATHS) + "']"
+
+ROBOTS_EVAL_SQL = f"""
+WITH _rules AS ({_ROBOTS_RULES_SQL}),
+grp0 AS (
+  SELECT host, lower(agent) AS agent,
+         CAST(rule = 'allow' AS INTEGER) AS al,
+         length(path) AS plen,
+         '^' || replace(CASE WHEN path LIKE '%$' THEN substring(path, 1, length(path) - 1)
+                             ELSE path END, '*', '.*')
+             || CASE WHEN path LIKE '%$' THEN '$' ELSE '' END AS re
+  FROM _rules
+),
+spec AS (SELECT DISTINCT host FROM grp0 WHERE agent = 'fetchbot'),
+grp AS (
+  SELECT g.* FROM grp0 g LEFT JOIN spec s ON s.host = g.host
+  WHERE g.agent = 'fetchbot' OR (g.agent = '*' AND s.host IS NULL)
+),
+urls AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+         {_ROBOTS_PATHS_SQL}[(doc_id % 7) + 1] AS path
+  FROM documents
+),
+m AS (
+  SELECT u.host, u.path, g.plen, g.al
+  FROM urls u LEFT JOIN grp g ON g.host = u.host AND regexp_matches(u.path, g.re)
+),
+rk AS (
+  SELECT host, path, al,
+         ROW_NUMBER() OVER (PARTITION BY host, path
+                            ORDER BY plen DESC NULLS LAST, al DESC NULLS LAST) AS rn
+  FROM m
+)
+SELECT host, path, COALESCE(al = 1, TRUE) AS allowed FROM rk WHERE rn = 1
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7232,6 +7349,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_seed_distance": web_seed_distance,  # bounded BFS from the trustrank seed whitelist; hash-gated past the window (per-round join+MIN == web_pagerank's gated two-exchange loop with the rank projection replaced by a min-combine)
     "url_surt_keys": url_surt_keys,  # SURT CDX-index keys; hash-gated past the window (builds on the in-window-gated normalize_url pipeline — only the reversed-host tail is new, and its twin shares the canonical-parts CTEs)
     "warc_cdx_docs": warc_cdx_docs,  # writer-side CDX byte offsets; hash-gated past the window (per-file window cumsum == doc_pack_sequences' bounded-group discipline; record synthesis shared with the gated warc roundtrip)
+    "robots_roundtrip": robots_roundtrip,  # robots.txt render->parse contract; hash-gated past the window (roundtrip-vs-direct-relation pattern == the gated warc roundtrip)
+    "web_robots_eval": web_robots_eval,  # RFC 9309 crawl permissions; hash-gated past the window (host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7415,6 +7534,8 @@ ORACLES: dict[str, str] = {
     ),
     "url_surt_keys": URL_SURT_SQL,
     "warc_cdx_docs": WARC_CDX_SQL,
+    "robots_roundtrip": ROBOTS_ROUNDTRIP_SQL,
+    "web_robots_eval": ROBOTS_EVAL_SQL,
 }
 
 

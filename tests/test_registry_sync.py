@@ -177,6 +177,8 @@ def test_differentiated_entries_inside_driver_window():
         "web_seed_distance",        # bounded BFS from the trustrank seed set; per-round join+MIN == web_pagerank's gated two-exchange loop, min-combine in place of the rank projection
         "url_surt_keys",            # SURT keys; builds on the in-window url_canonical_dedup pipeline — only the reversed-host tail is new, twin shares the canonical-parts CTEs
         "warc_cdx_docs",            # CDX byte offsets; per-file window cumsum == doc_pack_sequences' bounded-group shape, record synthesis shared with the gated warc roundtrip
+        "robots_roundtrip",         # robots.txt render->parse contract; roundtrip-vs-direct-relation pattern == the gated warc roundtrip
+        "web_robots_eval",          # RFC 9309 permissions; host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -59,6 +59,66 @@ def anchor_terms(
     )
 
 
+def anchor_body_divergence(
+    links: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Anchor-spam signal (Davison 2000 "Recognizing Nepotistic
+    Links"; nepotistic/keyword-stuffed anchors concentrate terms the
+    target's body never uses): per link target,
+
+        (target, n_terms, anchor_mass, unsupported_mass,
+         unsupported_q6)
+
+    where anchor_mass is total anchor term occurrences pointing at
+    the target, unsupported_mass the share of that mass whose term
+    does not occur in the target's own body (same non-alphanumeric
+    tokenizer on both sides, so punctuation never fakes divergence),
+    and unsupported_q6 the ratio in exact parts-per-million (floor
+    division — the linkstats.py quantized-ratio contract). Targets
+    with no in-link anchors emit nothing (there is no signal to
+    score); a target with anchors but no/empty body counts all mass
+    unsupported.
+
+    Scale shape: anchor side is the anchor_terms rollup (its corpus
+    exchange); body side is ONE distinct (id, term) explode; support
+    is an equi-join on the (target, term) pair key — high-cardinality
+    composite key, AQE-splittable — followed by one map-side-partial
+    aggregate per target. Document text never rides past its own
+    explode."""
+    a = anchor_terms(links, dst=dst, anchor=anchor)
+    body = docs.select(
+        F.col(id_col).cast("long").alias("target"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _TERM_SPLIT)
+        ).alias("term"),
+    ).where(F.col("term") != "").distinct()
+    return (
+        a.join(body.withColumn("_in_body", F.lit(1)), ["target", "term"], "left")
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("n").alias("anchor_mass"),
+            F.sum(F.when(F.col("_in_body").isNull(), F.col("n")).otherwise(F.lit(0))).alias(
+                "unsupported_mass"
+            ),
+        )
+        .select(
+            "target",
+            "n_terms",
+            "anchor_mass",
+            "unsupported_mass",
+            F.expr("(unsupported_mass * 1000000) div anchor_mass")
+            .cast("long")
+            .alias("unsupported_q6"),
+        )
+    )
+
+
 def anchor_topk(
     links: DataFrame,
     k: int = 3,

@@ -36,7 +36,7 @@ from .functions.tiles import tile_pixel, tile_xy_sql
 from .operators import ann, components, dedup
 from .operators.knn import knn
 from .operators.hits import hits
-from .operators.anchors import anchor_topk
+from .operators.anchors import anchor_body_divergence, anchor_topk
 from .operators.bfs import seed_distance
 from .functions.robots import parse_robots, render_robots, robots_eval
 from .sources.warc import assemble_warc_files, parse_warc, warc_cdx, warc_record_bytes
@@ -7038,6 +7038,82 @@ def _seed_distance_sql(
     )
 
 
+def web_anchor_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/body divergence (operators/anchors.py
+    anchor_body_divergence — the Davison 2000 nepotistic-anchor
+    signal) over a mixed fixture: 3 of 4 links anchor with a REAL
+    token of the target's body (supported mass), every 4th link
+    plants a 'zzspam' token the body cannot contain (unsupported
+    mass), so both branches of the support join carry weight. All
+    outputs are exact integers + the ppm floor-div ratio."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[ \t\r\n]+"),
+        lambda t: t != "",
+    )
+    tgt = d.select(F.col("doc_id").alias("dst"), toks.alias("_bt"))
+    anchored = (
+        _web_links(spark, sf_dir)
+        .distinct()
+        .join(tgt, "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                (F.col("src") % 4 == 0) | (F.size("_bt") == 0),
+                F.concat(F.lit("zzspam"), (F.col("src") % 3).cast("string")),
+            )
+            .otherwise(
+                F.element_at("_bt", (F.col("src") % F.size("_bt")).cast("int") + 1)
+            )
+            .alias("anchor"),
+        )
+    )
+    return anchor_body_divergence(anchored, d)
+
+
+ANCHOR_DIVERGENCE_SQL = f"""
+WITH _links AS MATERIALIZED ({{links}}),
+docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(COALESCE(text, '')), '[ \\t\\r\\n]+'),
+                     t -> t != '') AS bt
+  FROM documents
+),
+anch AS (
+  SELECT l.dst,
+         CASE WHEN l.src % 4 = 0 OR len(d.bt) = 0
+              THEN 'zzspam' || CAST(l.src % 3 AS VARCHAR)
+              ELSE d.bt[CAST(l.src % len(d.bt) AS BIGINT) + 1] END AS anchor
+  FROM _links l JOIN docs_t d ON d.doc_id = l.dst
+),
+ac AS (
+  SELECT target, term, COUNT(*) AS n FROM (
+    SELECT dst AS target,
+           unnest(regexp_split_to_array(lower(anchor), '[^a-z0-9]+')) AS term
+    FROM anch
+  ) WHERE term <> '' GROUP BY 1, 2
+),
+body AS (
+  SELECT DISTINCT target, term FROM (
+    SELECT doc_id AS target,
+           unnest(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+j AS (
+  SELECT a.target, a.n, (b.term IS NOT NULL) AS sup
+  FROM ac a LEFT JOIN body b ON b.target = a.target AND b.term = a.term
+)
+SELECT target,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(n) AS BIGINT) AS anchor_mass,
+       CAST(SUM(CASE WHEN sup THEN 0 ELSE n END) AS BIGINT) AS unsupported_mass,
+       CAST((SUM(CASE WHEN sup THEN 0 ELSE n END) * 1000000) // SUM(n) AS BIGINT) AS unsupported_q6
+FROM j GROUP BY target
+"""
+
+
 _ROBOTS_PATHS = [
     "/private/x", "/private/ok/y", "/public", "/tmp/z",
     "/exact", "/exact/more", "/bot/q",
@@ -7351,6 +7427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_cdx_docs": warc_cdx_docs,  # writer-side CDX byte offsets; hash-gated past the window (per-file window cumsum == doc_pack_sequences' bounded-group discipline; record synthesis shared with the gated warc roundtrip)
     "robots_roundtrip": robots_roundtrip,  # robots.txt render->parse contract; hash-gated past the window (roundtrip-vs-direct-relation pattern == the gated warc roundtrip)
     "web_robots_eval": web_robots_eval,  # RFC 9309 crawl permissions; hash-gated past the window (host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract)
+    "web_anchor_divergence": web_anchor_divergence,  # anchor/body spam divergence; hash-gated past the window (anchor rollup == the gated web_anchor_topk core; pair-key support join + ppm ratio == the gated linkstats contract)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7536,6 +7613,7 @@ ORACLES: dict[str, str] = {
     "warc_cdx_docs": WARC_CDX_SQL,
     "robots_roundtrip": ROBOTS_ROUNDTRIP_SQL,
     "web_robots_eval": ROBOTS_EVAL_SQL,
+    "web_anchor_divergence": ANCHOR_DIVERGENCE_SQL.format(links=_RAW_LINKS_SQL),
 }
 
 

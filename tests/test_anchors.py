@@ -66,3 +66,51 @@ def test_bad_k_raises(spark):
     df = spark.createDataFrame([(1, 2, "a")], "src long, dst long, anchor string")
     with pytest.raises(ValueError):
         anchor_topk(df, k=0)
+
+
+def test_divergence_matches_reference(spark):
+    from fujishadergpu_spark.operators.anchors import anchor_body_divergence
+
+    links = [
+        (1, 10, "apple pie recipes"),    # all supported by doc 10
+        (2, 10, "casino CASINO bonus"),  # stuffed terms, absent from body
+        (3, 11, "anything here"),        # doc 11 has empty body
+        (4, 12, "plain words"),          # target 12 has no doc row at all
+    ]
+    docs = [(10, "best apple pie recipes, baked daily"), (11, "")]
+    ldf = spark.createDataFrame(links, "src long, dst long, anchor string")
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["target"]: (r["n_terms"], r["anchor_mass"], r["unsupported_mass"], r["unsupported_q6"])
+        for r in anchor_body_divergence(ldf, ddf).collect()
+    }
+
+    def ref(target):
+        counts = {}
+        for _s, d, a in links:
+            if d != target:
+                continue
+            for t in re.split(r"[^a-z0-9]+", a.lower()):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+        body = set()
+        for i, txt in docs:
+            if i == target:
+                body |= {t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t}
+        mass = sum(counts.values())
+        uns = sum(n for t, n in counts.items() if t not in body)
+        return (len(counts), mass, uns, (uns * 10**6) // mass)
+
+    assert got == {t: ref(t) for t in (10, 11, 12)}
+    # the signal: clean target low, stuffed/unbacked targets pegged
+    assert got[10][3] == 500000        # casino+casino+bonus = 3 of 6
+    assert got[11][3] == 10**6 and got[12][3] == 10**6
+
+
+def test_divergence_tokenizer_parity_no_punct_fakes(spark):
+    from fujishadergpu_spark.operators.anchors import anchor_body_divergence
+
+    ldf = spark.createDataFrame([(1, 5, "Apple-Pie!")], "src long, dst long, anchor string")
+    ddf = spark.createDataFrame([(5, "apple... (pie)")], "doc_id long, text string")
+    r = anchor_body_divergence(ldf, ddf).collect()[0]
+    assert (r["unsupported_mass"], r["unsupported_q6"]) == (0, 0)

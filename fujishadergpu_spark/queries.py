@@ -39,6 +39,7 @@ from .operators.hits import hits
 from .operators.anchors import anchor_body_divergence, anchor_topk
 from .operators.bfs import seed_distance
 from .functions.robots import parse_robots, render_robots, robots_eval
+from .sources.sitemap import parse_sitemap, render_sitemap
 from .sources.warc import assemble_warc_files, parse_warc, warc_cdx, warc_record_bytes
 from .operators.linkstats import link_stats
 from .operators.pagerank import pagerank
@@ -7114,6 +7115,41 @@ FROM j GROUP BY target
 """
 
 
+def sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap connector contract gate (sources/sitemap.py): url
+    entries synthesized from documents (every 3rd with a lastmod,
+    the rest exercising the omitted-tag NULL path) render to urlset
+    XML and parse back; the oracle is the entry relation computed
+    directly, so a hash match proves render -> parse is lossless
+    including NULL handling (the WARC/robots roundtrip pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        (F.col("doc_id") % 6).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")).alias("loc"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            ),
+        ).alias("lastmod"),
+    )
+    return parse_sitemap(render_sitemap(urls))
+
+
+SITEMAP_ROUNDTRIP_SQL = """
+SELECT doc_id % 6 AS file_key,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       END AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CAST(NULL AS VARCHAR) AS priority
+FROM documents
+"""
+
+
 _ROBOTS_PATHS = [
     "/private/x", "/private/ok/y", "/public", "/tmp/z",
     "/exact", "/exact/more", "/bot/q",
@@ -7428,6 +7464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_roundtrip": robots_roundtrip,  # robots.txt render->parse contract; hash-gated past the window (roundtrip-vs-direct-relation pattern == the gated warc roundtrip)
     "web_robots_eval": web_robots_eval,  # RFC 9309 crawl permissions; hash-gated past the window (host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract)
     "web_anchor_divergence": web_anchor_divergence,  # anchor/body spam divergence; hash-gated past the window (anchor rollup == the gated web_anchor_topk core; pair-key support join + ppm ratio == the gated linkstats contract)
+    "sitemap_roundtrip": sitemap_roundtrip,  # sitemap XML connector; hash-gated past the window (render->parse-vs-direct-relation == the gated warc/robots roundtrips; zero-UDF regexp extraction == the gated script-profile scan shape)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7614,6 +7651,7 @@ ORACLES: dict[str, str] = {
     "robots_roundtrip": ROBOTS_ROUNDTRIP_SQL,
     "web_robots_eval": ROBOTS_EVAL_SQL,
     "web_anchor_divergence": ANCHOR_DIVERGENCE_SQL.format(links=_RAW_LINKS_SQL),
+    "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
 }
 
 

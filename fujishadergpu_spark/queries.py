@@ -7115,6 +7115,73 @@ FROM j GROUP BY target
 """
 
 
+def warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE crawl-ingest chain under one hash gate: documents
+    synthesize full HTTP exchanges (200 text/html pages carrying the
+    entity-escape-marked html of the doc_extract gate; every 5th doc a
+    404 text/plain), wrap in per-record-gzipped WARC files, then the
+    real pipeline runs — WARC scan (sources/warc.py) -> HTTP envelope
+    parse (sources/http.py) -> html text extraction (geoparse) — and
+    the oracle computes the expected (uri, status, mime, charset,
+    extracted_text) rows directly from the table. Exercises both the
+    keep (200/html/extracted) and route-away (404/plain/NULL) arms."""
+    from .functions.geoparse import _ENTITIES, extract_text
+    from .sources.http import parse_http_response
+
+    d = _t(spark, sf_dir, "documents")
+    esc = F.concat(F.lit(_RT_MARKER), F.col("text"))
+    for ent, ch in _ENTITIES:  # & -> &amp; FIRST (list order)
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    html = F.concat(F.lit("<html><body><p>"), esc, F.lit("</p></body></html>"))
+    is404 = F.col("doc_id") % 5 == 0
+    payload = F.encode(
+        F.when(
+            is404,
+            F.lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot found"),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
+                html,
+            )
+        ),
+        "UTF-8",
+    )
+    rec = d.select(
+        (F.col("doc_id") % 8).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        warc_record_bytes(
+            F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")),
+            payload,
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")),
+            F.lit("2024-01-01T00:00:00Z"),
+        ).alias("record"),
+    )
+    scanned = parse_warc(assemble_warc_files(rec, compress=True))
+    h = scanned.select(
+        "target_uri", parse_http_response(F.col("payload")).alias("_h")
+    ).select(
+        "target_uri",
+        F.col("_h.status").alias("status"),
+        F.col("_h.content_type").alias("content_type"),
+        F.col("_h.charset").alias("charset"),
+        F.col("_h.body").alias("html"),
+    )
+    return extract_text(h).select(
+        "target_uri", "status", "content_type", "charset", "extracted_text"
+    )
+
+
+WARC_HTTP_EXTRACT_SQL = """
+SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+       CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'utf-8' END AS charset,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE '&<>"'' &amp;lt; ' || text END AS extracted_text
+FROM documents
+"""
+
+
 def sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap connector contract gate (sources/sitemap.py): url
     entries synthesized from documents (every 3rd with a lastmod,
@@ -7465,6 +7532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_robots_eval": web_robots_eval,  # RFC 9309 crawl permissions; hash-gated past the window (host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract)
     "web_anchor_divergence": web_anchor_divergence,  # anchor/body spam divergence; hash-gated past the window (anchor rollup == the gated web_anchor_topk core; pair-key support join + ppm ratio == the gated linkstats contract)
     "sitemap_roundtrip": sitemap_roundtrip,  # sitemap XML connector; hash-gated past the window (render->parse-vs-direct-relation == the gated warc/robots roundtrips; zero-UDF regexp extraction == the gated script-profile scan shape)
+    "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7652,6 +7720,7 @@ ORACLES: dict[str, str] = {
     "web_robots_eval": ROBOTS_EVAL_SQL,
     "web_anchor_divergence": ANCHOR_DIVERGENCE_SQL.format(links=_RAW_LINKS_SQL),
     "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
+    "warc_http_extract": WARC_HTTP_EXTRACT_SQL,
 }
 
 

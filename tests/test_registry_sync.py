@@ -181,6 +181,7 @@ def test_differentiated_entries_inside_driver_window():
         "web_robots_eval",          # RFC 9309 permissions; host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract
         "web_anchor_divergence",    # anchor/body spam divergence; anchor rollup == web_anchor_topk's gated core, pair-key support join + ppm ratio == linkstats' gated contract
         "sitemap_roundtrip",        # sitemap XML connector; render->parse-vs-direct pattern == the gated warc/robots roundtrips, zero-UDF regexp extraction
+        "warc_http_extract",        # full crawl-ingest chain; composes three individually gated stages (warc roundtrip, http pytest contract, doc_extract roundtrip) under one hash
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -231,3 +231,69 @@ def test_bitext_topk_plans_window_group_limit(spark):
     tgt = e.filter(F_.col("vec_id") % 2 == 1)
     plan = _plan(mine_bitext(candidate_scores(src, tgt), k=4))
     assert "WindowGroupLimit" in plan
+
+
+def test_anchor_topk_no_window(spark):
+    """The per-target top-k must be the sort_array+slice aggregate
+    (map-side partial merging), never a Window node whose hot target
+    would pin a full partition to one task."""
+    from fujishadergpu_spark.operators.anchors import anchor_topk
+
+    df = spark.createDataFrame([(1, 2, "a b")], "src long, dst long, anchor string")
+    plan = _plan(anchor_topk(df, k=3))
+    assert "Window" not in plan
+    assert "partial_" in plan  # partial aggregation present
+
+
+def test_linkstats_and_bfs_no_nested_loop_join(spark):
+    """Reciprocity's swapped-key self-join and BFS's edges-vs-ring
+    join must stay equi-joins (hash/sort-merge, AQE-splittable) —
+    a BroadcastNestedLoopJoin/Cartesian here would be quadratic."""
+    from fujishadergpu_spark.operators.bfs import seed_distance
+    from fujishadergpu_spark.operators.linkstats import link_stats
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "id long")
+    for df in (link_stats(e), seed_distance(e, s, max_hops=2)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_robots_eval_regex_rides_equi_join(spark):
+    """The rlike match must be a residual condition on the host
+    equi-join, never the join strategy: a nested-loop plan would be
+    |urls| x |rules|."""
+    from fujishadergpu_spark.functions.robots import robots_eval
+
+    urls = spark.createDataFrame([("h0", "/a")], "host string, path string")
+    rules = spark.createDataFrame(
+        [("h0", "*", "disallow", "/a")], "host string, agent string, rule string, path string"
+    )
+    plan = _plan(robots_eval(urls, rules, "bot"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RLIKE" in plan or "rlike" in plan  # residual really present
+
+
+def test_warc_chain_is_single_pass_no_shuffle_after_assembly(spark):
+    """After the per-file grouped-map assembly exchange, the scan ->
+    http parse -> extract chain must add ZERO further exchanges —
+    record parsing is embarrassingly parallel over file blobs."""
+    from fujishadergpu_spark.sources.warc import (
+        assemble_warc_files,
+        parse_warc,
+        warc_record_bytes,
+    )
+
+    df = spark.createDataFrame([(1, "http://x", b"b")], "doc_id long, url string, body binary")
+    rec = df.select(
+        (F.col("doc_id") % 2).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        warc_record_bytes(
+            F.col("url"), F.col("body"),
+            F.concat(F.lit("urn:"), F.col("doc_id")), F.lit("2024-01-01T00:00:00Z"),
+        ).alias("record"),
+    )
+    plan = _plan(parse_warc(assemble_warc_files(rec)))
+    assert plan.count("Exchange") == 1  # the assembly groupBy only

@@ -38,6 +38,7 @@ from .operators.knn import knn
 from .operators.hits import hits
 from .operators.anchors import anchor_body_divergence, anchor_topk
 from .operators.bfs import seed_distance
+from .operators.redirects import resolve_redirects
 from .functions.robots import parse_robots, render_robots, robots_eval
 from .sources.sitemap import parse_sitemap, render_sitemap
 from .sources.warc import assemble_warc_files, parse_warc, warc_cdx, warc_record_bytes
@@ -7115,6 +7116,55 @@ FROM j GROUP BY target
 """
 
 
+def web_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (operators/redirects.py) over a planted redirect map: ids with
+    doc_id%10 in {0,1,2} chain three-deep onto a terminal, %10==5/6
+    form planted 2-cycles (detected, surfaced unresolved). Pointer
+    values are exact longs, so the unrolled self-join CTE twin matches
+    with no numeric caveat."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m10 = F.col("doc_id") % 10
+    r = (
+        d.where(m10.isin(0, 1, 2, 5))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .unionByName(
+            d.where(m10 == 6).select(
+                F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+            )
+        )
+    )
+    return resolve_redirects(r, rounds=6)
+
+
+def _resolve_redirects_sql(rounds: int, redirects_sql: str) -> str:
+    """DuckDB twin of resolve_redirects: the identical doubling
+    recurrence — per round one self-left-join of the pointer relation
+    (p(u) <- p(p(u)) where the pointer is still a source). Same
+    MATERIALIZED rationale as the pagerank/hits/bfs twins."""
+    ctes = [
+        f"_p0 AS MATERIALIZED ({redirects_sql})",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"_p{i} AS MATERIALIZED (SELECT a.u, COALESCE(b.p, a.p) AS p"
+            f" FROM _p{i - 1} a LEFT JOIN _p{i - 1} b ON b.u = a.p)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.u AS src, CAST(a.p AS BIGINT) AS final, (s.u IS NULL) AS resolved"
+        f" FROM _p{rounds} a LEFT JOIN (SELECT DISTINCT u FROM _p0) s ON s.u = a.p"
+    )
+
+
+_REDIRECTS_SQL = """
+  SELECT doc_id AS u, doc_id + 1 AS p FROM documents WHERE doc_id % 10 IN (0, 1, 2, 5)
+  UNION ALL
+  SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % 10 = 6
+"""
+
+
 def warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE crawl-ingest chain under one hash gate: documents
     synthesize full HTTP exchanges (200 text/html pages carrying the
@@ -7533,6 +7583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_anchor_divergence": web_anchor_divergence,  # anchor/body spam divergence; hash-gated past the window (anchor rollup == the gated web_anchor_topk core; pair-key support join + ppm ratio == the gated linkstats contract)
     "sitemap_roundtrip": sitemap_roundtrip,  # sitemap XML connector; hash-gated past the window (render->parse-vs-direct-relation == the gated warc/robots roundtrips; zero-UDF regexp extraction == the gated script-profile scan shape)
     "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
+    "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7721,6 +7772,7 @@ ORACLES: dict[str, str] = {
     "web_anchor_divergence": ANCHOR_DIVERGENCE_SQL.format(links=_RAW_LINKS_SQL),
     "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
     "warc_http_extract": WARC_HTTP_EXTRACT_SQL,
+    "web_resolve_redirects": _resolve_redirects_sql(6, _REDIRECTS_SQL),
 }
 
 

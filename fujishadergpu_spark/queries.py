@@ -7116,6 +7116,47 @@ FROM j GROUP BY target
 """
 
 
+def html_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction gate (functions/htmlmeta.py): heads
+    synthesized per document — title from (doc_id, lang), canonical
+    link with the attribute order FLIPPED on odd ids, robots meta
+    present on ids%4 in {0,1} (noindex / nofollow arms) and absent
+    otherwise — then the real zero-UDF extractor runs and the oracle
+    states the expected values directly (the roundtrip-contract
+    pattern)."""
+    from .functions.htmlmeta import html_meta
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://example.com/doc/"), F.col("doc_id"))
+    title = F.concat(
+        F.lit("<title>Doc "), F.col("doc_id"), F.lit(" ("), F.col("lang"), F.lit(")</title>")
+    )
+    canon = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('">')),
+    ).otherwise(F.concat(F.lit('<link href="'), url, F.lit('" rel="canonical">')))
+    robots = (
+        F.when(F.col("doc_id") % 4 == 0, '<meta name="robots" content="noindex">')
+        .when(F.col("doc_id") % 4 == 1, '<meta content="index, nofollow" name="robots">')
+        .otherwise("")
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title, canon, robots,
+        F.lit("</head><body>x</body></html>"),
+    )
+    return d.select("doc_id", html_meta(html).alias("m")).select("doc_id", "m.*")
+
+
+HTML_META_SQL = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' (' || lang || ')' AS title,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS canonical,
+       doc_id % 4 = 0 AS noindex,
+       doc_id % 4 = 1 AS nofollow
+FROM documents
+"""
+
+
 def web_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling
     (operators/redirects.py) over a planted redirect map: ids with
@@ -7584,6 +7625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_roundtrip": sitemap_roundtrip,  # sitemap XML connector; hash-gated past the window (render->parse-vs-direct-relation == the gated warc/robots roundtrips; zero-UDF regexp extraction == the gated script-profile scan shape)
     "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
     "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
+    "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7773,6 +7815,7 @@ ORACLES: dict[str, str] = {
     "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
     "warc_http_extract": WARC_HTTP_EXTRACT_SQL,
     "web_resolve_redirects": _resolve_redirects_sql(6, _REDIRECTS_SQL),
+    "html_meta_docs": HTML_META_SQL,
 }
 
 

@@ -7157,6 +7157,49 @@ FROM documents
 """
 
 
+def html_links_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink-extraction gate (functions/links.py): per-document
+    html synthesized with an absolute link, a path-absolute link
+    (joined against the page's scheme://host), and — on every 3rd
+    doc — a mailto: exercising the surfaced-NULL resolution arm; the
+    real zero-UDF extractor runs and the oracle states the expected
+    (url, href, anchor, resolved) rows directly."""
+    from .functions.links import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    a = ((F.col("doc_id") * 7 + 3) % 1000).cast("string")
+    b = ((F.col("doc_id") + 1) % 1000).cast("string")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<a href="http://example.com/doc/'), a, F.lit('">abs '), a, F.lit("</a>"),
+        F.lit('<a href="/doc/'), b, F.lit('">rel '), b, F.lit("</a>"),
+        F.when(F.col("doc_id") % 3 == 0, '<a href="mailto:x@y.z">mail</a>').otherwise(""),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_links(pages)
+
+
+HTML_LINKS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST((doc_id * 7 + 3) % 1000 AS VARCHAR) AS a,
+         CAST((doc_id + 1) % 1000 AS VARCHAR) AS b
+  FROM documents
+)
+SELECT url, 'http://example.com/doc/' || a AS href, 'abs ' || a AS anchor,
+       'http://example.com/doc/' || a AS resolved FROM d
+UNION ALL
+SELECT url, '/doc/' || b, 'rel ' || b, 'http://example.com/doc/' || b FROM d
+UNION ALL
+SELECT url, 'mailto:x@y.z', 'mail', NULL FROM d WHERE doc_id % 3 = 0
+"""
+
+
 def web_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling
     (operators/redirects.py) over a planted redirect map: ids with
@@ -7626,6 +7669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
     "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
+    "html_links_docs": html_links_docs,  # hyperlink extraction (the link-graph producer); hash-gated past the window (aligned regexp_extract_all arrays + explode == the gated sitemap block scan; synthesis-vs-direct contract pattern)
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).
@@ -7816,6 +7860,7 @@ ORACLES: dict[str, str] = {
     "warc_http_extract": WARC_HTTP_EXTRACT_SQL,
     "web_resolve_redirects": _resolve_redirects_sql(6, _REDIRECTS_SQL),
     "html_meta_docs": HTML_META_SQL,
+    "html_links_docs": HTML_LINKS_SQL,
 }
 
 

@@ -184,6 +184,7 @@ def test_differentiated_entries_inside_driver_window():
         "warc_http_extract",        # full crawl-ingest chain; composes three individually gated stages (warc roundtrip, http pytest contract, doc_extract roundtrip) under one hash
         "web_resolve_redirects",    # redirect pointer doubling; self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure, two-long rows + per-round localCheckpoint
         "html_meta_docs",           # head-metadata extraction; zero-UDF regexp projection == the gated script-profile scan, roundtrip-contract pattern == the gated sitemap/warc gates
+        "html_links_docs",          # hyperlink extraction; aligned regexp_extract_all arrays + explode == the gated sitemap block scan, synthesis-vs-direct contract
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

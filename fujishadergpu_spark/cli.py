@@ -388,6 +388,22 @@ def main(argv=None):
     p.add_argument("--zoom", type=int, default=8)
     p.add_argument("--run-id", default=None)
 
+    lr = sub.add_parser(
+        "link-rank",
+        help="resumable link-analysis job: edges -> linkstats -> pagerank "
+             "-> hits [-> seed_distance] (lineage resume, same A18 "
+             "machinery as `pipeline` / `clean-corpus`)",
+    )
+    lr.add_argument("--links", required=True, help="parquet with (src, dst)")
+    lr.add_argument("--out", required=True)
+    lr.add_argument("--iters", type=int, default=6, help="PageRank rounds")
+    lr.add_argument("--hits-iters", type=int, default=6, help="HITS rounds")
+    lr.add_argument("--seeds", default=None,
+                    help="optional parquet whose first column is the seed id "
+                         "set: adds the bounded-BFS seed_distance stage")
+    lr.add_argument("--max-hops", type=int, default=6)
+    lr.add_argument("--run-id", default=None)
+
     c = sub.add_parser(
         "clean-corpus",
         help="resumable 8-stage text-cleaning job: pii -> repetition -> "
@@ -539,6 +555,16 @@ def main(argv=None):
             print(f"wrote {args.n} pages to {args.out}")
         elif args.cmd == "pipeline":
             summary = run_pipeline(spark, args.pages, args.out, args.zoom, args.run_id)
+            for stage, s in summary.items():
+                print(f"stage {stage}: {s}")
+        elif args.cmd == "link-rank":
+            from .plans.link_rank import run_link_rank
+
+            summary = run_link_rank(
+                spark, args.links, args.out, args.run_id,
+                iters=args.iters, hits_iters=args.hits_iters,
+                seeds_path=args.seeds, max_hops=args.max_hops,
+            )
             for stage, s in summary.items():
                 print(f"stage {stage}: {s}")
         elif args.cmd == "clean-corpus":

@@ -7518,9 +7518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_cells_parent_r5": geo_cells_parent_r5,
     "geo_tile_pixel_density_z7": geo_tile_pixel_density_z7,
     "tile_halo_census_z6": tile_halo_census_z6,
-    "tile_box_total_z6": tile_box_total_z6,
+    "web_pagerank": web_pagerank,  # admitted r6 s4: link-graph family flagship (exact integer fixed point; represents trustrank/host/hits variants past the window)
     "tile_overview_box_total_z5": tile_overview_box_total_z5,
-    "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,
+    "warc_roundtrip_docs": warc_roundtrip_docs,  # admitted r6 s4: ingestion-connector family flagship (byte-faithful serialize->gzip->scan; represents cdx/sitemap/http gates past the window)
     "multiscale_usm_exact_z5": multiscale_usm_exact_z5,
     "tile_hillshade_exact_z6": tile_hillshade_exact_z6,
     "tile_openness_normalized_exact_z5": tile_openness_normalized_exact_z5,
@@ -7546,7 +7546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id_margin": doc_lang_id_margin,  # supersedes doc_lang_id in-window: same STOPWORDS argmax PLUS top/runner-up hits and the confidence margin (r6 session 3)
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_cluster_components": dedup_cluster_components,
-    "dedup_simhash_docs": dedup_simhash_docs,
+    "web_robots_eval": web_robots_eval,  # admitted r6 s4: crawl-policy family flagship (RFC 9309 group selection + longest-match; represents the roundtrip gate past the window)
     "url_canonical_dedup": url_canonical_dedup,
     "edit_sim_pairs_docs": edit_sim_pairs_docs,  # admitted r6 session 3: the fuzzy-dedup PRECISION stage (length-band prefilter + levenshtein verify) — a new skeleton class
     "bitext_mine_pairs": bitext_mine_pairs,  # admitted r6 session 3: margin-based bitext mining (integer micro-unit cosine algebra + forward argmax) — a new skeleton class
@@ -7557,7 +7557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shards": doc_shards,
     "doc_classifier_scores": doc_classifier_scores,
     "semdedup_keep": semdedup_keep,
-    "doc_mixture_sample": doc_mixture_sample,
+    "html_links_docs": html_links_docs,  # admitted r6 s4: extraction family flagship (aligned-capture link producer; represents htmlmeta/anchor gates past the window)
     "quantize_acctbal": quantize_acctbal,
     # ---- tier 2: differentiated rows-only ----------------------------
     "ann_ivf_index_probe": ann_ivf_index_probe,
@@ -7651,25 +7651,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_trigram_perplexity": doc_trigram_perplexity,  # interpolated trigram LM; hash-gated past the window (model pre-fold + single corpus-model join == doc_lm_perplexity's guarded skeleton, one order up)
     "sentence_dedup_docs": sentence_dedup_docs,  # sentence-granularity corpus dedup; hash-gated past the window (shared _unit_dedup core with line_dedup_docs in-window, splitter == doc_sentence_chunks' gated construction)
     "split_leakage_report": split_leakage_report,  # cross-split eval-leak audit; hash-gated past the window (split draw == doc_split_assign's guarded oracle, broadcast-gram probe == doc_decontaminate in-window)
-    "web_pagerank": web_pagerank,  # link-graph authority; hash-gated past the window (iterative two-long-row loop == dedup_cluster_components' in-window closure skeleton; exact-integer contract == the waterfill/USM gates)
+    "tile_box_total_z6": tile_box_total_z6,  # demoted r6 s4 to admit web_pagerank: halo box-sum transport == tile_halo_census_z6 + tile_overview_box_total_z5 skeletons, both in-window
     "host_pagerank": host_pagerank,  # host-graph rollup + rank; hash-gated past the window (rollup = one DISTINCT over two-long rows; iteration == web_pagerank's gated recurrence on the host universe)
     "web_trustrank": web_trustrank,  # seed-gated TrustRank; hash-gated past the window (same recurrence as web_pagerank with the base/dangling shares CASE-gated on the seed flag)
     "web_hits": web_hits,  # HITS hubs/authorities; hash-gated past the window (same two-exchange iterative loop skeleton as web_pagerank, with L1 floor-div renormalization instead of the teleport constant)
     "web_link_stats": web_link_stats,  # degree/reciprocity link-spam signals; hash-gated past the window (two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of the gated web_pagerank plan)
     "web_anchor_topk": web_anchor_topk,  # per-target top-k anchor terms; hash-gated past the window (explode + map-side-partial COUNT == the gated WIMBD gram rollup; window-free sort_array+slice top-k == domain_keywords' rank contract)
     "dedup_ngram_containment_docs": dedup_ngram_containment_docs,  # Broder containment pairs; hash-gated past the window (shares _ngram_intersections byte-for-byte with the in-window-gated jaccard join — only the ratio projection differs)
-    "warc_roundtrip_docs": warc_roundtrip_docs,  # WARC connector roundtrip; hash-gated past the window (contract-oracle pattern == the in-window media_features gate; grouped-map assembly == doc_pack_sequences' sharded-group shape)
+    "tile_pyramid_quadrants_z5": tile_pyramid_quadrants_z5,  # demoted r6 s4 to admit warc_roundtrip_docs: LOD parent rollup == geo_cells_parent_r5's in-window rollup law + overview gate
     "web_seed_distance": web_seed_distance,  # bounded BFS from the trustrank seed whitelist; hash-gated past the window (per-round join+MIN == web_pagerank's gated two-exchange loop with the rank projection replaced by a min-combine)
     "url_surt_keys": url_surt_keys,  # SURT CDX-index keys; hash-gated past the window (builds on the in-window-gated normalize_url pipeline — only the reversed-host tail is new, and its twin shares the canonical-parts CTEs)
     "warc_cdx_docs": warc_cdx_docs,  # writer-side CDX byte offsets; hash-gated past the window (per-file window cumsum == doc_pack_sequences' bounded-group discipline; record synthesis shared with the gated warc roundtrip)
     "robots_roundtrip": robots_roundtrip,  # robots.txt render->parse contract; hash-gated past the window (roundtrip-vs-direct-relation pattern == the gated warc roundtrip)
-    "web_robots_eval": web_robots_eval,  # RFC 9309 crawl permissions; hash-gated past the window (host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract)
+    "dedup_simhash_docs": dedup_simhash_docs,  # demoted r6 s4 to admit web_robots_eval: near-dup sketch family == dedup_minhash_docs in-window; the poly31 fold also rides doc_winnow_fingerprints' oracle
     "web_anchor_divergence": web_anchor_divergence,  # anchor/body spam divergence; hash-gated past the window (anchor rollup == the gated web_anchor_topk core; pair-key support join + ppm ratio == the gated linkstats contract)
     "sitemap_roundtrip": sitemap_roundtrip,  # sitemap XML connector; hash-gated past the window (render->parse-vs-direct-relation == the gated warc/robots roundtrips; zero-UDF regexp extraction == the gated script-profile scan shape)
     "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
     "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
-    "html_links_docs": html_links_docs,  # hyperlink extraction (the link-graph producer); hash-gated past the window (aligned regexp_extract_all arrays + explode == the gated sitemap block scan; synthesis-vs-direct contract pattern)
+    "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
     # stencil algorithm (every §2.B kernel name is resolvable in
     # queries(); hillshade and topousm have dedicated entries above).

@@ -166,25 +166,25 @@ def test_differentiated_entries_inside_driver_window():
         "dedup_canonical_docs",     # demoted r6 s3: closure == dedup_cluster_components, totality back-join == dedup_exact_docs keeper (both in-window)
         "doc_fingerprint_distinct", # demoted r6 s3: content-hash determinism == doc_extract_text_roundtrip byte-identity gate (in-window)
         "media_features",           # demoted r6 s3: media_header_probe gates the same mapInPandas plumbing in-window plus real parsing
-        "web_pagerank",             # link-graph authority; iterative two-long-row loop == dedup_cluster_components closure (in-window), exact-integer fixed point == waterfill/USM contract
+        "tile_box_total_z6",        # demoted r6 s4 to admit web_pagerank: halo box-sum transport == tile_halo_census_z6 + tile_overview_box_total_z5, both in-window
+        "tile_pyramid_quadrants_z5",  # demoted r6 s4 to admit warc_roundtrip_docs: LOD parent rollup == geo_cells_parent_r5's in-window rollup law
+        "dedup_simhash_docs",       # demoted r6 s4 to admit web_robots_eval: sketch family == dedup_minhash_docs in-window; poly31 fold rides doc_winnow_fingerprints' oracle
+        "doc_mixture_sample",       # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample in-window + doc_unimax_sample's covered draw
         "host_pagerank",            # host-graph rollup + rank; rollup = DISTINCT over two-long rows, iteration == web_pagerank's gated recurrence on the host universe
         "web_trustrank",            # seed-gated TrustRank; identical recurrence to web_pagerank with the base/dangling shares CASE-gated on the seed flag (operator + twin share one parameterization)
         "web_hits",                 # HITS hubs/authorities; same iterative two-exchange loop skeleton as the gated web_pagerank, L1 floor-div renormalization in place of the teleport constant
         "web_link_stats",           # degree/reciprocity signals; two COUNT aggregates + one swapped-key semi-join — the non-iterative prefix of web_pagerank's gated plan shape
         "web_anchor_topk",          # per-target top-k anchor terms; explode + map-side-partial COUNT == the gated WIMBD rollup, window-free sort_array+slice == domain_keywords' in-window rank contract
         "dedup_ngram_containment_docs",  # Broder containment; shares _ngram_intersections byte-for-byte with the gated jaccard join, only the ratio projection differs
-        "warc_roundtrip_docs",      # WARC connector roundtrip; contract-oracle pattern == the in-window media_features gate, grouped-map file assembly == doc_pack_sequences' sharded-group shape
         "web_seed_distance",        # bounded BFS from the trustrank seed set; per-round join+MIN == web_pagerank's gated two-exchange loop, min-combine in place of the rank projection
         "url_surt_keys",            # SURT keys; builds on the in-window url_canonical_dedup pipeline — only the reversed-host tail is new, twin shares the canonical-parts CTEs
         "warc_cdx_docs",            # CDX byte offsets; per-file window cumsum == doc_pack_sequences' bounded-group shape, record synthesis shared with the gated warc roundtrip
         "robots_roundtrip",         # robots.txt render->parse contract; roundtrip-vs-direct-relation pattern == the gated warc roundtrip
-        "web_robots_eval",          # RFC 9309 permissions; host equi-join + residual regex + max-struct argmax == the gated topics/domain argmax contract
         "web_anchor_divergence",    # anchor/body spam divergence; anchor rollup == web_anchor_topk's gated core, pair-key support join + ppm ratio == linkstats' gated contract
         "sitemap_roundtrip",        # sitemap XML connector; render->parse-vs-direct pattern == the gated warc/robots roundtrips, zero-UDF regexp extraction
         "warc_http_extract",        # full crawl-ingest chain; composes three individually gated stages (warc roundtrip, http pytest contract, doc_extract roundtrip) under one hash
         "web_resolve_redirects",    # redirect pointer doubling; self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure, two-long rows + per-round localCheckpoint
         "html_meta_docs",           # head-metadata extraction; zero-UDF regexp projection == the gated script-profile scan, roundtrip-contract pattern == the gated sitemap/warc gates
-        "html_links_docs",          # hyperlink extraction; aligned regexp_extract_all arrays + explode == the gated sitemap block scan, synthesis-vs-direct contract
     }
     missing_oracled = set(ORACLES) - set(window) - exempt
     assert not missing_oracled, f"hash-oracled entries past the window: {missing_oracled}"

@@ -38,6 +38,9 @@ PROBE_QUERIES = [
     # round-5 text family (r5 verdict #3): both arms must have these
     # registered — true for any tree at or after the round-5 head
     "span_dedup_docs", "line_dedup_docs", "bm25_topk_docs",
+    # round-6 session-4 link-graph/ingest family: both arms must be at
+    # or after the round-6 session-4 head to carry these
+    "web_pagerank", "warc_roundtrip_docs",
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PAGES = os.environ.get(
@@ -64,6 +67,11 @@ def probe(arm: str, cycle: int, logfile: str) -> None:
 
     out = {"arm": arm, "cycle": cycle, "queries": {}, "t0": time.time()}
     for name in PROBE_QUERIES:
+        if name not in Q.QUERIES:
+            # older arm predating this probe: record absence, keep the
+            # cycle comparable on the shared probes
+            out["queries"][name] = None
+            continue
         reps = []
         for _ in range(2):
             t = time.time()
@@ -131,6 +139,8 @@ def analyze(logpath: str) -> None:
     by = defaultdict(dict)
     for r in rows:
         for name, reps in list(r["queries"].items()) + [("pip", r["pip"])]:
+            if reps is None:  # probe absent in this arm's registry
+                continue
             by[name].setdefault(r["cycle"], {})[r["arm"]] = min(reps)
     print(f"{'query':24} {a+' min':>8} {a+' med':>8} {b+' min':>8} {b+' med':>8} "
           f"{'med paired d':>13}  per-cycle deltas (b-a)")

@@ -7200,6 +7200,34 @@ SELECT url, 'mailto:x@y.z', 'mail', NULL FROM d WHERE doc_id % 3 = 0
 """
 
 
+def http_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-chain decode gate (sources/http.decode_body): UTF-8
+    bodies under a cycle of declared labels — canonical, alias-cased,
+    unknown (skipped), and absent — must all reproduce the original
+    text through the declared->utf-8->cp1252 chain, so the oracle is
+    the identity. The cp1252 fallback and wrong-label fall-through
+    arms are pinned byte-level in tests/test_http.py (their outputs
+    are not SQL-expressible)."""
+    from .sources.http import decode_body
+
+    d = _t(spark, sf_dir, "documents")
+    label = (
+        F.when(F.col("doc_id") % 4 == 0, "utf-8")
+        .when(F.col("doc_id") % 4 == 1, "UTF8")
+        .when(F.col("doc_id") % 4 == 2, "x-unknown-label")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        decode_body(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"), label).alias(
+            "text"
+        ),
+    )
+
+
+HTTP_DECODE_SQL = "SELECT doc_id, COALESCE(text, '') AS text FROM documents"
+
+
 def web_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling
     (operators/redirects.py) over a planted redirect map: ids with
@@ -7668,6 +7696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_roundtrip": sitemap_roundtrip,  # sitemap XML connector; hash-gated past the window (render->parse-vs-direct-relation == the gated warc/robots roundtrips; zero-UDF regexp extraction == the gated script-profile scan shape)
     "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
     "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
+    "http_decode_docs": http_decode_docs,  # charset-chain decode; hash-gated past the window (Arrow-batched UDF contract == the in-window media_header_probe/warc gates; non-SQL fallback arms byte-pinned in pytest)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
@@ -7859,6 +7888,7 @@ ORACLES: dict[str, str] = {
     "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
     "warc_http_extract": WARC_HTTP_EXTRACT_SQL,
     "web_resolve_redirects": _resolve_redirects_sql(6, _REDIRECTS_SQL),
+    "http_decode_docs": HTTP_DECODE_SQL,
     "html_meta_docs": HTML_META_SQL,
     "html_links_docs": HTML_LINKS_SQL,
 }

@@ -91,3 +91,56 @@ def parse_http_response(payload: Column) -> Column:
     parameter when present; body is the raw bytes after the header
     block. All-NULL for payloads that are not an HTTP response."""
     return _http_udf(payload)
+
+
+# ------------------- charset-aware body decoding ----------------------
+
+_CHARSET_ALIASES = {
+    # the handful of label aliases that dominate real crawl traffic
+    # (WHATWG encoding labels); unknown labels fall through to the
+    # fallback chain rather than failing the batch
+    "utf8": "utf-8",
+    "iso8859-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "latin-1": "iso-8859-1",
+    "windows-1252": "cp1252",
+    "win-1252": "cp1252",
+}
+
+
+def _decode_one(b, label) -> str | None:
+    if b is None:
+        return None
+    b = bytes(b)
+    codecs = []
+    if label:
+        codecs.append(_CHARSET_ALIASES.get(label.lower(), label.lower()))
+    codecs += ["utf-8", "cp1252"]
+    for i, codec in enumerate(codecs):
+        errors = "strict" if i < len(codecs) - 1 else "replace"
+        try:
+            return b.decode(codec, errors=errors)
+        except (LookupError, UnicodeDecodeError):
+            continue
+    return None  # unreachable: the last codec uses errors='replace'
+
+
+@pandas_udf(StringType())
+def _decode_udf(body: pd.Series, charset: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_decode_one(b, c) for b, c in zip(body, charset)], dtype="object"
+    )
+
+
+def decode_body(body: Column, charset: Column) -> Column:
+    """Text from a response body under its declared charset — the
+    step between the HTTP envelope and every text operator. Decode
+    order: the declared charset (WHATWG-alias-normalized; unknown
+    labels skipped), then strict UTF-8, then cp1252 with replacement
+    as the never-fails terminal fallback — the order real pipelines
+    use because a UTF-8-valid byte string IS utf-8 with near
+    certainty while cp1252 accepts any byte sequence. NULL body ->
+    NULL text; a wrongly-declared charset falls through instead of
+    mojibake-ing when it cannot decode, and functions/mojibake.py
+    repairs the cases where it CAN decode but lied."""
+    return _decode_udf(body, charset)

@@ -36,3 +36,29 @@ def test_parse_fields_and_body(spark):
     for bad in (5, 6, 7):
         r = rows[bad]
         assert r["status"] is None and r["content_type"] is None and r["body"] is None
+
+
+def test_decode_body_charset_chain(spark):
+    from fujishadergpu_spark.sources.http import decode_body
+
+    cases = [
+        (1, "héllo".encode("utf-8"), "utf-8"),
+        (2, "héllo".encode("iso-8859-1"), "latin1"),     # alias honored
+        (3, "héllo".encode("utf-8"), None),              # no label -> utf-8
+        (4, "caf\xe9".encode("cp1252"), None),           # invalid utf-8 -> cp1252
+        (5, "smart “quotes”".encode("cp1252"), "windows-1252"),
+        (6, b"plain ascii", "x-unknown-label"),          # unknown label skipped
+        (7, None, "utf-8"),
+    ]
+    df = spark.createDataFrame(cases, "id long, body binary, charset string")
+    got = {
+        r["id"]: r["text"]
+        for r in df.select(
+            "id", decode_body(F.col("body"), F.col("charset")).alias("text")
+        ).collect()
+    }
+    assert got[1] == "héllo" and got[2] == "héllo" and got[3] == "héllo"
+    assert got[4] == "café"
+    assert got[5] == "smart “quotes”"
+    assert got[6] == "plain ascii"
+    assert got[7] is None

@@ -7495,6 +7495,56 @@ SELECT host, path, COALESCE(al = 1, TRUE) AS allowed FROM rk WHERE rn = 1
 """
 
 
+def crawl_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-scheduling capstone: frontier eligibility = POLICY ×
+    AUTHORITY × PROXIMITY, composing three gated families in one
+    plan — RFC 9309 permission for the page's (host, path), exact
+    integer PageRank, and bounded BFS distance from the trusted seed
+    whitelist. A page is frontier-eligible when its host's robots
+    rules allow it AND it is reachable from the seeds but not itself
+    a seed (hops >= 1) — rank_q12 rides along as the fetch-priority
+    key. The twin rebuilds all three relations from their own gated
+    SQL and joins identically."""
+    d = _t(spark, sf_dir, "documents")
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5)).alias("host"),
+        F.element_at(paths, (F.col("doc_id") % 7 + 1).cast("int")).alias("path"),
+    )
+    rank = web_pagerank(spark, sf_dir).select("id", "rank_q12")
+    hops = web_seed_distance(spark, sf_dir)
+    rob = web_robots_eval(spark, sf_dir)
+    return (
+        docs.join(rank, docs["doc_id"] == rank["id"]).drop("id")
+        .join(hops, docs["doc_id"] == hops["id"]).drop("id")
+        .join(rob, ["host", "path"])
+        .select(
+            "doc_id",
+            "allowed",
+            "hops",
+            "rank_q12",
+            (F.col("allowed") & (F.col("hops") >= 1)).alias("frontier"),
+        )
+    )
+
+
+def _crawl_frontier_sql() -> str:
+    paths_sql = "['" + "', '".join(_ROBOTS_PATHS) + "']"
+    return f"""
+WITH _rank AS MATERIALIZED ({ORACLES['web_pagerank']}),
+_hops AS MATERIALIZED ({ORACLES['web_seed_distance']}),
+_rob AS MATERIALIZED ({ORACLES['web_robots_eval']})
+SELECT d.doc_id, b.allowed, h.hops, r.rank_q12,
+       (b.allowed AND h.hops >= 1) AS frontier
+FROM documents d
+JOIN _rank r ON r.id = d.doc_id
+JOIN _hops h ON h.id = d.doc_id
+JOIN _rob b ON b.host = 'h' || CAST(d.doc_id % 5 AS VARCHAR)
+           AND b.path = {paths_sql}[(d.doc_id % 7) + 1]
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7697,6 +7747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_http_extract": warc_http_extract,  # full crawl-ingest chain (WARC scan -> HTTP parse -> html extract); hash-gated past the window (composes three individually gated stages: warc_roundtrip_docs, the http pytest contract, doc_extract_text_roundtrip)
     "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
     "http_decode_docs": http_decode_docs,  # charset-chain decode; hash-gated past the window (Arrow-batched UDF contract == the in-window media_header_probe/warc gates; non-SQL fallback arms byte-pinned in pytest)
+    "crawl_frontier_docs": crawl_frontier_docs,  # crawl-frontier capstone (policy x authority x proximity); hash-gated past the window (composes web_pagerank [in-window], web_seed_distance and web_robots_eval [in-window] — three-way equi-join of their gated relations)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
@@ -7889,9 +7940,14 @@ ORACLES: dict[str, str] = {
     "warc_http_extract": WARC_HTTP_EXTRACT_SQL,
     "web_resolve_redirects": _resolve_redirects_sql(6, _REDIRECTS_SQL),
     "http_decode_docs": HTTP_DECODE_SQL,
+    # crawl_frontier_docs is appended below the literal: its twin
+    # embeds the pagerank/bfs/robots twins by reference, which must
+    # already exist in ORACLES
     "html_meta_docs": HTML_META_SQL,
     "html_links_docs": HTML_LINKS_SQL,
 }
+
+ORACLES["crawl_frontier_docs"] = _crawl_frontier_sql()
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -185,6 +185,7 @@ def test_differentiated_entries_inside_driver_window():
         "warc_http_extract",        # full crawl-ingest chain; composes three individually gated stages (warc roundtrip, http pytest contract, doc_extract roundtrip) under one hash
         "web_resolve_redirects",    # redirect pointer doubling; self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure, two-long rows + per-round localCheckpoint
         "http_decode_docs",         # charset-chain decode; Arrow-UDF contract == media/warc gates in-window, non-SQL fallback arms byte-pinned in tests/test_http.py
+        "crawl_frontier_docs",      # crawl-frontier capstone; three-way equi-join of web_pagerank (in-window), web_seed_distance and web_robots_eval (in-window) gated relations
         "html_meta_docs",           # head-metadata extraction; zero-UDF regexp projection == the gated script-profile scan, roundtrip-contract pattern == the gated sitemap/warc gates
     }
     missing_oracled = set(ORACLES) - set(window) - exempt

@@ -7545,6 +7545,58 @@ JOIN _rob b ON b.host = 'h' || CAST(d.doc_id % 5 AS VARCHAR)
 """
 
 
+def doc_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 gate (functions/soft404.py) over planted arms: every
+    9th doc gets an error TITLE, every 6th an error-marker body
+    prefix, every 15th a marker + stub-truncated body; the rest keep
+    their natural title/body (a healthy page mentioning '404' once
+    must pass). The twin replays the identical lower+contains battery
+    and byte-length bound."""
+    from .functions.soft404 import soft404_signals
+
+    d = _t(spark, sf_dir, "documents")
+    title = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.lit("Page Not Found - Doc "), F.col("doc_id")),
+    ).otherwise(F.concat(F.lit("Doc "), F.col("doc_id")))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    body = (
+        F.when(F.col("doc_id") % 15 == 0, F.lit("error 404 stub remnant"))
+        .when(F.col("doc_id") % 6 == 0, F.concat(F.lit("error 404 page does not exist "), text))
+        .otherwise(text)
+    )
+    return d.select("doc_id", soft404_signals(title, body).alias("s")).select(
+        "doc_id", "s.*"
+    )
+
+
+def _soft404_sql() -> str:
+    from .functions.soft404 import DEFAULT_MARKERS, _TINY_BODY
+
+    hits = " + ".join(f"CAST(contains(b, '{m}') AS INTEGER)" for m in DEFAULT_MARKERS)
+    terr = " OR ".join(f"contains(t, '{m}')" for m in DEFAULT_MARKERS)
+    return f"""
+WITH arms AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 9 = 0
+               THEN 'Page Not Found - Doc ' || CAST(doc_id AS VARCHAR)
+               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END) AS t,
+         lower(CASE WHEN doc_id % 15 = 0
+                    THEN 'error 404 stub remnant'
+               WHEN doc_id % 6 = 0
+                    THEN 'error 404 page does not exist ' || COALESCE(text, '')
+               ELSE COALESCE(text, '') END) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST({hits} AS INTEGER) AS marker_hits,
+       strlen(b) < {_TINY_BODY} AS tiny_body,
+       ({terr}) AS title_error,
+       (({terr}) OR ({hits}) >= 2 OR (({hits}) >= 1 AND strlen(b) < {_TINY_BODY})) AS soft404
+FROM arms
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7748,6 +7800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_resolve_redirects": web_resolve_redirects,  # redirect pointer doubling; hash-gated past the window (self-join doubling loop == dedup_cluster_components' in-window pointer-halving closure; two-long rows, localCheckpoint per round)
     "http_decode_docs": http_decode_docs,  # charset-chain decode; hash-gated past the window (Arrow-batched UDF contract == the in-window media_header_probe/warc gates; non-SQL fallback arms byte-pinned in pytest)
     "crawl_frontier_docs": crawl_frontier_docs,  # crawl-frontier capstone (policy x authority x proximity); hash-gated past the window (composes web_pagerank [in-window], web_seed_distance and web_robots_eval [in-window] — three-way equi-join of their gated relations)
+    "doc_soft404": doc_soft404,  # soft-404 heuristic battery; hash-gated past the window (fused lower+contains codegen projection == the in-window doc_quality/doc_pii_scrub scan family)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
@@ -7948,6 +8001,7 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["crawl_frontier_docs"] = _crawl_frontier_sql()
+ORACLES["doc_soft404"] = _soft404_sql()
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -7597,6 +7597,84 @@ FROM arms
 """
 
 
+def web_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap audit (operators/urltemplates.py) over a planted
+    URL mix: unique-id article paths (collapse to one /article/N
+    template), calendar paths (/cal/N/N — the IRLbot trap shape), and
+    faceted item queries (?sid,sort — values dropped, names kept).
+    The twin replays the identical fold (hex-then-digit rewrites,
+    sorted query names) and the ROW_NUMBER equivalent of the
+    min-struct top-template tie-break."""
+    from .operators.urltemplates import crawl_trap_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    pq = (
+        F.when(m3 == 0, F.concat(F.lit("/article/"), F.col("doc_id")))
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("/cal/"), (F.col("doc_id") % 25 + 2000), F.lit("/"), F.col("doc_id") % 12
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/item/"), F.col("doc_id") % 7,
+                F.lit("?sid="), F.col("doc_id"), F.lit("&sort=asc"),
+            )
+        )
+    )
+    urls = d.select(
+        F.concat(F.lit("http://h"), F.col("doc_id") % 5, pq).alias("url")
+    )
+    return crawl_trap_hosts(urls, min_urls=30, min_ratio=10)
+
+
+CRAWL_TRAPS_SQL = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/cal/' || CAST(doc_id % 25 + 2000 AS VARCHAR) || '/' || CAST(doc_id % 12 AS VARCHAR)
+           ELSE '/item/' || CAST(doc_id % 7 AS VARCHAR) || '?sid=' || CAST(doc_id AS VARCHAR) || '&sort=asc'
+         END AS pq
+  FROM documents
+),
+parts AS (
+  SELECT host, regexp_extract(pq, '^([^?]*)', 1) AS path,
+         regexp_replace(pq, '^[^?]*\\??', '') AS query
+  FROM u
+),
+tm AS (
+  SELECT host,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g')
+         || CASE WHEN len(qn) > 0 THEN '?' || array_to_string(qn, ',') ELSE '' END AS template
+  FROM (
+    SELECT host, path,
+           list_sort(list_filter(list_transform(string_split(query, '&'),
+                     p -> regexp_extract(p, '^([^=]*)', 1)), x -> x <> '')) AS qn
+    FROM parts
+  )
+),
+roll AS (SELECT host, template, COUNT(*) AS n FROM tm GROUP BY 1, 2),
+hosts AS (
+  SELECT host, CAST(SUM(n) AS BIGINT) AS n_urls,
+         CAST(COUNT(*) AS BIGINT) AS n_templates
+  FROM roll GROUP BY host
+),
+top AS (
+  SELECT host, template, n,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, template ASC) AS rn
+  FROM roll
+)
+SELECT h.host, h.n_urls, h.n_templates,
+       CAST((h.n_urls * 1000000) // h.n_templates AS BIGINT) AS urls_per_template_q6,
+       t.template AS top_template, CAST(t.n AS BIGINT) AS top_n,
+       (h.n_urls >= 30 AND (h.n_urls // h.n_templates) >= 10) AS trap
+FROM hosts h JOIN top t ON t.host = h.host AND t.rn = 1
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7801,6 +7879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "http_decode_docs": http_decode_docs,  # charset-chain decode; hash-gated past the window (Arrow-batched UDF contract == the in-window media_header_probe/warc gates; non-SQL fallback arms byte-pinned in pytest)
     "crawl_frontier_docs": crawl_frontier_docs,  # crawl-frontier capstone (policy x authority x proximity); hash-gated past the window (composes web_pagerank [in-window], web_seed_distance and web_robots_eval [in-window] — three-way equi-join of their gated relations)
     "doc_soft404": doc_soft404,  # soft-404 heuristic battery; hash-gated past the window (fused lower+contains codegen projection == the in-window doc_quality/doc_pii_scrub scan family)
+    "web_crawl_traps": web_crawl_traps,  # URL-template trap audit; hash-gated past the window (fused regexp fold == the gated urlnorm family; map-side-partial rollup + min-struct argmax == the gated repetition keeper discipline)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
@@ -8002,6 +8081,7 @@ ORACLES: dict[str, str] = {
 
 ORACLES["crawl_frontier_docs"] = _crawl_frontier_sql()
 ORACLES["doc_soft404"] = _soft404_sql()
+ORACLES["web_crawl_traps"] = CRAWL_TRAPS_SQL
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -40,6 +40,7 @@ from .operators.anchors import anchor_body_divergence, anchor_topk
 from .operators.bfs import seed_distance
 from .operators.redirects import resolve_redirects
 from .functions.robots import parse_robots, render_robots, robots_eval
+from .sources.feeds import parse_feed, render_atom, render_rss
 from .sources.sitemap import parse_sitemap, render_sitemap
 from .sources.warc import assemble_warc_files, parse_warc, warc_cdx, warc_record_bytes
 from .operators.linkstats import link_stats
@@ -7675,6 +7676,38 @@ FROM hosts h JOIN top t ON t.host = h.host AND t.rn = 1
 """
 
 
+def feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed connector contract gate (sources/feeds.py): documents
+    split into RSS channels (file_key 0-3) and Atom feeds (4-7),
+    render in their own dialect, parse through the ONE normalizing
+    parser, and the oracle states the unified rows directly — so a
+    hash match proves both renderers and both dialect arms of the
+    parser at once."""
+    d = _t(spark, sf_dir, "documents")
+    entries = d.select(
+        (F.col("doc_id") % 8).alias("file_key"),
+        F.col("doc_id").alias("order_key"),
+        F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")).alias("link"),
+        F.concat(F.lit("2024-01-01T00:00:"), F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"), F.lit("Z")).alias("ts"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("entry_id"),
+    )
+    rss = render_rss(entries.where(F.col("file_key") < 4))
+    atom = render_atom(entries.where(F.col("file_key") >= 4))
+    return parse_feed(rss.unionByName(atom))
+
+
+FEED_ROUNDTRIP_SQL = """
+SELECT doc_id % 8 AS file_key,
+       CASE WHEN doc_id % 8 < 4 THEN 'rss' ELSE 'atom' END AS kind,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS link,
+       '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS ts,
+       'urn:doc:' || CAST(doc_id AS VARCHAR) AS entry_id
+FROM documents
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7880,6 +7913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier_docs": crawl_frontier_docs,  # crawl-frontier capstone (policy x authority x proximity); hash-gated past the window (composes web_pagerank [in-window], web_seed_distance and web_robots_eval [in-window] — three-way equi-join of their gated relations)
     "doc_soft404": doc_soft404,  # soft-404 heuristic battery; hash-gated past the window (fused lower+contains codegen projection == the in-window doc_quality/doc_pii_scrub scan family)
     "web_crawl_traps": web_crawl_traps,  # URL-template trap audit; hash-gated past the window (fused regexp fold == the gated urlnorm family; map-side-partial rollup + min-struct argmax == the gated repetition keeper discipline)
+    "feed_roundtrip": feed_roundtrip,  # RSS/Atom feed connector; hash-gated past the window (render->parse-vs-direct == the gated sitemap/warc roundtrips; one parser normalizes both dialect arms under the same hash)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
@@ -8082,6 +8116,7 @@ ORACLES: dict[str, str] = {
 ORACLES["crawl_frontier_docs"] = _crawl_frontier_sql()
 ORACLES["doc_soft404"] = _soft404_sql()
 ORACLES["web_crawl_traps"] = CRAWL_TRAPS_SQL
+ORACLES["feed_roundtrip"] = FEED_ROUNDTRIP_SQL
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -92,14 +92,18 @@ def render_robots(
     path: str = "path",
 ) -> DataFrame:
     """(host, text) — one robots.txt per host, one group per agent
-    (agents sorted, rules in input order within each group). With
-    parse_robots this roundtrips exactly: parse(render(R)) == R as a
-    (host, agent, rule, path) set."""
+    (agents sorted; rules sorted by (path, rule) within each group —
+    RFC evaluation is longest-match, not first-match, so rule order
+    is free and pinning it makes the rendered TEXT a pure function of
+    the input relation, the repo-wide determinism rule, rather than
+    of the shuffle's arrival order). With parse_robots this
+    roundtrips exactly: parse(render(R)) == R as a (host, agent,
+    rule, path) set."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         blocks = []
         for a in sorted(pdf[agent].unique()):
-            grp = pdf[pdf[agent] == a]
+            grp = pdf[pdf[agent] == a].sort_values([path, rule])
             lines = [f"User-agent: {a}"]
             lines += [
                 f"{r.capitalize()}: {p}" for r, p in zip(grp[rule], grp[path])

@@ -105,3 +105,11 @@ def test_eval_key_cases(spark):
     # exact group is exclusive: '*' rules do NOT apply to fetchbot
     assert bot[("h0", "/private/ok/y")] is True
     assert bot[("h0", "/bot/q")] is False
+
+
+def test_render_text_is_deterministic(spark):
+    """Rendered robots.txt must be a pure function of the rules
+    RELATION — identical text under different partitionings."""
+    a = render_robots(_rules_df(spark)).collect()
+    b = render_robots(_rules_df(spark).repartition(7)).collect()
+    assert {(r["host"], r["text"]) for r in a} == {(r["host"], r["text"]) for r in b}

@@ -47,7 +47,7 @@ def url_template(u: Column) -> tuple[Column, Column]:
     pathq = F.regexp_replace(rest, "^[^/?]*", "")
     path = F.regexp_extract(pathq, "^([^?]*)", 1)
     query = F.regexp_replace(pathq, "^[^?]*\\??", "")
-    norm = F.regexp_replace(path, "[0-9a-f]{8,}", "H")
+    norm = F.regexp_replace(path, "(?i)[0-9a-f]{8,}", "H")
     norm = F.regexp_replace(norm, "[0-9]+", "N")
     names = F.array_sort(
         F.filter(

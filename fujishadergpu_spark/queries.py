@@ -7648,7 +7648,7 @@ parts AS (
 ),
 tm AS (
   SELECT host,
-         regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g')
+         regexp_replace(regexp_replace(path, '(?i)[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g')
          || CASE WHEN len(qn) > 0 THEN '?' || array_to_string(qn, ',') ELSE '' END AS template
   FROM (
     SELECT host, path,

@@ -21,13 +21,14 @@ def test_fold_rules(spark):
         "http://a.com/article/9981",
         "http://A.com/cal/2024/7",
         "http://a.com/s/deadbeef01234567/x",      # 16-hex run -> H
+        "http://a.com/s/DEADBEEF99887766/y",      # uppercase hex folds too
         "http://a.com/item?b=2&a=1&a=3",          # names sorted, dup kept
         "http://a.com/item?a=9&b=0",              # same template
         "http://a.com/plain",
     ])
     assert got[("a.com", "/article/N")] == 2
     assert got[("a.com", "/cal/N/N")] == 1
-    assert got[("a.com", "/s/H/x")] == 1
+    assert got[("a.com", "/s/H/x")] == 1 and got[("a.com", "/s/H/y")] == 1
     assert got[("a.com", "/item?a,a,b")] == 1 and got[("a.com", "/item?a,b")] == 1
     assert got[("a.com", "/plain")] == 1
 

@@ -64,6 +64,23 @@ def html_robots_content(html: Column) -> Column:
     )
 
 
+_REFRESH_A = '(?is)<meta[^>]*http-equiv="refresh"[^>]*content="[^";]*;\\s*url=([^"]*)"'
+_REFRESH_B = '(?is)<meta[^>]*content="[^";]*;\\s*url=([^"]*)"[^>]*http-equiv="refresh"'
+
+
+def html_meta_refresh(html: Column) -> Column:
+    """Meta-refresh redirect target (the in-page redirect channel
+    beside HTTP 3xx — crawlers treat `<meta http-equiv="refresh"
+    content="N; url=...">` as a redirect edge feeding the same
+    resolution as operators/redirects.py). Either attribute order;
+    NULL when the page declares no refresh target (a bare-delay
+    refresh with no url= is a reload, not a redirect, and stays
+    NULL)."""
+    return F.coalesce(
+        _nullable_extract(html, _REFRESH_A), _nullable_extract(html, _REFRESH_B)
+    )
+
+
 def html_meta(html: Column) -> Column:
     """struct(title, canonical, noindex, nofollow) — the head metadata
     a curation pipeline gates on. noindex/nofollow are false when no

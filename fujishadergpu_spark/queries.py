@@ -7708,6 +7708,71 @@ FROM documents
 """
 
 
+def page_identity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-identity resolution — the canonical-URL precedence a
+    dedup pipeline applies before content keys exist: a RESOLVED
+    redirect source's identity is its chain target (HTTP-level truth
+    outranks in-page claims), else a declared rel=canonical (run
+    through the REAL extractor and the REAL normalizer — the planted
+    canonicals carry case noise and utm params to prove it), else the
+    page's own normalized URL (planted utm noise on odd ids). Output
+    (doc_id, identity, via) with via in redirect/canonical/self."""
+    from .functions.htmlmeta import html_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    own_url = F.concat(
+        F.lit("http://example.com/doc/"), F.col("doc_id"),
+        F.when(F.col("doc_id") % 2 == 1, "?utm_source=x&utm_ref=1").otherwise(""),
+    )
+    # every 7th+3 doc declares a canonical with case + tracking noise
+    html = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="HTTP://EXAMPLE.COM/doc/'),
+            (F.col("doc_id") * 3) % 1000,
+            F.lit('?utm_x=1"></head></html>'),
+        ),
+    ).otherwise(F.lit("<html><head></head></html>"))
+    resolved = (
+        web_resolve_redirects(spark, sf_dir)
+        .where(F.col("resolved"))
+        .select(F.col("src").alias("doc_id"), F.col("final"))
+    )
+    base = d.select(
+        "doc_id", own_url.alias("_u"), html_canonical(html).alias("_canon")
+    ).join(resolved, "doc_id", "left")
+    return base.select(
+        "doc_id",
+        F.when(
+            F.col("final").isNotNull(),
+            F.concat(F.lit("http://example.com/doc/"), F.col("final")),
+        )
+        .when(F.col("_canon").isNotNull(), urlnorm.normalize_url(F.col("_canon")))
+        .otherwise(urlnorm.normalize_url(F.col("_u")))
+        .alias("identity"),
+        F.when(F.col("final").isNotNull(), "redirect")
+        .when(F.col("_canon").isNotNull(), "canonical")
+        .otherwise("self")
+        .alias("via"),
+    )
+
+
+def _page_identity_sql() -> str:
+    return f"""
+WITH _res AS MATERIALIZED ({ORACLES['web_resolve_redirects']})
+SELECT d.doc_id,
+  CASE WHEN r.final IS NOT NULL
+         THEN 'http://example.com/doc/' || CAST(r.final AS VARCHAR)
+       WHEN d.doc_id % 7 = 3
+         THEN 'http://example.com/doc/' || CAST((d.doc_id * 3) % 1000 AS VARCHAR)
+       ELSE 'http://example.com/doc/' || CAST(d.doc_id AS VARCHAR) END AS identity,
+  CASE WHEN r.final IS NOT NULL THEN 'redirect'
+       WHEN d.doc_id % 7 = 3 THEN 'canonical'
+       ELSE 'self' END AS via
+FROM documents d LEFT JOIN _res r ON r.src = d.doc_id AND r.resolved
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -7914,6 +7979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_soft404": doc_soft404,  # soft-404 heuristic battery; hash-gated past the window (fused lower+contains codegen projection == the in-window doc_quality/doc_pii_scrub scan family)
     "web_crawl_traps": web_crawl_traps,  # URL-template trap audit; hash-gated past the window (fused regexp fold == the gated urlnorm family; map-side-partial rollup + min-struct argmax == the gated repetition keeper discipline)
     "feed_roundtrip": feed_roundtrip,  # RSS/Atom feed connector; hash-gated past the window (render->parse-vs-direct == the gated sitemap/warc roundtrips; one parser normalizes both dialect arms under the same hash)
+    "page_identity_docs": page_identity_docs,  # page-identity precedence (redirect > canonical > self); hash-gated past the window (composes the gated redirects/htmlmeta/urlnorm relations; twin embeds the redirects twin by reference)
     "html_meta_docs": html_meta_docs,  # head-metadata extraction (canonical/robots/title); hash-gated past the window (zero-UDF regexp projection == the gated script-profile scan; roundtrip-contract pattern == the gated sitemap/warc gates)
     "doc_mixture_sample": doc_mixture_sample,  # demoted r6 s4 to admit html_links_docs: computed-threshold selection == doc_stratified_sample (in-window) + doc_unimax_sample's covered CASE-chain draw
     # full per-kernel smoke family — one literal entry per ported
@@ -8114,6 +8180,7 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["crawl_frontier_docs"] = _crawl_frontier_sql()
+ORACLES["page_identity_docs"] = _page_identity_sql()
 ORACLES["doc_soft404"] = _soft404_sql()
 ORACLES["web_crawl_traps"] = CRAWL_TRAPS_SQL
 ORACLES["feed_roundtrip"] = FEED_ROUNDTRIP_SQL

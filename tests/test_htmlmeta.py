@@ -36,3 +36,22 @@ def test_extraction(spark):
     assert rows[3]["noindex"] is False and rows[3]["nofollow"] is False
     assert rows[4]["title"] is None          # empty title -> NULL
     assert rows[4]["noindex"] is False and rows[4]["nofollow"] is False
+
+
+def test_meta_refresh(spark):
+    from fujishadergpu_spark.functions.htmlmeta import html_meta_refresh
+
+    cases = [
+        (1, '<meta http-equiv="refresh" content="0; url=http://ex.com/next">'),
+        (2, '<META CONTENT="5;url=/relative/path" HTTP-EQUIV="refresh">'),  # flipped + caps
+        (3, '<meta http-equiv="refresh" content="30">'),   # bare reload: not a redirect
+        (4, "<p>no meta at all</p>"),
+    ]
+    df = spark.createDataFrame(cases, "id long, html string")
+    got = {
+        r["id"]: r["u"]
+        for r in df.select("id", html_meta_refresh(F.col("html")).alias("u")).collect()
+    }
+    assert got[1] == "http://ex.com/next"
+    assert got[2] == "/relative/path"
+    assert got[3] is None and got[4] is None

@@ -189,6 +189,7 @@ def test_differentiated_entries_inside_driver_window():
         "doc_soft404",              # soft-404 battery; fused lower+contains codegen projection == doc_quality/doc_pii_scrub in-window scan family
         "web_crawl_traps",          # URL-template trap audit; fused regexp fold == the gated urlnorm family, rollup + min-struct argmax == the gated repetition keeper
         "feed_roundtrip",           # RSS/Atom connector; render->parse-vs-direct == the gated sitemap/warc roundtrips, one parser covers both dialect arms
+        "page_identity_docs",       # identity precedence capstone; composes the gated redirects/htmlmeta/urlnorm relations, twin embeds the redirects twin by reference
         "html_meta_docs",           # head-metadata extraction; zero-UDF regexp projection == the gated script-profile scan, roundtrip-contract pattern == the gated sitemap/warc gates
     }
     missing_oracled = set(ORACLES) - set(window) - exempt

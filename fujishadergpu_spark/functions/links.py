@@ -36,12 +36,17 @@ _A_RE = '(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 
 def resolve_href(href: Column, base: Column) -> Column:
     """Absolute URL for an extracted href against the page's
-    ``scheme://host`` base: absolute hrefs pass through, path-absolute
-    join the base, everything else is NULL (out of the documented
-    resolution scope — surfaced, never guessed)."""
+    ``scheme://host`` base: absolute hrefs pass through,
+    protocol-relative ``//host/x`` take the page's scheme (RFC 3986
+    §4.2 network-path reference — testing plain ``/`` first would
+    mis-join these onto the base host), path-absolute join the base,
+    everything else is NULL (out of the documented resolution scope —
+    surfaced, never guessed)."""
     is_abs = F.regexp_extract(href, SCHEME_RE, 1) != ""
+    scheme = F.regexp_extract(base, SCHEME_RE, 1)
     return (
         F.when(is_abs, href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(base, href))
         .otherwise(F.lit(None))
     )

@@ -137,16 +137,21 @@ def robots_eval(
     host: str = "host",
     path: str = "path",
 ) -> DataFrame:
-    """urls (host, path, ...) -> the same rows plus ``allowed``
-    boolean under ``user_agent``. Group selection, longest-match and
-    the allow-wins tie-break per RFC 9309 §2.2; hosts with no rules
-    (or no matching rule) are allowed."""
+    """urls (host, path) -> ONE row per distinct (host, path) with an
+    ``allowed`` boolean under ``user_agent`` (extra caller columns are
+    not carried — join the verdict back on (host, path), the
+    crawl_frontier composition pattern). Group selection, longest-
+    OCTET match and the allow-wins tie-break per RFC 9309 §2.2; hosts
+    with no rules (or no matching rule) are allowed."""
     ua = user_agent.lower()
     r = rules.select(
         F.col("host"),
         F.lower(F.col("agent")).alias("_agent"),
         (F.col("rule") == "allow").cast("int").alias("_allow"),
-        F.length("path").alias("_plen"),
+        # OCTET length per RFC 9309 §2.2.2 — also the only length both
+        # engines agree on (Spark length counts UTF-16 units, DuckDB
+        # codepoints; octet_length == strlen everywhere)
+        F.octet_length("path").alias("_plen"),
         robots_match_regex(F.col("path")).alias("_re"),
     )
     # the applicable group per host: exact agent if the host defines

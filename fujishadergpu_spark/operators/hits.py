@@ -87,6 +87,16 @@ def hits(
         ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
     base_nodes = ids.localCheckpoint()
     n = base_nodes.count()
+    if n > scale:
+        # scale // n would floor every initial hub share to 0 and the
+        # whole iteration would silently return zeros; at >10^9 nodes
+        # run HITS on a rollup (the host-graph pattern) — the scale
+        # cap itself is the BIGINT overflow bound and cannot rise
+        raise ValueError(
+            f"hits: node universe ({n}) exceeds scale ({scale}); the uniform "
+            f"init would be all-zero — roll the graph up (e.g. host level) "
+            f"or raise scale toward the 10^9 overflow cap"
+        )
     if n == 0:
         return base_nodes.select(
             "id",

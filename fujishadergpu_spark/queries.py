@@ -7466,7 +7466,7 @@ WITH _rules AS ({_ROBOTS_RULES_SQL}),
 grp0 AS (
   SELECT host, lower(agent) AS agent,
          CAST(rule = 'allow' AS INTEGER) AS al,
-         length(path) AS plen,
+         strlen(path) AS plen,
          '^' || replace(CASE WHEN path LIKE '%$' THEN substring(path, 1, length(path) - 1)
                              ELSE path END, '*', '.*')
              || CASE WHEN path LIKE '%$' THEN '$' ELSE '' END AS re

@@ -54,7 +54,13 @@ HTTP_STRUCT = StructType(
 
 _STATUS_RE = re.compile(r"^HTTP/\d\.\d (\d{3})")
 _CT_RE = re.compile(r"^content-type:\s*([^;\r\n]+)", re.IGNORECASE | re.MULTILINE)
-_CHARSET_RE = re.compile(r"^content-type:[^\r\n]*;\s*charset=([^;\s\r\n\"']+)", re.IGNORECASE | re.MULTILINE)
+# charset value may be RFC-legal quoted ("utf-8") or bare; the
+# optional quote must be consumed OUTSIDE the capture or quoted
+# declarations silently parse as absent
+_CHARSET_RE = re.compile(
+    r"^content-type:[^\r\n]*;\s*charset=[\"']?([^;\s\r\n\"']+)",
+    re.IGNORECASE | re.MULTILINE,
+)
 
 
 def _parse_one(b) -> tuple:

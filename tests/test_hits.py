@@ -95,3 +95,10 @@ def test_bad_params_raise(spark):
         _run(spark, e, iters=1, scale=10**10)
     with pytest.raises(ValueError):
         _run(spark, e, iters=1, scale=0)
+
+
+def test_node_universe_beyond_scale_loud_fails(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    with pytest.raises(ValueError, match="exceeds scale"):
+        hits(e, nodes=nodes, iters=1, scale=10).collect()

@@ -62,3 +62,14 @@ def test_decode_body_charset_chain(spark):
     assert got[5] == "smart “quotes”"
     assert got[6] == "plain ascii"
     assert got[7] is None
+
+
+def test_quoted_charset_parameter(spark):
+    from fujishadergpu_spark.sources.http import parse_http_response
+
+    df = spark.createDataFrame(
+        [(1, b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="Shift_JIS"\r\n\r\nx')],
+        "id long, payload binary",
+    )
+    r = df.select(parse_http_response(F.col("payload")).alias("h")).select("h.*").collect()[0]
+    assert r["charset"] == "shift_jis"

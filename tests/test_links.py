@@ -11,6 +11,7 @@ PAGES = [
     ("http://ex.com:8080/page", (
         '<a href="http://other.com/x">Other Site</a> filler '
         '<a class="nav" href="/local/path">Local\nMultiline</a>'
+        '<a href="//cdn.other.net/lib.js">CDN</a>'
         '<a href="relative.html">Rel</a>'
         '<a href="mailto:a@b.c">Mail</a>'
         '<A HREF="/caps">Caps Tag</A>'
@@ -27,6 +28,7 @@ def test_pairs_and_resolution(spark):
     ]
     assert rows == sorted([
         ("http://other.com/x", "Other Site", "http://other.com/x"),
+        ("//cdn.other.net/lib.js", "CDN", "http://cdn.other.net/lib.js"),
         ("/local/path", "Local\nMultiline", "http://ex.com:8080/local/path"),
         ("relative.html", "Rel", None),
         ("mailto:a@b.c", "Mail", None),

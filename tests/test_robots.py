@@ -113,3 +113,15 @@ def test_render_text_is_deterministic(spark):
     a = render_robots(_rules_df(spark)).collect()
     b = render_robots(_rules_df(spark).repartition(7)).collect()
     assert {(r["host"], r["text"]) for r in a} == {(r["host"], r["text"]) for r in b}
+
+
+def test_longest_match_uses_octets(spark):
+    """RFC 9309 longest-OCTET match: 'café' is 5 octets but 4
+    chars — an ASCII rule of 5 chars must NOT outrank it."""
+    rules = spark.createDataFrame(
+        [("h", "*", "disallow", "/café"), ("h", "*", "allow", "/caf")],
+        "host string, agent string, rule string, path string",
+    )
+    urls = spark.createDataFrame([("h", "/café-menu")], "host string, path string")
+    r = robots_eval(urls, rules, "bot").collect()[0]
+    assert r["allowed"] is False  # 5-octet disallow beats 4-octet allow

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .graphcore import node_universe, normalize_edges
+
 
 def seed_distance(
     edges: DataFrame,
@@ -52,23 +54,8 @@ def seed_distance(
     appearing in ``edges``."""
     if max_hops < 0:
         raise ValueError(f"seed_distance: max_hops must be >= 0, got {max_hops}")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    if nodes is None:
-        ids = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-    else:
-        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
-    base_nodes = ids.localCheckpoint()
+    e = normalize_edges(edges, src, dst)
+    base_nodes = node_universe(e, nodes).localCheckpoint()
 
     dist = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))

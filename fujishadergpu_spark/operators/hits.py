@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .graphcore import node_universe, normalize_edges
+
 
 def hits(
     edges: DataFrame,
@@ -69,23 +71,8 @@ def hits(
         # scale^2 must stay inside BIGINT on both engines (see module
         # docstring overflow bound)
         raise ValueError(f"hits: need 0 < scale <= 10^9, got {scale}")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    if nodes is None:
-        ids = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-    else:
-        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
-    base_nodes = ids.localCheckpoint()
+    e = normalize_edges(edges, src, dst)
+    base_nodes = node_universe(e, nodes).localCheckpoint()
     n = base_nodes.count()
     if n > scale:
         # scale // n would floor every initial hub share to 0 and the

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .graphcore import node_universe, normalize_edges
+
 _Q = 10**6  # parts-per-million ratio quantum (shared with the SQL twin)
 
 
@@ -50,21 +52,8 @@ def link_stats(
     when omitted it is the ids appearing in ``edges``. Isolated nodes
     report all-zero rows.
     """
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    if nodes is None:
-        ids = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-    else:
-        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
+    e = normalize_edges(edges, src, dst, checkpoint=False)
+    ids = node_universe(e, nodes)
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     in_deg = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
     # an out-edge (u, v) is reciprocated iff (v, u) is also an edge:

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .graphcore import node_universe, normalize_edges
+
 
 def pagerank(
     edges: DataFrame,
@@ -87,20 +89,8 @@ def pagerank(
             f"pagerank: need 0 < damping_num < damping_den, got "
             f"{damping_num}/{damping_den}"
         )
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    if nodes is None:
-        ids = e.select(F.col("src").alias("id")).unionByName(
-            e.select(F.col("dst").alias("id"))
-        ).distinct()
-    else:
-        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
+    e = normalize_edges(edges, src, dst)
+    ids = node_universe(e, nodes)
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     base_nodes = ids.join(deg, "id", "left").select(
         "id", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bfs import seed_distance
+from ..operators.graphcore import normalize_edges
 from ..operators.hits import hits
 from ..operators.linkstats import link_stats
 from ..operators.pagerank import pagerank
@@ -87,14 +88,9 @@ def run_link_rank(
         return s
 
     raw = spark.read.parquet(links_path)
-    edges = (
-        raw.select(
-            F.col("src").cast("long").alias("src"),
-            F.col("dst").cast("long").alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # the ONE family-shared normalization (operators/graphcore.py) —
+    # no checkpoint: this stage materializes to parquet itself
+    edges = normalize_edges(raw, checkpoint=False)
     stage("edges", _bucketed(edges, "src"))
 
     e = spark.read.parquet(f"{out_root}/edges").select("src", "dst")

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .xmlrender import render_grouped_doc
+
 _RSS_ITEM_RE = "(?is)<item>.*?</item>"
 _ATOM_ENTRY_RE = "(?is)<entry>.*?</entry>"
 
@@ -58,9 +60,11 @@ def render_rss(
         F.lit("</pubDate><guid>"), F.col(entry_id),
         F.lit("</guid></item>"),
     )
-    return _render(entries, file_key, order_key, item,
-                   '<?xml version="1.0"?><rss version="2.0"><channel>',
-                   "</channel></rss>")
+    return render_grouped_doc(
+        entries, file_key, order_key, item,
+        '<?xml version="1.0"?><rss version="2.0"><channel>',
+        "</channel></rss>",
+    )
 
 
 def render_atom(
@@ -80,27 +84,10 @@ def render_atom(
         F.lit("</updated><id>"), F.col(entry_id),
         F.lit("</id></entry>"),
     )
-    return _render(entries, file_key, order_key, entry,
-                   '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">',
-                   "</feed>")
-
-
-def _render(entries, file_key, order_key, entry_expr, head, tail) -> DataFrame:
-    per_file = (
-        entries.select(
-            F.col(file_key).alias("file_key"),
-            F.struct(F.col(order_key).alias("_o"), entry_expr.alias("_e")).alias("_s"),
-        )
-        .groupBy("file_key")
-        .agg(
-            F.array_join(
-                F.transform(F.sort_array(F.collect_list("_s")), lambda s: s["_e"]), ""
-            ).alias("_body")
-        )
-    )
-    return per_file.select(
-        "file_key",
-        F.concat(F.lit(head), F.col("_body"), F.lit(tail)).alias("xml"),
+    return render_grouped_doc(
+        entries, file_key, order_key, entry,
+        '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">',
+        "</feed>",
     )
 
 

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .xmlrender import render_grouped_doc
+
 _URL_BLOCK_RE = "(?s)<url>.*?</url>"
 _TAG_RES = {
     "loc": "<loc>(.*?)</loc>",
@@ -61,26 +63,11 @@ def render_sitemap(
         ),
         F.lit("</url>"),
     )
-    per_file = (
-        urls.select(
-            F.col(file_key).alias("file_key"),
-            F.struct(F.col(order_key).alias("_o"), entry.alias("_e")).alias("_s"),
-        )
-        .groupBy("file_key")
-        .agg(
-            F.array_join(
-                F.transform(F.sort_array(F.collect_list("_s")), lambda s: s["_e"]), ""
-            ).alias("_body")
-        )
-    )
-    return per_file.select(
-        "file_key",
-        F.concat(
-            F.lit('<?xml version="1.0" encoding="UTF-8"?>'
-                  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
-            F.col("_body"),
-            F.lit("</urlset>"),
-        ).alias("xml"),
+    return render_grouped_doc(
+        urls, file_key, order_key, entry,
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+        "</urlset>",
     )
 
 

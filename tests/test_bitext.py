@@ -76,3 +76,27 @@ def test_k_validation(spark):
     df = _emb_df(spark, [(0, [1.0])])
     with pytest.raises(ValueError, match="k must be"):
         mine_bitext(candidate_scores(df, df), k=0)
+
+
+def test_candidate_scores_arrow_equals_expr(spark):
+    # deterministic pseudo-random embeddings, odd dims, negatives —
+    # the arrow path must reproduce the expr fold bit-for-bit
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(np.float32(v)) for v in rng.randn(17)]) for i in range(40)
+    ]
+    df = _emb_df(spark, rows)
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    a = candidate_scores(src, tgt, impl="expr").orderBy("src_id", "tgt_id").collect()
+    b = candidate_scores(src, tgt, impl="arrow").orderBy("src_id", "tgt_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 20 * 20
+
+
+def test_candidate_scores_impl_validation(spark):
+    df = _emb_df(spark, [(0, _unit(1.0, 0.0)), (1, _unit(0.0, 1.0))])
+    with pytest.raises(ValueError, match="unknown impl"):
+        candidate_scores(df, df, impl="bogus")

@@ -351,12 +351,100 @@ TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
 DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
+def _ngram_repetition_arrow(
+    df: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    top_thresholds: dict[int, float],
+    dup_thresholds: dict[int, float],
+) -> DataFrame:
+    """Per-document arrow path: the whole n-gram family is
+    document-LOCAL work, so one mapInPandas computes every feature
+    with ZERO exchanges — the expr plan's 9× gram explode, two
+    gram-string shuffles, pivot and three joins exist only to feed
+    SQL aggregation semantics. Row-identical to the expr plan (same
+    integer counts; fractions are the same single int/int IEEE
+    divisions; top-gram ties break on the gram string, where Python's
+    codepoint order equals Spark's UTF-8 binary order), pinned by
+    tests/test_ngram_arrow.py and the doc_ngram_repetition oracle."""
+    import re
+
+    import pandas as pd
+
+    top_ns = sorted(top_thresholds)
+    dup_ns = sorted(dup_thresholds)
+    ws = re.compile(r"[ \n]+")
+
+    def run(it):
+        for pdf in it:
+            cols: dict[str, list] = {c: [] for c in ("doc_id", "total_chars")}
+            for n in top_ns:
+                cols[f"top{n}_char_frac"] = []
+            for n in dup_ns:
+                cols[f"dup{n}_char_frac"] = []
+            cols["keep"] = []
+            for did, text in zip(pdf[doc_id_col], pdf[text_col]):
+                tk = [t for t in ws.split(text) if t] if text else []
+                sz = len(tk)
+                lens = [len(t) for t in tk]
+                total = sum(lens) + sz - 1 if sz else 0
+                cols["doc_id"].append(did)
+                cols["total_chars"].append(total)
+                keep = True
+                for n in top_ns:
+                    chars = 0
+                    if sz >= n:
+                        cnt: dict[str, int] = {}
+                        for i in range(sz - n + 1):
+                            g = " ".join(tk[i : i + n])
+                            cnt[g] = cnt.get(g, 0) + 1
+                        c, g = max((c, g) for g, c in cnt.items())
+                        chars = c * len(g)
+                    fr = float(chars) / total if total > 0 else 0.0
+                    cols[f"top{n}_char_frac"].append(fr)
+                    keep = keep and fr <= top_thresholds[n]
+                for n in dup_ns:
+                    chars = 0
+                    if sz >= n:
+                        occ: dict[str, list[int]] = {}
+                        for i in range(1, sz - n + 2):
+                            g = " ".join(tk[i - 1 : i - 1 + n])
+                            occ.setdefault(g, []).append(i)
+                        cover: dict[int, bool] = {}
+                        for ps in occ.values():
+                            if len(ps) < 2:
+                                continue
+                            for p in ps:
+                                for c in range(p, p + n):
+                                    sep = c <= p + n - 2
+                                    if sep or c not in cover:
+                                        cover[c] = cover.get(c, False) or sep
+                        if cover:
+                            chars = sum(lens[c - 1] for c in cover) + sum(
+                                1 for s in cover.values() if s
+                            )
+                    fr = float(chars) / total if total > 0 else 0.0
+                    cols[f"dup{n}_char_frac"].append(fr)
+                    keep = keep and fr <= dup_thresholds[n]
+                cols["keep"].append(keep)
+            yield pd.DataFrame(cols)
+
+    schema = ", ".join(
+        ["doc_id long", "total_chars long"]
+        + [f"top{n}_char_frac double" for n in top_ns]
+        + [f"dup{n}_char_frac double" for n in dup_ns]
+        + ["keep boolean"]
+    )
+    return df.select(F.col(doc_id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
 def ngram_repetition_features(
     df: DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     top_thresholds: dict[int, float] = TOP_NGRAM_THRESHOLDS,
     dup_thresholds: dict[int, float] = DUP_NGRAM_THRESHOLDS,
+    impl: str = "arrow",
 ) -> DataFrame:
     """The full Gopher §A1.1 n-gram repetition family — completes
     :func:`repetition_features` (which carries the line rules and the
@@ -390,7 +478,18 @@ def ngram_repetition_features(
     positions ride a collect_list bounded by the per-document
     occurrence count, so no corpus-wide key ever concentrates; no
     self-join of the occurrence relation, nothing on the driver.
+
+    ``impl``: 'arrow' (default) computes the whole family per
+    document inside one mapInPandas — zero exchanges, no per-window
+    HOF string building (_ngram_repetition_arrow); 'expr' is the
+    original relational plan, the statement the DuckDB twin mirrors.
     """
+    if impl == "arrow":
+        return _ngram_repetition_arrow(
+            df, doc_id_col, text_col, top_thresholds, dup_thresholds
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (arrow/expr)")
     did = F.col(doc_id_col)
     base = df.select(did.alias("doc_id"), doc_tokens_ws(F.col(text_col)).alias("tk"))
     sz = F.size("tk")

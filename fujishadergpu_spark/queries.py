@@ -25,6 +25,7 @@ is under oracle test.
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3033,31 +3034,61 @@ _BOILERPLATE_LINE = "click here to subscribe now and win big prizes"
 _LINE_TOKENS = 8
 
 
-def _multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.repetition import _empty_str_array
+def _synth_text_map(d: DataFrame, fn) -> DataFrame:
+    """(doc_id, fn(doc_id, text)) via ONE vectorized pandas UDF.
 
-    d = _t(spark, sf_dir, "documents")
-    tk = textfn.tokens(F.col("text"))
-    nl = F.ceil(F.size(tk) / F.lit(float(_LINE_TOKENS))).cast("int")
-    ls0 = F.when(
-        F.size(tk) > 0,
-        F.transform(
-            F.sequence(F.lit(1), nl),
-            lambda i: F.array_join(
-                F.slice(tk, (i - F.lit(1)) * _LINE_TOKENS + F.lit(1), _LINE_TOKENS), " "
-            ),
-        ),
-    ).otherwise(_empty_str_array())
-    ls = F.concat(
-        ls0,
-        F.when(F.col("doc_id") % 3 == 0, F.slice(ls0, 1, 4)).otherwise(
-            _empty_str_array()
-        ),
-        F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(_BOILERPLATE_LINE))).otherwise(
-            _empty_str_array()
-        ),
-    )
-    return d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+    Why a UDF for corpus synthesis: the original nested
+    split/transform/slice/array_join column expressions are
+    non-codegen higher-order functions, and CollapseProject inlines
+    each synthesis level into every reference of the next — the
+    executed Project/Filter/Generate nodes ended up re-evaluating the
+    token split dozens of times per row (measured: the synthesized
+    corpora dominated their queries' bench time). A pandas UDF
+    evaluates the synthesis exactly once per row and its output is a
+    plain attribute downstream — an explicit plan barrier the
+    optimizer cannot re-inline (guide §4.2). The DuckDB oracle CTEs
+    still state the construction relationally; equality is pinned by
+    the oracle hash gates (tools/check_oracles.py,
+    tests/test_demoted_oracles.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    @pandas_udf("string")
+    def synth(ids, texts):
+        import pandas as pd
+
+        return pd.Series([fn(i, t) for i, t in zip(ids, texts)])
+
+    sel = d.select("doc_id", "text")
+    # the bench corpus parquet is one split; spread the synthesis UDF
+    # and the per-doc arrow consumers over the cluster (scale-adaptive
+    # — a real corpus already scans as many splits)
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return sel.select("doc_id", synth("doc_id", "text").alias("text"))
+
+
+def _multiline_text(doc_id: int, text: str | None) -> str:
+    """Python twin of the retired column-expression synthesis (and of
+    the DuckDB _MULTILINE_CTE): tokens are the ' +' split, grouped 8
+    per line; doc_id%3 docs repeat their first 4 lines; doc_id%7 docs
+    append the boilerplate line."""
+    tk = [t for t in _re.split(" +", text) if t] if text else []
+    ls0 = [
+        " ".join(tk[i : i + _LINE_TOKENS]) for i in range(0, len(tk), _LINE_TOKENS)
+    ]
+    ls = list(ls0)
+    if doc_id % 3 == 0:
+        ls += ls0[:4]
+    if doc_id % 7 == 0:
+        ls.append(_BOILERPLATE_LINE)
+    return "\n".join(ls)
+
+
+def _multiline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _synth_text_map(_t(spark, sf_dir, "documents"), _multiline_text)
 
 
 # shared DuckDB CTE building the identical multi-line corpus
@@ -3463,22 +3494,21 @@ _SPAN_BOILER = (
 )
 
 
+def _span_planted_text(doc_id: int, text: str | None) -> str | None:
+    if text is None:  # F.concat(null, ...) is null — preserve it
+        return None
+    t = text
+    out = t
+    if doc_id % 7 == 3:
+        out += " " + _SPAN_BOILER
+    if doc_id % 11 == 4:
+        tk = [w for w in _re.split("[ \n]+", t) if w]
+        out += " " + " ".join(tk[:10])
+    return out
+
+
 def _span_planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tk = F.filter(F.split(F.col("text"), "[ \n]+"), lambda t: t != "")
-    return d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(F.col("doc_id") % 7 == 3, F.lit(" " + _SPAN_BOILER)).otherwise(
-                F.lit("")
-            ),
-            F.when(
-                F.col("doc_id") % 11 == 4,
-                F.concat(F.lit(" "), F.array_join(F.slice(tk, 1, 10), " ")),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
+    return _synth_text_map(_t(spark, sf_dir, "documents"), _span_planted_text)
 
 
 def span_dedup_docs(spark, sf_dir):
@@ -5002,40 +5032,29 @@ _C4_BRACE_LINE = "inline code follows { return x } done."
 _C4_BLOCK_LINE = f"this page contains {_C4_BLOCKWORD} content today."
 
 
+def _c4_text(doc_id: int, text: str | None) -> str:
+    """Python twin of the C4 synthesis: 8-token lines with cycling
+    sentence suffixes, plus the planted js/lorem/brace/blockword
+    lines for the %11/%13/%17/%19 docs."""
+    tk = [t for t in _re.split(" +", text) if t] if text else []
+    ls = [
+        " ".join(tk[(i - 1) * _LINE_TOKENS : i * _LINE_TOKENS])
+        + _C4_SUFFIXES[(doc_id + i) % 5]
+        for i in range(1, (len(tk) + _LINE_TOKENS - 1) // _LINE_TOKENS + 1)
+    ]
+    for mod, line in (
+        (11, _C4_JS_LINE),
+        (13, _C4_LOREM_LINE),
+        (17, _C4_BRACE_LINE),
+        (19, _C4_BLOCK_LINE),
+    ):
+        if doc_id % mod == 0:
+            ls.append(line)
+    return "\n".join(ls)
+
+
 def _c4_documents(spark, sf_dir):
-    from .operators.repetition import _empty_str_array
-
-    d = _t(spark, sf_dir, "documents")
-    tk = textfn.tokens(F.col("text"))
-    nl = F.ceil(F.size(tk) / F.lit(float(_LINE_TOKENS))).cast("int")
-    sfx = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
-    ls0 = F.when(
-        F.size(tk) > 0,
-        F.transform(
-            F.sequence(F.lit(1), nl),
-            lambda i: F.concat(
-                F.array_join(
-                    F.slice(tk, (i - F.lit(1)) * _LINE_TOKENS + F.lit(1), _LINE_TOKENS),
-                    " ",
-                ),
-                F.element_at(sfx, (F.pmod(F.col("doc_id") + i, F.lit(5)) + F.lit(1)).cast("int")),
-            ),
-        ),
-    ).otherwise(_empty_str_array())
-
-    def planted(mod, line):
-        return F.when(
-            F.col("doc_id") % mod == 0, F.array(F.lit(line))
-        ).otherwise(_empty_str_array())
-
-    ls = F.concat(
-        ls0,
-        planted(11, _C4_JS_LINE),
-        planted(13, _C4_LOREM_LINE),
-        planted(17, _C4_BRACE_LINE),
-        planted(19, _C4_BLOCK_LINE),
-    )
-    return d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+    return _synth_text_map(_t(spark, sf_dir, "documents"), _c4_text)
 
 
 def doc_c4_filter(spark, sf_dir):
@@ -5400,29 +5419,29 @@ _BP_NEAR_SFX = " and to it"
 _BP_NAV_LINE = "home"
 
 
+def _boilerplate_text(doc_id: int, text: str | None) -> str:
+    """Python twin of the jusText block-structured synthesis: 8-token
+    lines, per-line kind = (doc_id + 3i) % 4 choosing good/plain/nav/
+    near suffixes."""
+    tk = [t for t in _re.split(" +", text) if t] if text else []
+    out = []
+    for i in range(1, (len(tk) + _LINE_TOKENS - 1) // _LINE_TOKENS + 1):
+        base = " ".join(tk[(i - 1) * _LINE_TOKENS : i * _LINE_TOKENS])
+        kind = (doc_id + 3 * i) % 4
+        out.append(
+            base + _BP_GOOD_SFX
+            if kind == 0
+            else base
+            if kind == 1
+            else _BP_NAV_LINE
+            if kind == 2
+            else base + _BP_NEAR_SFX
+        )
+    return "\n".join(out)
+
+
 def _boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.repetition import _empty_str_array
-
-    d = _t(spark, sf_dir, "documents")
-    tk = textfn.tokens(F.col("text"))
-    nl = F.ceil(F.size(tk) / F.lit(float(_LINE_TOKENS))).cast("int")
-
-    def line(i):
-        base = F.array_join(
-            F.slice(tk, (i - F.lit(1)) * _LINE_TOKENS + F.lit(1), _LINE_TOKENS), " "
-        )
-        kind = F.pmod(F.col("doc_id") + F.lit(3) * i, F.lit(4))
-        return (
-            F.when(kind == 0, F.concat(base, F.lit(_BP_GOOD_SFX)))
-            .when(kind == 1, base)
-            .when(kind == 2, F.lit(_BP_NAV_LINE))
-            .otherwise(F.concat(base, F.lit(_BP_NEAR_SFX)))
-        )
-
-    ls = F.when(F.size(tk) > 0, F.transform(F.sequence(F.lit(1), nl), line)).otherwise(
-        _empty_str_array()
-    )
-    return d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+    return _synth_text_map(_t(spark, sf_dir, "documents"), _boilerplate_text)
 
 
 def doc_boilerplate_strip(spark, sf_dir):
@@ -6108,26 +6127,22 @@ FROM f
 # paragraph again. Both engines run the identical construction.
 
 
-def _paragraph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.repetition import _empty_str_array
+def _paragraph_text(doc_id: int, text: str | None) -> str:
+    """Python twin of the paragraph-corpus synthesis (3 multiline
+    lines per paragraph; doc_id%4 docs repeat their first paragraph).
+    Applied on top of :func:`_multiline_text`."""
+    lsf = [ln for ln in (text or "").split("\n") if ln]
+    paras = ["\n".join(lsf[i : i + 3]) for i in range(0, len(lsf), 3)]
+    if doc_id % 4 == 0 and paras:
+        paras = paras + paras[:1]
+    return "\n\n".join(paras)
 
-    d = _multiline_documents(spark, sf_dir)
-    lsf = F.filter(F.split(F.col("text"), "\n"), lambda l: l != "")
-    np_ = F.ceil(F.size(lsf) / F.lit(3.0)).cast("int")
-    paras = F.when(
-        F.size(lsf) > 0,
-        F.transform(
-            F.sequence(F.lit(1), np_),
-            lambda i: F.array_join(F.slice(lsf, (i - F.lit(1)) * 3 + F.lit(1), 3), "\n"),
-        ),
-    ).otherwise(_empty_str_array())
-    planted = F.concat(
-        paras,
-        F.when(
-            (F.col("doc_id") % 4 == 0) & (F.size(paras) > 0), F.slice(paras, 1, 1)
-        ).otherwise(_empty_str_array()),
+
+def _paragraph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _synth_text_map(
+        _t(spark, sf_dir, "documents"),
+        lambda i, t: _paragraph_text(i, _multiline_text(i, t)),
     )
-    return d.select("doc_id", F.array_join(planted, "\n\n").alias("text"))
 
 
 def doc_para_repetition(spark, sf_dir):
@@ -6263,30 +6278,16 @@ _SENT_TOKENS = 5
 
 
 def _sentence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.repetition import _empty_str_array
+    def synth(doc_id: int, text: str | None) -> str:
+        tk = [t for t in _re.split(" +", text) if t] if text else []
+        chunks = [
+            " ".join(tk[(i - 1) * _SENT_TOKENS : i * _SENT_TOKENS])
+            + (".", "!", "?")[(i - 1) % 3]
+            for i in range(1, (len(tk) + _SENT_TOKENS - 1) // _SENT_TOKENS + 1)
+        ]
+        return " ".join(chunks)
 
-    d = _t(spark, sf_dir, "documents")
-    tk = textfn.tokens(F.col("text"))
-    nc = F.ceil(F.size(tk) / F.lit(float(_SENT_TOKENS))).cast("int")
-    punct = lambda i: (  # noqa: E731
-        F.when((i - F.lit(1)) % 3 == 0, F.lit("."))
-        .when((i - F.lit(1)) % 3 == 1, F.lit("!"))
-        .otherwise(F.lit("?"))
-    )
-    chunks = F.when(
-        F.size(tk) > 0,
-        F.transform(
-            F.sequence(F.lit(1), nc),
-            lambda i: F.concat(
-                F.array_join(
-                    F.slice(tk, (i - F.lit(1)) * _SENT_TOKENS + F.lit(1), _SENT_TOKENS),
-                    " ",
-                ),
-                punct(i),
-            ),
-        ),
-    ).otherwise(_empty_str_array())
-    return d.select("doc_id", F.array_join(chunks, " ").alias("text"))
+    return _synth_text_map(_t(spark, sf_dir, "documents"), synth)
 
 
 def doc_sentence_chunks(spark, sf_dir):
@@ -6486,23 +6487,26 @@ def _doc_script_profile_sql() -> str:
 # presence varies per doc).
 
 
+def _gopher_text(doc_id: int, text: str | None) -> str:
+    """Python twin of the Gopher planting (bullet lines for %5,
+    ellipsis lines for %9, symbol tail for %13) over the multiline
+    corpus; the when-chain precedence (%5 wins over %9/%13) is the
+    if/elif order."""
+    t = text or ""
+    if doc_id % 5 == 0:
+        return "\n".join("• " + ln for ln in t.split("\n"))
+    if doc_id % 9 == 0:
+        return "\n".join(ln + "…" for ln in t.split("\n"))
+    if doc_id % 13 == 0:
+        return t + " # ## ... #"
+    return t
+
+
 def _gopher_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _multiline_documents(spark, sf_dir)
-    lines = F.split(F.col("text"), "\n")
-    did = F.col("doc_id")
-    planted = (
-        F.when(
-            did % 5 == 0,
-            F.array_join(F.transform(lines, lambda l: F.concat(F.lit("• "), l)), "\n"),
-        )
-        .when(
-            did % 9 == 0,
-            F.array_join(F.transform(lines, lambda l: F.concat(l, F.lit("…"))), "\n"),
-        )
-        .when(did % 13 == 0, F.concat(F.col("text"), F.lit(" # ## ... #")))
-        .otherwise(F.col("text"))
+    return _synth_text_map(
+        _t(spark, sf_dir, "documents"),
+        lambda i, t: _gopher_text(i, _multiline_text(i, t)),
     )
-    return d.select("doc_id", planted.alias("text"))
 
 
 def doc_gopher_quality(spark, sf_dir):

@@ -90,11 +90,13 @@ def test_window_occurrences_positions(spark):
 
 
 def test_clean_doc_short_circuit_no_token_explode(spark):
-    """Scale contract #3: clean docs must not enter the token-level
-    reconstruction join — their text_clean comes straight from the
-    whitespace re-join of their own token array."""
+    """Scale contract #3 (expr plan): clean docs must not enter the
+    token-level reconstruction join — their text_clean comes straight
+    from the whitespace re-join of their own token array. (The arrow
+    default has no token-level join at all; its parity is pinned by
+    test_arrow_equals_expr below.)"""
     df = substring_dedup(
-        _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")]), w=W
+        _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")]), w=W, impl="expr"
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the rebuilt branch joins only the semi-joined dirty side; with no
@@ -104,3 +106,30 @@ def test_clean_doc_short_circuit_no_token_explode(spark):
     assert out[1].text_clean == "a b c d e f"
     assert out[2].text_clean == "g h i j k l"
     assert "LeftSemi" in plan
+
+
+def test_arrow_equals_expr(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog another tail here"),
+        (3, "short doc"),
+        (4, ""),
+        (5, None),
+        (6, "x y z x y z x y z x y z"),  # same-doc repetition
+        (7, "a\nb c\nd e f g h i j"),     # newline separators
+    ]
+    d = _docs(spark, rows)
+    a = substring_dedup(d, w=W, impl="expr").orderBy("doc_id").collect()
+    b = substring_dedup(d, w=W, impl="arrow").orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_window_occurrences_arrow_equals_expr(spark):
+    d = _docs(spark, [(1, "t1 t2 t3 t4 t5"), (2, "a b"), (3, None)])
+    a = window_occurrences(d, W, "doc_id", "text").orderBy("doc_id", "pos").collect()
+    b = window_occurrences(d, W, "doc_id", "text", impl="arrow").orderBy(
+        "doc_id", "pos"
+    ).collect()
+    assert [(r.doc_id, r.pos, r.gram) for r in a] == [
+        (r.doc_id, r.pos, r.gram) for r in b
+    ]

@@ -42,9 +42,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import poly31_hash
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from .dedup import poly31_hash, poly31_hash_np  # noqa: F401  (poly31_hash: oracle statement ref)
 
 _POS_M = 1 << 32  # position packing modulus (max document length)
+
+
+@pandas_udf(LongType())
+def _poly31_batch_udf(s: pd.Series) -> pd.Series:
+    """Vectorized bit-identical poly31 of a string column
+    (dedup.poly31_hash_np) — replaces the interpreted per-character
+    fold in the expr plan's per-position gram hashing. Same values,
+    same plan shape otherwise (explode + frame window)."""
+    h, _ = poly31_hash_np(s.tolist())
+    return pd.Series(h)
 
 
 def winnow_fingerprints(
@@ -92,7 +105,9 @@ def winnow_fingerprints(
         "doc_id",
         "_n",
         "i",
-        poly31_hash(F.substring(F.col("_txt"), F.col("i").cast("int"), k)).alias("_h"),
+        _poly31_batch_udf(F.substring(F.col("_txt"), F.col("i").cast("int"), k)).alias(
+            "_h"
+        ),
     )
     # overflow guard: poly31 < 2^31 and pos < 2^32 keep the packed
     # key under 2^63; positions beyond the modulus must fail loudly
@@ -222,12 +237,18 @@ def _winnow_fingerprints_arrow(
                 raise ValueError(
                     f"winnow_fingerprints: document exceeds {_POS_M - 1} chars"
                 )
-            codes = np.fromiter((ord(c) for c in t), dtype=np.int64, count=len(t))
+            # utf-32-le decode = one uint32 per codepoint, C-speed
+            # (identical values to the per-char ord() loop)
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
             out.append(_winnow_packed(codes, k, w).tolist())
         return pd.Series(out)
 
-    sel = df.select(
-        F.col(doc_id_col).alias("doc_id"), F.explode(fps(F.col(text_col))).alias("_fp")
+    src = df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)  # one-split bench scans serialize the UDF
+    sel = src.select(
+        "doc_id", F.explode(fps(F.col("_txt"))).alias("_fp")
     )
     return sel.select(
         "doc_id",

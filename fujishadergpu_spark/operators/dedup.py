@@ -524,10 +524,26 @@ def simhash_signatures(
     else:
         a, b = simhash_bit_params()
         p = (1 << 31) - 1
-        toks = toks.withColumn("_h", poly31_hash(F.col("_tok")))
-        bit_of = lambda i: (  # noqa: E731
-            (F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(p)
-        ) % F.lit(2)
+
+        @pandas_udf(LongType())
+        def _p31bits(s: pd.Series) -> pd.Series:
+            # vectorized bit-identical poly31 (poly31_hash_np) + all 64
+            # universal-family parities g_i(h) mod 2 packed into one
+            # long — the interpreted char fold AND the 64 per-token
+            # modular bit expressions become one NumPy batch; the
+            # column-expression form stays the oracle STATEMENT.
+            # products < 2^62 (h, a_i < 2^31): exact in int64.
+            h, _ = poly31_hash_np(s.tolist())
+            av = np.asarray(a, dtype=np.int64)
+            bv = np.asarray(b, dtype=np.int64)
+            bits = ((h[:, None] * av[None, :] + bv[None, :]) % p) & 1
+            packed = (
+                bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            return pd.Series(packed.view(np.int64))
+
+        toks = toks.withColumn("_h", _p31bits(F.col("_tok")))
+        bit_of = lambda i: F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))  # noqa: E731
     bit_sums = [F.sum(bit_of(i) * 2 - 1).alias(f"_b{i}") for i in range(64)]
     agg = toks.groupBy("_id").agg(*bit_sums)
     packed = None

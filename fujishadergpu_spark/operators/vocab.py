@@ -190,16 +190,33 @@ def ngram_topk(
         raise ValueError(f"n must be >= 1, got {n}")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    tk = F.filter(F.split(F.lower(F.col(text_col)), "[ \n]+"), lambda t: t != "")
-    grams = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - n + 1),
-            lambda i: F.array_join(F.slice(tk, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # gram construction in a batch UDF over the JVM-lowered text: the
+    # former transform(sequence)/array_join(slice) pair is interpreted
+    # per WINDOW (the inlined token split re-ran per element); Python
+    # slicing over the whitespace split builds the identical strings
+    # once per document. Lowercasing stays F.lower (JVM semantics).
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ws = re.compile(r"[ \n]+")
+
+    @pandas_udf(ArrayType(StringType()))
+    def _grams(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            tk = [x for x in ws.split(t) if x] if t else []
+            out.append(
+                [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+            )
+        return pd.Series(out)
+
     ex = df.select(
-        F.col(doc_id_col).alias("_doc"), F.explode(grams).alias("gram")
+        F.col(doc_id_col).alias("_doc"),
+        F.explode(_grams(F.lower(F.col(text_col)))).alias("gram"),
     )
     counts = ex.groupBy("gram").agg(
         F.count("*").alias("n_occ"),

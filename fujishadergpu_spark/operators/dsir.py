@@ -153,9 +153,13 @@ def _gram_occurrences(
     tests/test_dsir_arrow.py."""
     if impl == "arrow":
         gb = _gram_buckets_udf(buckets)
+        sel = df.select(*([id_col] if id_col else []), text_col)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if sel.rdd.getNumPartitions() < par:
+            sel = sel.repartition(par)  # one-split bench scan: spread the UDF
         if id_col is None:
-            return df.select(F.explode(gb(F.col(text_col))).alias("bucket"))
-        return df.select(
+            return sel.select(F.explode(gb(F.col(text_col))).alias("bucket"))
+        return sel.select(
             F.col(id_col).alias("_id"), F.explode(gb(F.col(text_col))).alias("bucket")
         )
     if impl != "expr":

@@ -85,6 +85,23 @@ def get_spark(
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
     if cpus_env.isdigit():
         confs["spark.sql.shuffle.partitions"] = str(max(32, 2 * int(cpus_env)))
+    # Commit + pre-fault the whole heap at JVM start (-Xms=driver mem,
+    # AlwaysPreTouch). Root-caused in round 7: with a growable heap,
+    # G1's incremental commits landed page-fault storms INSIDE timed
+    # queries — a slow rep showed 60%+ kernel time and +3 GB RSS while
+    # the same rep re-run at stable RSS took 1.5 s (the round-6
+    # "tiles/sec regression" signature). Pre-touching moves that cost
+    # to session startup (~40 s for 24 GB in this sandbox), outside
+    # every timed region; on a real cluster Xms=Xmx is standard
+    # practice for exactly this reason. SPARK_GRAFT_PRETOUCH=0 opts
+    # out (e.g. for short-lived CLI invocations).
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0":
+        heap = confs.get("spark.driver.memory", "24g")
+        gc_threads = os.cpu_count() or 8
+        confs.setdefault(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{heap} -XX:+AlwaysPreTouch -XX:ParallelGCThreads={gc_threads}",
+        )
     local_dirs = _local_dirs()
     if local_dirs:
         confs["spark.local.dir"] = local_dirs

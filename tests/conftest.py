@@ -1,7 +1,14 @@
+import os
+
 import numpy as np
 import pytest
 
-from fujishadergpu_spark.session import get_spark
+# Tests measure semantics, not perf: skip the 24 GB heap pre-touch
+# (session.py) here and in every CLI subprocess the e2e tests spawn —
+# it would add ~40 s per JVM. Respect an explicit caller override.
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "0")
+
+from fujishadergpu_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -91,6 +91,19 @@ def probe(arm: str, cycle: int, logfile: str) -> None:
         reps.append(round(time.time() - t, 3))
     out["pip"] = reps
     out["pip_rows"] = n
+    # the bench's tile-assignment pipeline itself (r6 verdict #2: the
+    # tiles/sec drop had no paired probe) — geoparse -> rasterize ->
+    # hillshade at bench.py's TILE_Z over the same 1M pages
+    from fujishadergpu_spark.operators.tile_kernels import tile_kernel_stats
+
+    tile_kernel_stats(pts, 7, kernel="hillshade", log_scale=True).count()  # warm
+    reps = []
+    for _ in range(2):
+        t = time.time()
+        nt = tile_kernel_stats(pts, 7, kernel="hillshade", log_scale=True).count()
+        reps.append(round(time.time() - t, 3))
+    out["tile"] = reps
+    out["tile_rows"] = nt
     out["t1"] = time.time()
     spark.stop()
     with open(logfile, "a") as f:
@@ -138,7 +151,8 @@ def analyze(logpath: str) -> None:
     a, b = arms
     by = defaultdict(dict)
     for r in rows:
-        for name, reps in list(r["queries"].items()) + [("pip", r["pip"])]:
+        extra = [("pip", r["pip"])] + ([("tile", r["tile"])] if "tile" in r else [])
+        for name, reps in list(r["queries"].items()) + extra:
             if reps is None:  # probe absent in this arm's registry
                 continue
             by[name].setdefault(r["cycle"], {})[r["arm"]] = min(reps)

@@ -54,10 +54,21 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Top-k BM25 matches per query: (query_id, rank, doc_id,
     score_q6) with score_q6 = round(BM25 * 1e6) and rank ties broken
-    by ascending doc id (the knn/ann rank-only contract)."""
+    by ascending doc id (the knn/ann rank-only contract).
+
+    ``impl``: 'arrow' (default) builds the postings relation
+    (_doc, _term, _tf, _dl) per document inside one mapInPandas —
+    term frequencies are document-LOCAL, so the expr plan's
+    explode + corpus-wide (doc, term) groupBy exchange exists only to
+    feed SQL aggregation semantics; 'expr' is that original plan, the
+    statement the DuckDB twin mirrors. Identical postings rows either
+    way (tests/test_bm25.py)."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown impl {impl!r} (arrow/expr)")
     toks = docs.select(F.col(id_col).alias("_doc"), _tokens(F.col(text_col)).alias("_tk"))
     dl = toks.select("_doc", F.size("_tk").cast("bigint").alias("_dl"))
     stats = dl.agg(
@@ -66,15 +77,45 @@ def bm25_topk(
     # _dl rides the postings row (constant per doc, max = the value):
     # the scoring join below then never touches the corpus-sized dl
     # relation (dl only feeds the single-row stats aggregate)
-    tf = (
-        toks.select(
-            "_doc",
-            F.size("_tk").cast("bigint").alias("_len"),
-            F.explode("_tk").alias("_term"),
+    if impl == "arrow":
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \n]+")
+
+        def build(it):
+            for pdf in it:
+                d, t, c, ln = [], [], [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    tk = [x for x in ws.split(text) if x] if text else []
+                    if not tk:
+                        continue
+                    cnt: dict[str, int] = {}
+                    for x in tk:
+                        cnt[x] = cnt.get(x, 0) + 1
+                    for term, n_occ in cnt.items():
+                        d.append(did)
+                        t.append(term)
+                        c.append(n_occ)
+                        ln.append(len(tk))
+                yield pd.DataFrame({"_doc": d, "_term": t, "_tf": c, "_dl": ln})
+
+        src = docs.select(id_col, text_col)
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+        tf = src.mapInPandas(build, "_doc long, _term string, _tf long, _dl long")
+    else:
+        tf = (
+            toks.select(
+                "_doc",
+                F.size("_tk").cast("bigint").alias("_len"),
+                F.explode("_tk").alias("_term"),
+            )
+            .groupBy("_doc", "_term")
+            .agg(F.count("*").alias("_tf"), F.max("_len").alias("_dl"))
         )
-        .groupBy("_doc", "_term")
-        .agg(F.count("*").alias("_tf"), F.max("_len").alias("_dl"))
-    )
     df_rel = tf.groupBy("_term").agg(F.count("*").alias("_df"))
     qterms = queries.select(
         F.col(query_id_col).alias("_q"),

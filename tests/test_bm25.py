@@ -84,3 +84,37 @@ def test_unmatched_query_absent(spark):
     docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS.items()])
     queries = spark.createDataFrame([Row(query_id=9, text="zzz qqq")])
     assert bm25_topk(docs, queries, k=3).count() == 0
+
+
+def test_bm25_arrow_equals_expr(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick"),
+            (2, "lazy dog sleeps"),
+            (3, ""),
+            (4, None),
+            (5, "fox fox fox dog"),
+            (6, "a\nb c\nthe dog"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "quick fox"), (11, "dog"), (12, "absent")],
+        "query_id long, text string",
+    )
+    from fujishadergpu_spark.operators.bm25 import bm25_topk
+
+    a = bm25_topk(docs, qs, k=3, impl="expr").orderBy("query_id", "rank").collect()
+    b = bm25_topk(docs, qs, k=3, impl="arrow").orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(b) > 0
+
+
+def test_bm25_impl_validation(spark):
+    import pytest as _pytest
+
+    from fujishadergpu_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="unknown impl"):
+        bm25_topk(docs, docs.selectExpr("doc_id as query_id", "text"), impl="bogus")

@@ -461,6 +461,8 @@ def poly31_hash_np(strs) -> tuple[np.ndarray, np.ndarray]:
     oracle statement."""
     n = len(strs)
     out = np.zeros(n, dtype=np.int64)
+    if n == 0:  # empty partition/batch: no length groups to walk
+        return out, np.zeros(0, dtype=np.int64)
     enc = [s.encode("utf-16-le") for s in strs]
     lens = np.fromiter((len(e) >> 1 for e in enc), dtype=np.int64, count=n)
     order = np.argsort(lens, kind="stable")

@@ -210,7 +210,13 @@ def _substring_dedup_arrow(
     over (doc, covered-position list): per-doc work, list bounded by
     document length. Cleaned text is the same ' '-join of surviving
     tokens in position order."""
-    occ = window_occurrences(docs, w, id_col, text_col, impl="arrow")
+    # one window-extraction scan total (the ngram_jaccard_pairs
+    # localCheckpoint precedent): occ feeds the dup count AND the
+    # join-back; without the checkpoint each branch re-runs the
+    # extraction UDF over the corpus
+    occ = window_occurrences(docs, w, id_col, text_col, impl="arrow").localCheckpoint(
+        eager=False
+    )
     dup_grams = (
         occ.groupBy("gram")
         .agg(F.count("*").alias("_cnt"))

@@ -4454,7 +4454,12 @@ def doc_dsir_weights(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tgt = d.where(F.col("doc_id") % 5 == 0)
-    w = dsir_weights(d, tgt, buckets=_DSIR_B_BUCKETS)
+    # the weights relation feeds BOTH output branches (the full report
+    # and the Gumbel-top-k selection); localCheckpoint computes the
+    # two-model gram pipeline once instead of once per branch (the
+    # iterative-loop lineage-truncation precedent; rows are
+    # (id, 2 longs) — 24 B/doc at any scale)
+    w = dsir_weights(d, tgt, buckets=_DSIR_B_BUCKETS).localCheckpoint(eager=False)
     sel = dsir_resample(w, _DSIR_SELECT).select(
         "doc_id", F.lit(True).alias("sel")
     )

@@ -512,8 +512,21 @@ def simhash_signatures(
     # shared signature (the old UDF's 0) pairs EVERY empty doc with
     # every other — an O(E²) cluster at web scale. Route empty docs
     # through exact_dedup instead.
-    if hash not in ("xxhash64", "poly31"):
-        raise ValueError(f"unknown simhash hash mode {hash!r} (xxhash64/poly31)")
+    if hash not in ("xxhash64", "poly31", "poly31_expr"):
+        raise ValueError(
+            f"unknown simhash hash mode {hash!r} (xxhash64/poly31/poly31_expr)"
+        )
+    if hash == "poly31":
+        # The signature is document-LOCAL (token hashes -> 64 integer
+        # bit sums -> signs), so the production poly31 path computes
+        # it per doc inside one batch UDF with ZERO exchanges — the
+        # explode + 64-aggregate groupBy below ('poly31_expr', kept
+        # as the oracle statement and pinned equal by
+        # tests/test_dedup.py) exists only to feed SQL aggregation
+        # semantics. Integer sums are order-free, so the two paths
+        # are exactly equal. Lowercasing stays in the JVM; the token
+        # split uses Java \s's exact class.
+        return _simhash_poly31_arrow(df, id_col, text_col)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -523,7 +536,7 @@ def simhash_signatures(
     if hash == "xxhash64":
         toks = toks.withColumn("_h", F.xxhash64("_tok"))
         bit_of = lambda i: F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))  # noqa: E731
-    else:
+    else:  # poly31_expr
         a, b = simhash_bit_params()
         p = (1 << 31) - 1
 
@@ -547,6 +560,60 @@ def simhash_signatures(
         toks = toks.withColumn("_h", _p31bits(F.col("_tok")))
         bit_of = lambda i: F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))  # noqa: E731
     bit_sums = [F.sum(bit_of(i) * 2 - 1).alias(f"_b{i}") for i in range(64)]
+    return _pack_bit_sums(toks, bit_sums)
+
+
+def _simhash_poly31_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    a, b = simhash_bit_params()
+    av = np.asarray(a, dtype=np.int64)
+    bv = np.asarray(b, dtype=np.int64)
+    p = (1 << 31) - 1
+
+    @pandas_udf(LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        toks_per_doc = [
+            [t for t in ws.split(s) if t] if s else [] for s in texts
+        ]
+        counts = np.fromiter(
+            (len(x) for x in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
+        flat = [t for toks in toks_per_doc for t in toks]
+        h, _ = poly31_hash_np(flat)
+        out = [None] * len(counts)
+        nz = np.flatnonzero(counts > 0)
+        if len(nz):
+            # per-token ±1 contributions for all 64 universal-family
+            # parities, summed per doc with reduceat (integer sums —
+            # order-free, exactly the 64-aggregate's arithmetic)
+            contrib = (
+                2 * (((h[:, None] * av[None, :] + bv[None, :]) % p) & 1) - 1
+            )
+            off = np.concatenate(([0], np.cumsum(counts)))
+            sums = np.add.reduceat(contrib, off[:-1][nz], axis=0)
+            packed = (
+                (sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64).view(np.int64)
+            for j, i in enumerate(nz):
+                out[i] = int(packed[j])
+        return pd.Series(out, dtype="object")
+
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_lt"),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return (
+        sel.select("_id", sig(F.col("_lt")).alias("_sh"))
+        .where(F.col("_sh").isNotNull())
+    )
+
+
+def _pack_bit_sums(toks: DataFrame, bit_sums) -> DataFrame:
     agg = toks.groupBy("_id").agg(*bit_sums)
     packed = None
     for i in range(64):

@@ -268,3 +268,24 @@ def test_ngram_containment_catches_what_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0]["cont_ab"] == 1.0
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.4).collect()
     assert jac == []
+
+
+def test_simhash_poly31_arrow_equals_expr(spark):
+    rows = [
+        (1, "The Quick brown FOX jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+        (4, None),
+        (5, "tab\tand\x0bvertical\fform\rfeeds here"),
+        (6, "unicode héllo wörld tökens"),
+        (7, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from fujishadergpu_spark.operators.dedup import simhash_signatures
+
+    a = simhash_signatures(df, "doc_id", hash="poly31_expr").orderBy("_id").collect()
+    b = simhash_signatures(df, "doc_id", hash="poly31").orderBy("_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # empty/null docs emit no signature row in either path
+    ids = {r["_id"] for r in b}
+    assert 3 not in ids and 4 not in ids
